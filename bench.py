@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Session bring-up is excluded (BASELINE.md: steady-state query time); a
+warm-up query triggers JVM/codegen initialization before timing starts.
+Each query is executed to completion (results materialized via collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eventstream_spark.operators import all_queries
+from eventstream_spark.session import get_spark
+
+# Headline set: scan/agg, filter, joins (broadcast + shuffle + theta),
+# correlation, windows, set-op, dedup family, similarity family, text.
+HEADLINE = [
+    "q01_scan_count",
+    "q02_scan_checksum",
+    "q03_filter_project",
+    "q04_event_routing",
+    "q05_join_rollup",
+    "q06_anti_join",
+    "q08_range_join",
+    "q09_request_response",
+    "q10_pricing_summary",
+    "q12_rollup",
+    "q13_topk_per_group",
+    "q14_running_sum",
+    "q15_topn",
+    "q21_hourly_window",
+    "q22_dedup_count",
+    "q25_asof_join",
+    "q30_lang_id",
+    "q33_fingerprint",
+    "q41_ngram_jaccard",
+    "q42_minhash_lsh",
+    "q43_simhash",
+    "q50_knn_exact",
+    "q52_lsh_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="eventstream-spark-bench")
+    queries = all_queries()
+
+    # Warm-up: JVM, codegen, parquet footer caches.
+    queries["q01_scan_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Table registry over the parquet lakehouse layout.
+
+The driver materializes ten tables per scale factor at
+``/root/testdata/sf*/{name}.parquet`` (TESTDATA.md / FIXTURES.md). This module
+is the single place that knows the layout; every operator takes a loaded
+DataFrame or an ``sf_dir`` and goes through here.
+
+Scale note: each table is one parquet file locally, but ``spark.read.parquet``
+accepts directories the same way, so at 100 TB the path is a partitioned
+directory tree and partition pruning + predicate pushdown apply unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Plain parquet scan — column pruning and predicate
+    pushdown are left to Catalyst (verify via .explain: PushedFilters).
+
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark 4 refuses outright (PARQUET_TYPE_ILLEGAL). We read nanos as int64
+    (legacy conf) and floor-convert to microsecond timestamps — exactly what
+    duckdb does when it reads the same file (its TIMESTAMP is µs), so the
+    two engines stay value-identical.
+    """
+    # Determinism contract (FIXTURES.md): tz-naive fixture timestamps must be
+    # interpreted identically in both engines, so pin the session to UTC even
+    # when the caller's session (e.g. the driver's) didn't.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works as an
+    entry point alongside the DataFrame builders."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

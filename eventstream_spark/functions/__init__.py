@@ -1,0 +1,87 @@
+"""Shared column-expression helpers.
+
+Everything here is built-in-function composition (JVM-side, whole-stage
+codegen) — no Python UDFs. Where an oracle needs the identical computation in
+duckdb SQL, the paired ``*_SQL`` template is defined next to the Spark
+expression so the two stay in lock-step (floating-point results must match
+bit-for-bit after rounding, so map/fold order is mirrored deliberately).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import col, lit
+
+
+# --- tokenization ----------------------------------------------------------
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens with empties dropped.
+
+    duckdb mirror: list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+    """
+    c = col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def tokens_sql(expr: str = "text") -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')"
+
+
+# --- portable 48-bit hash --------------------------------------------------
+# Both engines md5 identically; the first 12 hex chars give 48 bits, which
+# leaves headroom for (a * h + b) to stay inside int64.
+
+def hash48(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def hash48_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 12) AS BIGINT)"
+
+
+# --- vector math (array<double>) ------------------------------------------
+# Sequential left fold on both engines: Spark F.aggregate == duckdb
+# list_reduce (fp-identical because (0.0 + x1) == x1 exactly).
+
+def as_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def as_double_array_sql(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 1 + len({a})),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def sq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 1 + len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"{dot_sql(a, b)} / sqrt({dot_sql(a, a)} * {dot_sql(b, b)})"

@@ -1,0 +1,32 @@
+"""Operator library.
+
+Each module exposes ``QUERIES: dict[str, Callable[(spark, sf_dir), DataFrame]]``
+and ``ORACLES: dict[str, str]`` (duckdb SQL). ``all_queries()`` /
+``all_oracles()`` aggregate them for __spark_entry__ and the test harness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _modules():
+    from . import asof, dedup, multimodal, relational, similarity, text
+
+    return (relational, asof, text, dedup, similarity, multimodal)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for mod in _modules():
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,96 @@
+"""As-of join — the batch form of request/response correlation.
+
+Reference parity: the event bus pairs a response to its request via
+``response_to = request.message_id`` (messages/base.py:593-609); the as-of
+join answers "for each response-like event, which request-like event most
+recently preceded it for the same key".
+
+Spark has no ASOF JOIN operator, so this implements the SCALABLE form:
+union both sides, sort within key partitions, carry the last left-row
+forward with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+window. One shuffle on the key, no range-explosion — this survives 100×
+scale-up where a naive range join (per-pair comparison) would not.
+
+Tie policy: on equal timestamps the request IS visible to the response
+(requests sort before responses at the same ts), and among equal-ts
+requests the one with the largest ``event_id`` wins — mirrored in the
+oracle's ``ORDER BY ts DESC, event_id DESC LIMIT 1``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import col, lit
+
+from ..catalog import load
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_value: str,
+    value_alias: str = "asof_value",
+) -> DataFrame:
+    """For each right row, attach ``left_value`` of the latest left row with
+    ``left_ts <= right_ts`` on the same key (None if no such row)."""
+    l = left.select(
+        col(key).alias("k"),
+        col(left_ts).alias("t"),
+        col(left_value).cast("long").alias("lv"),
+        lit(0).alias("side"),
+    )
+    r_cols = list(right.columns)
+    r = right.select(
+        col(key).alias("k"),
+        col(right_ts).alias("t"),
+        lit(None).cast("long").alias("lv"),
+        lit(1).alias("side"),
+        *[col(c).alias(f"r_{c}") for c in r_cols],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(col("t"), col("side"), col("lv").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(value_alias, F.last("lv", ignorenulls=True).over(w))
+    return carried.where(col("side") == 1).select(
+        *[col(f"r_{c}").alias(c) for c in r_cols], col(value_alias)
+    )
+
+
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent prior-or-simultaneous click of the
+    same user (largest event_id on ts ties)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.where(col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_value="event_id",
+        value_alias="click_id",
+    )
+    return out.select("event_id", "click_id").orderBy("event_id")
+
+
+ORACLES = {
+    "q25_asof_join": """
+WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id,
+       (SELECT c.event_id FROM clicks c
+        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+FROM purch p ORDER BY p.event_id
+""",
+}
+
+QUERIES = {"q25_asof_join": q25_asof_join}

@@ -1,0 +1,306 @@
+"""Deduplication operators (north star): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+All pure DataFrame/column expressions — the hash family is md5-derived
+(portable bit-for-bit across Spark / duckdb / Python hashlib), so every
+operator has an exactly-mirrored duckdb oracle.
+
+Scale design (100 TB):
+- exact / fingerprint dedup: map-side hash then groupBy on the digest —
+  one shuffle on a well-distributed key, no skew.
+- MinHash+LSH: signatures are computed in ONE aggregation (16 min-aggs, no
+  explode of hash permutations), then band-key self-join — the standard
+  shuffle-on-band-key plan; candidate verification (exact Jaccard) runs only
+  on the candidate set.
+- all-pairs Jaccard / cosine (q41/q44) are VERIFICATION oracles for small
+  candidate sets; at full scale they are only ever applied after LSH
+  blocking (never a global cross join).
+
+Reference parity: the reference has no dedup (SURVEY §2 Part A negatives);
+these are the north-star additions required of the rebuild.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.functions import col, lit
+
+from ..catalog import load
+from ..functions import (
+    as_double_array,
+    as_double_array_sql,
+    cosine,
+    cosine_sql,
+    hash48,
+    hash48_sql,
+    tokens,
+    tokens_sql,
+)
+
+# Fixed MinHash permutation parameters: h' = (a*h + b) mod P over the 48-bit
+# shingle hash. a < 2^14 keeps a*h inside int64. 16 hashes → 8 bands of 2.
+_P = 999983
+_MINHASH_PARAMS: list[tuple[int, int]] = [
+    (4097, 12289), (5261, 99991), (6151, 524287), (7001, 131071),
+    (8191, 262139), (9377, 786431), (10007, 104729), (11261, 65537),
+    (12203, 331), (13313, 7919), (14327, 27644), (15359, 999331),
+    (3571, 42859), (2203, 900001), (1229, 123457), (16381, 777777),
+]
+_N_BANDS = 8  # 2 rows per band
+
+
+def bigram_shingles(text_col: str = "text") -> Column:
+    """Distinct word-bigram shingles of a text column."""
+    w = tokens(text_col)
+    idx = F.when(F.size(w) >= 2, F.sequence(lit(0), F.size(w) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2))
+    )
+    return F.array_distinct(grams)
+
+
+_SHINGLES_SQL = (
+    "SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s "
+    f"FROM (SELECT doc_id, {tokens_sql()} AS w FROM documents) tok, "
+    "UNNEST(range(1, len(w))) AS t(i)"
+)
+
+
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) distinct shingle pairs."""
+    return docs.select("doc_id", F.explode(bigram_shingles("text")).alias("s"))
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup: one row per distinct key (hash-aggregate, single shuffle)."""
+    return df.dropDuplicates(cols)
+
+
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(col("text"))).alias("n_unique"),
+    )
+
+
+# --- exact n-gram Jaccard (verification oracle for near-dup) ---------------
+
+def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """All near-dup pairs by bigram-shingle Jaccard >= threshold.
+
+    Inverted-index self-join on the shingle (NOT a cross join): pairs sharing
+    no shingle never materialize. At scale, run after LSH blocking (q42).
+    """
+    sh = shingle_table(docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (col("a.s") == col("b.s")) & (col("a.doc_id") < col("b.doc_id")))
+        .groupBy(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("c"))
+    )
+    c1 = counts.alias("c1")
+    c2 = counts.alias("c2")
+    jac = col("c").cast("double") / (col("c1.n") + col("c2.n") - col("c")).cast("double")
+    return (
+        common.join(c1, col("d1") == col("c1.doc_id"))
+        .join(c2, col("d2") == col("c2.doc_id"))
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
+        .where(col("jac") >= threshold)
+    )
+
+
+def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, 0.5).orderBy("d1", "d2")
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15) — one hash-aggregate, no permutation explode."""
+    sh = shingle_table(docs).select("doc_id", hash48(col("s")).alias("h"))
+    aggs = [
+        F.min((lit(a) * col("h") + lit(b)) % _P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_MINHASH_PARAMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from 8 bands × 2 rows banding of the MinHash
+    signature. Shuffle key = (band, band_key): well distributed, small state."""
+    mh = minhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                lit(k).alias("band"),
+                F.concat_ws(
+                    ",", col(f"mh{2 * k}").cast("string"), col(f"mh{2 * k + 1}").cast("string")
+                ).alias("key"),
+            )
+            for k in range(_N_BANDS)
+        ]
+    )
+    bt = mh.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", col("b.band").alias("band"), col("b.key").alias("key")
+    )
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(
+            b,
+            (col("a.band") == col("b.band"))
+            & (col("a.key") == col("b.key"))
+            & (col("a.doc_id") < col("b.doc_id")),
+        )
+        .select(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs).orderBy("d1", "d2")
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def simhash_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash over token hashes (with
+    multiplicity), computed as 16 conditional sums in one aggregation."""
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("t")).select(
+        "doc_id", hash48(col("t")).alias("h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(col("h"), b).bitwiseAND(lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    per_doc = t.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(col(f"s{b}") > 0, lit(1 << b)).otherwise(lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_table(docs).orderBy("doc_id")
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Pairs of vectors with cosine >= threshold.
+
+    Brute-force all-pairs — correct as a verification oracle and for small
+    candidate sets. The scale path is q52 (hyperplane-LSH bucketing) followed
+    by this check within buckets.
+    """
+    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(col("a.v"), col("b.v"))
+    return (
+        a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(
+            col("a.vec_id").alias("d1"),
+            col("b.vec_id").alias("d2"),
+            F.round(cos, 4).alias("cos"),
+        )
+        .where(col("cos") >= threshold)
+    )
+
+
+def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, 0.4).orderBy("d1", "d2")
+
+
+# --- oracles ---------------------------------------------------------------
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_MINHASH_PARAMS)
+    )
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, mh{2 * k}::VARCHAR || ',' || mh{2 * k + 1}::VARCHAR AS key FROM mh"
+        for k in range(_N_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {hash48_sql('s')} AS h FROM sh),
+mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT d1, d2 FROM pairs ORDER BY 1, 2
+"""
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql()}) AS t FROM documents),
+h AS (SELECT doc_id, {hash48_sql('t')} AS h FROM tok),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM s ORDER BY doc_id
+"""
+
+
+ORACLES = {
+    "q40_dedup_exact": (
+        "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents"
+    ),
+    "q41_ngram_jaccard": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+com AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6) AS jac
+FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+WHERE ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6) >= 0.5
+ORDER BY 1, 2
+""",
+    "q42_minhash_lsh": _minhash_sql(),
+    "q43_simhash": _simhash_sql(),
+    "q44_embedding_neardup": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       ROUND({cosine_sql('a.v', 'b.v')}, 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({cosine_sql('a.v', 'b.v')}, 4) >= 0.4
+ORDER BY 1, 2
+""",
+}
+
+QUERIES = {
+    "q40_dedup_exact": q40_dedup_exact,
+    "q41_ngram_jaccard": q41_ngram_jaccard,
+    "q42_minhash_lsh": q42_minhash_lsh,
+    "q43_simhash": q43_simhash,
+    "q44_embedding_neardup": q44_embedding_neardup,
+}

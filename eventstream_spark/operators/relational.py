@@ -1,0 +1,452 @@
+"""Relational query surface (SURVEY.md §2 Part B, Q01–Q24).
+
+Every builder is pure DataFrame API — no RDDs, no Python UDFs — so Catalyst
+owns predicate pushdown, column pruning, join selection and AQE owns runtime
+re-planning. Small dimension tables are explicitly ``broadcast()``-hinted
+where a 100 TB fact side would otherwise shuffle.
+
+Each query has a duckdb oracle in ``ORACLES`` with IDENTICAL column names and
+types (bigint vs int casts are aligned explicitly — the driver hash-compares).
+Aggregated floats are rounded per FIXTURES.md determinism rules.
+
+Reference parity notes (christophertubbs/EventStream):
+- q04 is the event-name router as a relational query
+  (reference: event_stream/streams/bus.py:24-82, dict-lookup dispatch).
+- q09 is the batch form of request/response correlation
+  (reference: messages/base.py:593-609 response_to stamping).
+- q21/q22 are the batch twins of the streaming window/dedup semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast, col, lit
+
+from ..catalog import load
+
+
+# --- scans -----------------------------------------------------------------
+
+def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan row count (A21/A22 analog: XLEN probe)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+def q02_scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q03_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter; both predicates reach the parquet scan
+    (verify: PushedFilters in .explain)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+            & col("l_discount").between(0.05, 0.07)
+        )
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --- event routing (reference A4/A5) --------------------------------------
+
+def q04_event_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+# --- joins -----------------------------------------------------------------
+
+def q05_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region regional rollup.
+
+    customer/nation/region are broadcast: at 100 TB the orders fact table
+    must not shuffle for dimension joins.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("r_name")
+    )
+
+
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti join, the scalable form of
+    NOT IN (no nulls in o_custkey, so semantics align)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").where(col("l_quantity") > 45)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on orderkey with a non-equi residual (theta) condition —
+    stays a hash/SMJ join with a post-filter, never a cartesian."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+    )
+    return joined.agg(F.count("*").alias("cnt"))
+
+
+def q09_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch request↔response correlation: first purchase after each click
+    per user (reference A8: response_to ↔ message_id pairing)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(col("event_type") == "click").select(
+        col("event_id"), col("user_id"), col("ts")
+    )
+    purchases = ev.where(col("event_type") == "purchase").select(
+        col("event_id").alias("p_event_id"), col("user_id").alias("p_user_id"), col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user_id) & (purchases.p_ts > clicks.ts),
+        )
+        .groupBy("event_id")
+        .agg(F.min("p_event_id").alias("response_id"))
+        .orderBy("event_id")
+    )
+
+
+# --- aggregation -----------------------------------------------------------
+
+def q10_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregation with partial (map-side) combine."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first(), col("o_orderpriority").asc_nulls_first())
+    )
+
+
+def q12b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first(), col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# --- window functions ------------------------------------------------------
+
+def q13_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q14_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q15_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N — planned as TakeOrderedAndProject (no full sort)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+def q16_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_nationkey").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_nationkey").withColumnRenamed(
+        "s_nationkey", "nationkey"
+    )
+    return c.intersect(s).orderBy("nationkey")
+
+
+def q16b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+# --- scalar function surface ----------------------------------------------
+
+def q17_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .where(col("p_type").like("%BRASS%"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("p_brand")
+    )
+
+
+def q18_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("y")
+    )
+
+
+def q19_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.size("embedding").cast("long")).alias("min_dim"),
+        )
+        .orderBy("label")
+    )
+
+
+def q20_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-payload access: the reference's __extra_data dict becomes a JSON
+    props column read via get_json_object (SURVEY §1.5)."""
+    return (
+        load(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("k")
+    )
+
+
+# --- time windows / dedup (batch twins of streaming semantics) -------------
+
+def q21_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", col("ts")).alias("h"),
+            col("event_type"),
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("h", "event_type")
+    )
+
+
+def q22_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- oracles ---------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "q01_scan_count": "SELECT COUNT(*) AS cnt FROM lineitem",
+    "q02_scan_checksum": (
+        "SELECT COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty,"
+        " ROUND(SUM(l_extendedprice), 2) AS sum_price FROM lineitem"
+    ),
+    "q03_filter_project": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1995-01-01'"
+        " AND l_discount BETWEEN 0.05 AND 0.07 ORDER BY 1, 2"
+    ),
+    "q04_event_routing": (
+        "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "q05_join_rollup": (
+        "SELECT r_name, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1"
+    ),
+    "q06_anti_join": (
+        "SELECT COUNT(*) AS cnt FROM customer"
+        " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    ),
+    "q07_semi_join": (
+        "SELECT COUNT(*) AS cnt FROM part WHERE p_partkey IN"
+        " (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)"
+    ),
+    "q08_range_join": (
+        "SELECT COUNT(*) AS cnt FROM orders o JOIN lineitem l"
+        " ON o.o_orderkey = l.l_orderkey AND l.l_shipdate > o.o_orderdate"
+    ),
+    "q09_request_response": (
+        "SELECT e1.event_id AS event_id, MIN(e2.event_id) AS response_id"
+        " FROM events e1 JOIN events e2"
+        " ON e1.user_id = e2.user_id AND e2.ts > e1.ts"
+        " AND e1.event_type = 'click' AND e2.event_type = 'purchase'"
+        " GROUP BY 1 ORDER BY 1"
+    ),
+    "q10_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,"
+        " ROUND(SUM(l_extendedprice), 2) AS sum_base_price,"
+        " ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
+        " ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "q11_count_distinct": "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
+    "q12_rollup": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders"
+        " GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        " ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3"
+    ),
+    "q12b_cube": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders"
+        " GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        " ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3"
+    ),
+    "q13_topk_per_group": (
+        "SELECT o_custkey, o_orderkey, rn FROM ("
+        " SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER"
+        " (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+        " FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"
+    ),
+    "q14_running_sum": (
+        "SELECT user_id, event_id, ROUND(SUM(value) OVER ("
+        " PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value"
+        " FROM events ORDER BY user_id, event_id"
+    ),
+    "q15_topn": (
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "q16_intersect": (
+        "SELECT c_nationkey AS nationkey FROM customer INTERSECT"
+        " SELECT s_nationkey AS nationkey FROM supplier ORDER BY 1"
+    ),
+    "q16b_except": (
+        "SELECT c_nationkey AS nationkey FROM customer EXCEPT"
+        " SELECT s_nationkey AS nationkey FROM supplier ORDER BY 1"
+    ),
+    "q17_string_fns": (
+        "SELECT p_brand, COUNT(*) AS cnt FROM part"
+        " WHERE p_type LIKE '%BRASS%' GROUP BY 1 ORDER BY 1"
+    ),
+    "q18_date_fns": (
+        "SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS cnt"
+        " FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+    "q19_array_fns": (
+        "SELECT label, COUNT(*) AS cnt, MIN(len(embedding)) AS min_dim"
+        " FROM embeddings GROUP BY 1 ORDER BY 1"
+    ),
+    "q20_json_fns": (
+        "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,"
+        " COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "q21_hourly_window": (
+        "SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS cnt,"
+        " ROUND(SUM(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "q22_dedup_count": (
+        "SELECT COUNT(*) AS cnt FROM"
+        " (SELECT DISTINCT user_id, event_type, ts FROM events) t"
+    ),
+}
+
+QUERIES = {
+    "q01_scan_count": q01_scan_count,
+    "q02_scan_checksum": q02_scan_checksum,
+    "q03_filter_project": q03_filter_project,
+    "q04_event_routing": q04_event_routing,
+    "q05_join_rollup": q05_join_rollup,
+    "q06_anti_join": q06_anti_join,
+    "q07_semi_join": q07_semi_join,
+    "q08_range_join": q08_range_join,
+    "q09_request_response": q09_request_response,
+    "q10_pricing_summary": q10_pricing_summary,
+    "q11_count_distinct": q11_count_distinct,
+    "q12_rollup": q12_rollup,
+    "q12b_cube": q12b_cube,
+    "q13_topk_per_group": q13_topk_per_group,
+    "q14_running_sum": q14_running_sum,
+    "q15_topn": q15_topn,
+    "q16_intersect": q16_intersect,
+    "q16b_except": q16b_except,
+    "q17_string_fns": q17_string_fns,
+    "q18_date_fns": q18_date_fns,
+    "q19_array_fns": q19_array_fns,
+    "q20_json_fns": q20_json_fns,
+    "q21_hourly_window": q21_hourly_window,
+    "q22_dedup_count": q22_dedup_count,
+}

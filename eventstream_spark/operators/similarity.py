@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (north star).
+
+- ``knn_exact``      — brute-force top-k by squared L2 / cosine (the baseline
+  and the verification oracle for the approximate paths).
+- ``lsh_ann``        — random-hyperplane LSH bucketing: each vector gets a
+  signed-projection bit signature; candidates share a bucket; exact cosine
+  re-ranks within buckets. The scale path: bucket join shuffles on a
+  well-distributed key instead of a global cross join.
+
+The hyperplanes are DERIVED DETERMINISTICALLY from md5 (portable to duckdb
+and Python hashlib), so even the approximate path has an exact duckdb oracle.
+
+Scale notes (100 TB): the query side of knn_exact is broadcast (queries are
+few); the corpus side never shuffles. For lsh_ann the plane weights are
+compile-time literals (no join), signatures are map-side, and the only
+shuffle is the bucket self-join; multi-probe or IVF refinements keep bucket
+sizes bounded under skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast, col, lit
+
+from ..catalog import load
+from ..functions import (
+    as_double_array,
+    as_double_array_sql,
+    cosine,
+    cosine_sql,
+    dot,
+    dot_sql,
+    sq_l2,
+    sq_l2_sql,
+)
+
+_DIM = 64
+_N_PLANES = 6  # 2^6 = 64 buckets
+
+
+def _h48_py(s: str) -> int:
+    """Python twin of functions.hash48 (md5 first 12 hex chars)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def plane_weights(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim."""
+    return [
+        [(_h48_py(f"p{j}_{d}") % 2001 - 1000) / 1000.0 for d in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def _plane_sql_literal(w: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in w) + "]"
+
+
+def _plane_col(w: list[float]):
+    return F.array(*[lit(x) for x in w])
+
+
+# --- exact k-NN ------------------------------------------------------------
+
+def knn_exact(
+    emb: DataFrame, target_vec_id: int, k: int, metric: str = "sq_l2"
+) -> DataFrame:
+    """Top-k neighbors of one vector. Target side is broadcast; the corpus
+    scan is a single map + TakeOrdered — no shuffle of the corpus."""
+    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    target = e.where(col("vec_id") == target_vec_id).select(col("v").alias("t"))
+    cand = e.where(col("vec_id") != target_vec_id).crossJoin(broadcast(target))
+    if metric == "sq_l2":
+        score = F.round(sq_l2(col("v"), col("t")), 4).alias("dist")
+        return cand.select("vec_id", score).orderBy("dist", "vec_id").limit(k)
+    score = F.round(cosine(col("v"), col("t")), 4).alias("cos")
+    return cand.select("vec_id", score).orderBy(col("cos").desc(), "vec_id").limit(k)
+
+
+def q50_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN of vec_id=1 by squared L2 (SURVEY §2B Q23)."""
+    return knn_exact(load(spark, sf_dir, "embeddings"), target_vec_id=1, k=5)
+
+
+def topk_per_query(emb: DataFrame, query_pred, k: int) -> DataFrame:
+    """Brute-force top-k cosine neighbors for a (small, broadcast) query set."""
+    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    q = e.where(query_pred).select(col("vec_id").alias("q_id"), col("v").alias("qv"))
+    w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc(), col("vec_id"))
+    return (
+        e.crossJoin(broadcast(q))
+        .where(col("vec_id") != col("q_id"))
+        .select("q_id", "vec_id", cosine(col("v"), col("qv")).alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("q_id", col("vec_id").alias("neighbor_id"), "rank", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def q51_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_per_query(emb, col("vec_id") < 10, k=5)
+
+
+# --- hyperplane-LSH ANN ----------------------------------------------------
+
+def lsh_bucketed(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
+    """(vec_id, v, bucket) — map-side signature, plane weights as literals."""
+    planes = planes or plane_weights()
+    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    bucket = None
+    for j, w in enumerate(planes):
+        bit = F.when(dot(col("v"), _plane_col(w)) >= 0, lit(1 << j)).otherwise(lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return e.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_ann(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Approximate top-k cosine neighbors per vector via shared-bucket
+    candidates + exact re-rank."""
+    b = lsh_bucketed(emb)
+    a = b.alias("a")
+    c = b.alias("c")
+    w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc(), col("neighbor_id"))
+    return (
+        a.join(c, (col("a.bucket") == col("c.bucket")) & (col("a.vec_id") != col("c.vec_id")))
+        .select(
+            col("a.vec_id").alias("q_id"),
+            col("c.vec_id").alias("neighbor_id"),
+            cosine(col("a.v"), col("c.v")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def q52_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_ann(load(spark, sf_dir, "embeddings"), k=3)
+
+
+# --- oracles ---------------------------------------------------------------
+
+def _lsh_sql(k: int = 3) -> str:
+    planes = plane_weights()
+    bits = " + ".join(
+        f"(CASE WHEN {dot_sql('v', _plane_sql_literal(w))} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, w in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM e),
+cand AS (
+  SELECT a.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {cosine_sql('a.v', 'c.v')} AS cos_raw
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM cand)
+SELECT q_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cos
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
+ORACLES = {
+    "q50_knn_exact": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+t AS (SELECT v AS tv FROM e WHERE vec_id = 1)
+SELECT e.vec_id, ROUND({sq_l2_sql('e.v', 't.tv')}, 4) AS dist
+FROM e, t WHERE e.vec_id <> 1
+ORDER BY dist, vec_id LIMIT 5
+""",
+    "q51_topk_per_query": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+cand AS (
+  SELECT q.q_id, e.vec_id, {cosine_sql('e.v', 'q.qv')} AS cos_raw
+  FROM e, q WHERE e.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM cand)
+SELECT q_id, vec_id AS neighbor_id, rank, ROUND(cos_raw, 4) AS cos
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+""",
+    "q52_lsh_ann": _lsh_sql(),
+}
+
+QUERIES = {
+    "q50_knn_exact": q50_knn_exact,
+    "q51_topk_per_query": q51_topk_per_query,
+    "q52_lsh_ann": q52_lsh_ann,
+}

@@ -1,0 +1,177 @@
+"""Text analysis for training-data pipelines (north star).
+
+Language-ID (stopword-marker heuristic), quality scoring, token counting,
+and document fingerprinting over the ``documents`` table — all pure built-in
+column expressions (JVM-side); each query has an exactly-mirrored duckdb
+oracle (identical arithmetic structure so doubles round identically).
+
+At 100 TB these are embarrassingly parallel map-side operators: no shuffle
+except the final small aggregation, filters/projections push into the scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col, lit
+
+from ..catalog import load
+from ..functions import tokens, tokens_sql
+
+# Marker stopwords per language, checked in fixed order (en, es, de, fr).
+_MARKERS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def _marker_count(toks, lang: str):
+    words = _MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def _marker_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(w, t -> t IN ({words})))"
+
+
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language ID; argmax over marker hit counts with a
+    deterministic preference order, 'und' when nothing matches."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id", *[_marker_count(toks, lang).alias(f"n_{lang}") for lang in _LANG_ORDER]
+    )
+    n = {lang: col(f"n_{lang}") for lang in _LANG_ORDER}
+    pred = (
+        F.when((n["en"] >= n["es"]) & (n["en"] >= n["de"]) & (n["en"] >= n["fr"]) & (n["en"] > 0), "en")
+        .when((n["es"] >= n["de"]) & (n["es"] >= n["fr"]) & (n["es"] > 0), "es")
+        .when((n["de"] >= n["fr"]) & (n["de"] > 0), "de")
+        .when(n["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return (
+        d.select(pred.alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("predicted_lang")
+    )
+
+
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + punctuation penalty +
+    stopword-density reward, mirrored exactly in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("double")
+    punct = F.length(F.regexp_replace(col("text"), r"[^!?.,;:]", "")).cast("double")
+    text_len = F.length("text").cast("double")
+    stop_hits = _marker_count(toks, "en").cast("double")
+    score = F.round(
+        F.least(n_tokens / lit(100.0), lit(1.0)) * 0.4
+        + (lit(1.0) - punct / text_len) * 0.3
+        + F.least(stop_hits / n_tokens * 5.0, lit(1.0)) * 0.3,
+        4,
+    )
+    return docs.select("doc_id", score.alias("quality")).orderBy("doc_id")
+
+
+def q32_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens + a BPE-ish
+    chars/4 estimate (standard subword heuristic)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.size(tokens("text")).cast("long").alias("ws_tokens"),
+            F.ceil(F.length("text") / lit(4.0)).cast("long").alias("bpe_est"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_est").alias("total_bpe_est"),
+        )
+        .orderBy("source")
+    )
+
+
+_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+
+def _normalized_text():
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over normalized text (lowercase, strip
+    non-alphanumerics, collapse whitespace) — the exact-dedup key."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(_normalized_text())).alias("n_unique"),
+    )
+
+
+ORACLES = {
+    "q30_lang_id": f"""
+WITH tok AS (SELECT doc_id, {tokens_sql()} AS w FROM documents),
+scored AS (
+  SELECT doc_id,
+         {_marker_count_sql('en')} AS n_en,
+         {_marker_count_sql('es')} AS n_es,
+         {_marker_count_sql('de')} AS n_de,
+         {_marker_count_sql('fr')} AS n_fr
+  FROM tok)
+SELECT CASE
+         WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+         WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+         WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+         WHEN n_fr > 0 THEN 'fr'
+         ELSE 'und'
+       END AS predicted_lang,
+       COUNT(*) AS cnt
+FROM scored GROUP BY 1 ORDER BY 1
+""",
+    "q31_quality_score": f"""
+WITH tok AS (SELECT doc_id, text, {tokens_sql()} AS w FROM documents)
+SELECT doc_id,
+       ROUND(
+         LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (1.0 - CAST(len(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE)
+                  / CAST(len(text) AS DOUBLE)) * 0.3
+         + LEAST(CAST({_marker_count_sql('en')} AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) * 5.0, 1.0) * 0.3,
+         4) AS quality
+FROM tok ORDER BY doc_id
+""",
+    "q32_token_count": f"""
+WITH tok AS (
+  SELECT source,
+         CAST(len({tokens_sql()}) AS BIGINT) AS ws_tokens,
+         CAST(ceil(len(text) / 4.0) AS BIGINT) AS bpe_est
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_est) AS BIGINT) AS total_bpe_est
+FROM tok GROUP BY 1 ORDER BY 1
+""",
+    "q33_fingerprint": f"""
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5({_NORM})) AS n_unique FROM documents
+""",
+}
+
+QUERIES = {
+    "q30_lang_id": q30_lang_id,
+    "q31_quality_score": q31_quality_score,
+    "q32_token_count": q32_token_count,
+    "q33_fingerprint": q33_fingerprint,
+}

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-portability with the duckdb oracle
+(UTC session timezone, ANSI off) and for scale (AQE on, skew-join handling
+on, Arrow transfers for the Pandas-UDF paths).
+
+On a real cluster the same factory applies; only ``master`` and the
+memory/shuffle sizing change. Everything downstream is expressed through
+the DataFrame API so Catalyst/AQE own the physical planning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "eventstream-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]``; on a cluster pass
+    ``master=None`` and let spark-submit own it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Determinism / oracle portability: fixtures are tz-naive, both
+        # engines must interpret them identically (FIXTURES.md).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scale: adaptive execution re-plans joins, coalesces small shuffle
+        # partitions, and splits skewed ones at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for every pandas_udf / mapInPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Local-mode niceties; harmless on a cluster.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

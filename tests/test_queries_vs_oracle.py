@@ -1,0 +1,26 @@
+"""Oracle-differential tests (SURVEY §5.2 item 1): every declared query runs
+on Spark and duckdb over the same parquet and must match exactly after
+canonicalization — the local twin of the driver's t2 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstream_spark.operators import all_oracles, all_queries
+from eventstream_spark.testing import assert_matches_oracle
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def test_every_query_has_oracle():
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert not missing, f"queries missing oracles: {missing}"
+    dangling = sorted(set(ORACLES) - set(QUERIES))
+    assert not dangling, f"oracles without queries: {dangling}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, ORACLES[name], sf_dir)
