@@ -23,6 +23,7 @@ import hashlib
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.functions import broadcast, col, lit
 
 from ..catalog import load
@@ -121,7 +122,9 @@ def lsh_bucketed(emb: DataFrame, planes: list[list[float]] | None = None) -> Dat
 def lsh_ann(emb: DataFrame, k: int = 3) -> DataFrame:
     """Approximate top-k cosine neighbors per vector via shared-bucket
     candidates + exact re-rank."""
-    b = lsh_bucketed(emb)
+    # Persist: both self-join sides read the signature table; without this the
+    # 6 plane-projection dot products run twice per vector.
+    b = lsh_bucketed(emb).persist(StorageLevel.MEMORY_AND_DISK)
     a = b.alias("a")
     c = b.alias("c")
     w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc(), col("neighbor_id"))
