@@ -56,8 +56,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = fix_nanos_ts(df)
+    return df
+
+
+def fix_nanos_ts(df: DataFrame, col_name: str = "ts") -> DataFrame:
+    """int64-nanos (from nanosAsLong) → microsecond TimestampType. Shared by
+    batch and streaming readers of the events fixture."""
+    if col_name in df.columns and isinstance(df.schema[col_name].dataType, LongType):
+        df = df.withColumn(col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000")))
     return df
 
 

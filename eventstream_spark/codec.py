@@ -1,0 +1,195 @@
+"""Event-envelope codec — the Spark analog of the reference's Message model.
+
+The reference's atomic record is a Message: a fixed envelope (event,
+message_id, response_to, application identity, workflow_id, header) plus an
+open ``__extra_data`` dict (reference: event_stream/messages/base.py:490-859).
+Here the envelope is a typed StructType and the open payload is a
+``map<string,string>`` ``props`` column (SURVEY §1.5); everything below is
+built-in column expressions, JVM-side.
+
+Includes the ``interpret_value`` equivalent (reference:
+event_stream/utilities/common.py:366-404): lenient string→typed casts with
+the same acceptance rules (int/float patterns, true/false, yes/on, nan/inf,
+None/null/nil, embedded JSON), expressed as Catalyst ``when`` chains so they
+vectorize — no Python UDF in the decode path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import col, lit
+from pyspark.sql.types import (
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+HEADER_SCHEMA = StructType(
+    [
+        StructField("caller_application", StringType()),
+        StructField("caller_function", StringType()),
+        StructField("caller", StringType()),
+        StructField("date", TimestampType()),
+        StructField("host", StringType()),
+    ]
+)
+
+# Fixed envelope fields (reference: messages/base.py:494-515).
+ENVELOPE_FIELDS = (
+    "event",
+    "message_id",
+    "response_to",
+    "application_name",
+    "application_instance",
+    "workflow_id",
+)
+
+ENVELOPE_SCHEMA = StructType(
+    [StructField(name, StringType()) for name in ENVELOPE_FIELDS]
+    + [
+        StructField("ts", TimestampType()),
+        StructField("header", HEADER_SCHEMA),
+        StructField("props", MapType(StringType(), StringType())),
+    ]
+)
+
+
+# --- interpret_value equivalents ------------------------------------------
+# Reference acceptance rules: INTEGER_PATTERN / FLOATING_POINT_PATTERN
+# (constants.py:46-49), boolean words (common.py:138-190, constants.py:20-37),
+# nan/inf (common.py:390-395), null words (common.py:396-397).
+
+_INT_RE = r"^[+-]?\d+$"
+_FLOAT_RE = r"^[+-]?(\d+\.\d*|\.\d+|\d+[eE][+-]?\d+|\d+\.\d*[eE][+-]?\d+)$"
+_NULL_WORDS = ("none", "null", "nil")
+_TRUE_WORDS = ("true", "yes", "on", "1", "y", "t")
+_FALSE_WORDS = ("false", "no", "off", "0", "n", "f")
+
+
+def _nullified(c: Column) -> Column:
+    """Map the reference's null words to SQL NULL before any cast."""
+    return F.when(F.lower(c).isin(*_NULL_WORDS), lit(None)).otherwise(c)
+
+
+def interpret_long(c: Column) -> Column:
+    """String → bigint when it matches the integer pattern, else NULL."""
+    c = _nullified(c)
+    return F.when(c.rlike(_INT_RE), c.cast("long")).otherwise(lit(None).cast("long"))
+
+
+def interpret_double(c: Column) -> Column:
+    """String → double for int/float/nan/inf spellings, else NULL."""
+    c = _nullified(c)
+    low = F.lower(c)
+    return (
+        F.when(low == "nan", lit(float("nan")))
+        .when(low.isin("inf", "infinity", "+inf", "+infinity"), lit(float("inf")))
+        .when(low.isin("-inf", "-infinity"), lit(float("-inf")))
+        .when(c.rlike(_INT_RE) | c.rlike(_FLOAT_RE), c.cast("double"))
+        .otherwise(lit(None).cast("double"))
+    )
+
+
+def interpret_boolean(c: Column) -> Column:
+    """Lenient boolean (reference is_true): word lists, else numeric strings
+    count as true above 0.5 (the reference's truth threshold)."""
+    c = _nullified(c)
+    low = F.lower(F.trim(c))
+    return (
+        F.when(low.isin(*_TRUE_WORDS), lit(True))
+        .when(low.isin(*_FALSE_WORDS), lit(False))
+        .when(c.rlike(_FLOAT_RE) | c.rlike(_INT_RE), c.cast("double") > 0.5)
+        .otherwise(lit(None).cast("boolean"))
+    )
+
+
+def interpret_json(c: Column, schema) -> Column:
+    """Embedded JSON (dict/list smuggled through a string value) → typed
+    struct/array (reference json_to_dict_or_list, common.py:349-363)."""
+    return F.from_json(c, schema)
+
+
+# --- envelope construction -------------------------------------------------
+
+def normalize_envelope(
+    df: DataFrame,
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    props_json_col: str | None = "props",
+    application_name: str | None = None,
+    application_instance: str | None = None,
+) -> DataFrame:
+    """Project an arbitrary event table into the canonical envelope.
+
+    The fixture ``events`` table maps on: event_type→event, event_id→
+    message_id (the reference's stream-entry ID doubles as event time,
+    SURVEY §1.1), props JSON→props map.
+    """
+    props = (
+        F.from_json(col(props_json_col), MapType(StringType(), StringType()))
+        if props_json_col
+        else lit(None).cast(MapType(StringType(), StringType()))
+    )
+    extras = [c for c in df.columns if c not in {event_col, id_col, ts_col, props_json_col}]
+    return df.select(
+        col(event_col).cast("string").alias("event"),
+        col(id_col).cast("string").alias("message_id"),
+        lit(None).cast("string").alias("response_to"),
+        lit(application_name).cast("string").alias("application_name"),
+        lit(application_instance).cast("string").alias("application_instance"),
+        lit(None).cast("string").alias("workflow_id"),
+        col(ts_col).cast("timestamp").alias("ts"),
+        make_header().alias("header"),
+        props.alias("props"),
+        *extras,
+    )
+
+
+def make_header(
+    caller_application: str | None = None,
+    caller_function: str | None = None,
+    host: str | None = None,
+) -> Column:
+    """Provenance header struct (reference HeaderInfo, base.py:447-487)."""
+    return F.struct(
+        lit(caller_application).cast("string").alias("caller_application"),
+        lit(caller_function).cast("string").alias("caller_function"),
+        lit(None).cast("string").alias("caller"),
+        F.current_timestamp().alias("date"),
+        lit(host).cast("string").alias("host"),
+    )
+
+
+def create_response(
+    df: DataFrame, application_name: str, application_instance: str
+) -> DataFrame:
+    """Response derivation (reference A8, messages/base.py:593-609):
+    event += '_response', response_to = request message_id, restamped
+    application identity, fresh header."""
+    out = df
+    for name, value in (
+        ("response_to", col("message_id")),
+        ("event", F.concat(col("event"), lit("_response"))),
+        ("message_id", lit(None).cast("string")),
+        ("application_name", lit(application_name)),
+        ("application_instance", lit(application_instance)),
+    ):
+        out = out.withColumn(name, value)
+    if "header" in df.columns:
+        out = out.withColumn("header", make_header(caller_application=application_name))
+    return out
+
+
+def props_get(path: str) -> Column:
+    """Path access into the open payload (reference Message.get /
+    get_by_path, base.py:617-634): map lookup for one level, JSON path for
+    nested values that were JSON-encoded strings."""
+    parts = path.split(".")
+    c = F.element_at(col("props"), parts[0])
+    if len(parts) == 1:
+        return c
+    return F.get_json_object(c, "$." + ".".join(parts[1:]))

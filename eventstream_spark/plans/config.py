@@ -1,0 +1,209 @@
+"""Pipeline configuration model.
+
+Mirrors the semantics of the reference's ``EventBusConfigurations``
+(event_stream/configuration/bus.py:119-272) without pydantic:
+
+- ``$VAR`` environment-variable substitution in string values
+  (reference bus.py:158-170; missing variables are errors),
+- fail-fast compile with ALL errors aggregated (reference bus.py:217-241
+  collects handler import errors before raising),
+- dynamic transform loading by ``{module_name, name}``
+  (reference CodeDesignation, configuration/parts.py:174-181 →
+  utilities/types.py:560-612), with import results cached,
+- transform signature enforcement (reference enforce_handler,
+  utilities/types.py:427-540): ``(DataFrame, **kwargs) -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+_ENV_RE = re.compile(r"^\$(\w+)$")
+
+_SINK_KINDS = ("parquet", "memory", "console", "noop")
+
+
+class ConfigurationError(ValueError):
+    """All validation problems, aggregated."""
+
+    def __init__(self, errors: list[str]):
+        self.errors = errors
+        super().__init__("; ".join(errors))
+
+
+def substitute_env(value: Any, errors: list[str], path: str = "$") -> Any:
+    """Recursively replace whole-string ``$VAR`` values from the environment."""
+    if isinstance(value, str):
+        m = _ENV_RE.match(value)
+        if m:
+            var = m.group(1)
+            if var not in os.environ:
+                errors.append(f"{path}: environment variable ${var} is not set")
+                return value
+            return os.environ[var]
+        return value
+    if isinstance(value, dict):
+        return {k: substitute_env(v, errors, f"{path}.{k}") for k, v in value.items()}
+    if isinstance(value, list):
+        return [substitute_env(v, errors, f"{path}[{i}]") for i, v in enumerate(value)]
+    return value
+
+
+_transform_cache: dict[tuple[str, str], Callable] = {}
+
+
+@dataclass(frozen=True)
+class TransformRef:
+    """{module_name, name} → callable, cached (reference get_code)."""
+
+    module_name: str
+    name: str
+
+    def load(self) -> Callable[..., DataFrame]:
+        key = (self.module_name, self.name)
+        if key not in _transform_cache:
+            module = importlib.import_module(self.module_name)
+            fn = getattr(module, self.name, None)
+            if fn is None:
+                raise ImportError(f"{self.module_name} has no attribute {self.name!r}")
+            _enforce_transform(fn, f"{self.module_name}.{self.name}")
+            _transform_cache[key] = fn
+        return _transform_cache[key]
+
+
+def _enforce_transform(fn: Callable, label: str) -> None:
+    """Signature check: first positional parameter is the batch DataFrame;
+    extra parameters must be keyword-fillable (reference enforce_handler)."""
+    if not callable(fn):
+        raise TypeError(f"{label} is not callable")
+    sig = inspect.signature(fn)
+    params = list(sig.parameters.values())
+    if not params:
+        raise TypeError(f"{label} must accept a DataFrame as its first parameter")
+    first = params[0]
+    if first.kind not in (first.POSITIONAL_ONLY, first.POSITIONAL_OR_KEYWORD):
+        raise TypeError(f"{label}: first parameter must be positional (the DataFrame)")
+    ann = first.annotation
+    if ann not in (inspect.Parameter.empty, DataFrame, "DataFrame"):
+        raise TypeError(f"{label}: first parameter must be a DataFrame, not {ann}")
+    for p in params[1:]:
+        if p.kind in (p.POSITIONAL_ONLY,) and p.default is p.empty:
+            raise TypeError(f"{label}: extra parameter {p.name!r} must be keyword-fillable")
+
+
+@dataclass(frozen=True)
+class SinkConfig:
+    kind: str  # parquet | memory | console | noop
+    target: str | None = None  # path (parquet) or query/table name (memory)
+    mode: str = "append"
+
+
+@dataclass(frozen=True)
+class RouteConfig:
+    """One route ≈ one HandlerGroup: event + aliases select messages
+    (reference handles_event, configuration/group.py:17-18), the transform is
+    the handler, the sink is where results/responses go."""
+
+    name: str
+    event: str
+    aliases: tuple[str, ...] = ()
+    transform: TransformRef | None = None
+    kwargs: dict[str, Any] = field(default_factory=dict)
+    sink: SinkConfig = field(default_factory=lambda: SinkConfig("noop"))
+
+    @property
+    def events(self) -> tuple[str, ...]:
+        return (self.event, *self.aliases)
+
+
+@dataclass(frozen=True)
+class BusConfig:
+    """One bus ≈ one stream scan fanned out to N routes (reference EventBus:
+    one consumer-group read dispatching to per-event handler lists)."""
+
+    name: str
+    source_table: str | None = None  # catalog table name, or
+    source_path: str | None = None  # explicit parquet path/dir
+    routes: tuple[RouteConfig, ...] = ()
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    application_name: str
+    application_instance: str
+    busses: tuple[BusConfig, ...] = ()
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "EngineConfig":
+        errors: list[str] = []
+        raw = substitute_env(raw, errors)
+        app = raw.get("application_name")
+        inst = raw.get("application_instance")
+        if not app:
+            errors.append("$.application_name: required")
+        if not inst:
+            errors.append("$.application_instance: required")
+
+        busses: list[BusConfig] = []
+        for bi, bus_raw in enumerate(raw.get("busses", [])):
+            bpath = f"$.busses[{bi}]"
+            routes: list[RouteConfig] = []
+            if not (bus_raw.get("source_table") or bus_raw.get("source_path")):
+                errors.append(f"{bpath}: one of source_table/source_path is required")
+            for ri, route_raw in enumerate(bus_raw.get("routes", [])):
+                rpath = f"{bpath}.routes[{ri}]"
+                if not route_raw.get("event"):
+                    errors.append(f"{rpath}.event: required")
+                transform = None
+                if "transform" in route_raw:
+                    t = route_raw["transform"]
+                    transform = TransformRef(t.get("module_name", ""), t.get("name", ""))
+                    try:
+                        transform.load()  # pre-flight import + signature check
+                    except Exception as exc:  # noqa: BLE001
+                        errors.append(f"{rpath}.transform: {exc}")
+                sink_raw = route_raw.get("sink", {"kind": "noop"})
+                if sink_raw.get("kind") not in _SINK_KINDS:
+                    errors.append(
+                        f"{rpath}.sink.kind: {sink_raw.get('kind')!r} not in {_SINK_KINDS}"
+                    )
+                if sink_raw.get("kind") in ("parquet", "memory") and not sink_raw.get("target"):
+                    errors.append(f"{rpath}.sink.target: required for {sink_raw.get('kind')}")
+                routes.append(
+                    RouteConfig(
+                        name=route_raw.get("name", f"route{ri}"),
+                        event=route_raw.get("event", ""),
+                        aliases=tuple(route_raw.get("aliases", [])),
+                        transform=transform,
+                        kwargs=route_raw.get("kwargs", {}),
+                        sink=SinkConfig(
+                            kind=sink_raw.get("kind", "noop"),
+                            target=sink_raw.get("target"),
+                            mode=sink_raw.get("mode", "append"),
+                        ),
+                    )
+                )
+            busses.append(
+                BusConfig(
+                    name=bus_raw.get("name", f"bus{bi}"),
+                    source_table=bus_raw.get("source_table"),
+                    source_path=bus_raw.get("source_path"),
+                    routes=tuple(routes),
+                )
+            )
+        if errors:
+            raise ConfigurationError(errors)
+        return cls(application_name=app, application_instance=inst, busses=tuple(busses))
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "EngineConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

@@ -1,0 +1,75 @@
+"""Codec unit tests: interpret_value-equivalent casts (FIXTURES.md §B
+type-inference fixture) and envelope construction / response derivation —
+mirroring the reference's test_common.py / test_messages.py granularity."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql.functions import col
+
+from eventstream_spark.codec import (
+    create_response,
+    interpret_boolean,
+    interpret_double,
+    interpret_long,
+    normalize_envelope,
+    props_get,
+)
+
+from eventstream_spark.catalog import load
+
+
+def _one_col(spark, values):
+    return spark.createDataFrame([(v,) for v in values], ["v"])
+
+
+def test_interpret_long(spark):
+    df = _one_col(spark, ["42", "-7", "+3", "3.14", "abc", "None", "null", "nil", ""])
+    out = [r[0] for r in df.select(interpret_long(col("v"))).collect()]
+    assert out == [42, -7, 3, None, None, None, None, None, None]
+
+
+def test_interpret_double(spark):
+    df = _one_col(spark, ["3.14", "-0.5", "42", "1e3", "nan", "inf", "-infinity", "x", "None"])
+    out = [r[0] for r in df.select(interpret_double(col("v"))).collect()]
+    assert out[0] == 3.14 and out[1] == -0.5 and out[2] == 42.0 and out[3] == 1000.0
+    assert math.isnan(out[4]) and out[5] == float("inf") and out[6] == float("-inf")
+    assert out[7] is None and out[8] is None
+
+
+def test_interpret_boolean_word_lists_and_threshold(spark):
+    df = _one_col(spark, ["true", "YES", "on", "1", "false", "No", "off", "0",
+                          "0.9", "0.2", "7", "maybe", "nil"])
+    out = [r[0] for r in df.select(interpret_boolean(col("v"))).collect()]
+    assert out == [True, True, True, True, False, False, False, False,
+                   True, False, True, None, None]
+
+
+def test_normalize_envelope_and_props(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").limit(50)
+    env = normalize_envelope(ev, application_name="app", application_instance="i-1")
+    row = env.first()
+    assert set(env.columns) >= {
+        "event", "message_id", "response_to", "application_name",
+        "application_instance", "workflow_id", "ts", "header", "props",
+    }
+    assert row.application_name == "app"
+    assert row.header.date is not None
+    # open payload: props JSON key 'k' lands in the map
+    got = env.select(props_get("k").alias("k")).first().k
+    assert got is not None and got.lstrip("-").isdigit()
+
+
+def test_create_response_semantics(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").limit(5)
+    env = normalize_envelope(ev, application_name="req-app", application_instance="r-1")
+    resp = create_response(env, "resp-app", "inst-9")
+    r, original = resp.first(), env.first()
+    assert r.event == original.event + "_response"
+    assert r.response_to == original.message_id
+    assert r.message_id is None
+    assert r.application_name == "resp-app"
+    assert r.application_instance == "inst-9"
+    assert r.header.caller_application == "resp-app"

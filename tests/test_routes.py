@@ -1,0 +1,146 @@
+"""Route-compiler tests: config validation (aggregated errors, $ENV
+substitution, transform signature enforcement) and end-to-end batch +
+streaming execution with the single-scan multi-sink fan-out."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql.functions import col
+
+from eventstream_spark.catalog import load, table_path
+from eventstream_spark.plans import ConfigurationError, EngineConfig, compile_bus, run_batch, start_streaming
+
+
+def _config_dict(tmp_path) -> dict:
+    return {
+        "application_name": "test-app",
+        "application_instance": "$TEST_INSTANCE_ID",
+        "busses": [
+            {
+                "name": "events_bus",
+                "source_table": "events",
+                "routes": [
+                    {
+                        "name": "clicks",
+                        "event": "click",
+                        "transform": {
+                            "module_name": "eventstream_spark.plans.transforms",
+                            "name": "respond",
+                        },
+                        "kwargs": {"application_name": "resp-app"},
+                        "sink": {"kind": "parquet", "target": str(tmp_path / "clicks_out")},
+                    },
+                    {
+                        "name": "problems",
+                        "event": "error",
+                        "aliases": ["signup"],
+                        "sink": {"kind": "noop"},
+                    },
+                ],
+            }
+        ],
+    }
+
+
+def test_env_substitution_and_compile(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("TEST_INSTANCE_ID", "inst-42")
+    cfg = EngineConfig.from_dict(_config_dict(tmp_path))
+    assert cfg.application_instance == "inst-42"
+    routes = compile_bus(spark, cfg, cfg.busses[0], sf_dir)
+    assert set(routes) == {"clicks", "problems"}
+
+
+def test_validation_aggregates_all_errors(tmp_path, monkeypatch):
+    monkeypatch.delenv("MISSING_VAR", raising=False)
+    raw = _config_dict(tmp_path)
+    raw["application_instance"] = "$MISSING_VAR"
+    raw["busses"][0]["routes"][0]["transform"] = {
+        "module_name": "eventstream_spark.plans.transforms",
+        "name": "does_not_exist",
+    }
+    raw["busses"][0]["routes"][1]["sink"] = {"kind": "kafka_nope"}
+    raw["busses"].append({"name": "empty"})  # no source
+    with pytest.raises(ConfigurationError) as exc:
+        EngineConfig.from_dict(raw)
+    msgs = "\n".join(exc.value.errors)
+    assert "MISSING_VAR" in msgs
+    assert "does_not_exist" in msgs
+    assert "kafka_nope" in msgs
+    assert "source_table/source_path" in msgs
+    assert len(exc.value.errors) == 4
+
+
+def test_transform_signature_enforced(tmp_path, monkeypatch):
+    monkeypatch.setenv("TEST_INSTANCE_ID", "i")
+    raw = _config_dict(tmp_path)
+    # not callable at all
+    raw["busses"][0]["routes"][0]["transform"] = {"module_name": "os", "name": "sep"}
+    with pytest.raises(ConfigurationError) as exc:
+        EngineConfig.from_dict(raw)
+    assert "not callable" in str(exc.value)
+
+    # first parameter annotated as a non-DataFrame (str) must be rejected
+    raw2 = _config_dict(tmp_path)
+    raw2["busses"][0]["routes"][0]["transform"] = {
+        "module_name": "eventstream_spark.testing",
+        "name": "run_oracle",
+    }
+    with pytest.raises(ConfigurationError) as exc2:
+        EngineConfig.from_dict(raw2)
+    assert "must be a DataFrame" in str(exc2.value)
+
+
+def test_batch_run_and_response_semantics(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("TEST_INSTANCE_ID", "inst-1")
+    cfg = EngineConfig.from_dict(_config_dict(tmp_path))
+    counts = run_batch(spark, cfg, sf_dir)
+
+    ev = load(spark, sf_dir, "events")
+    n_clicks = ev.where(col("event_type") == "click").count()
+    n_problems = ev.where(col("event_type").isin("error", "signup")).count()
+    assert counts["events_bus.clicks"] == n_clicks
+    assert counts["events_bus.problems"] == n_problems
+
+    # response derivation reached the sink (A7/A8)
+    out = spark.read.parquet(str(tmp_path / "clicks_out"))
+    assert out.count() == n_clicks
+    row = out.first()
+    assert row.event == "click_response"
+    assert row.response_to is not None
+    assert row.application_name == "resp-app"
+
+
+def test_streaming_fanout_equals_batch(spark, sf_dir, tmp_path, monkeypatch):
+    """Streaming≡batch (SURVEY §5.2 item 2): same routes replayed through a
+    file stream with AvailableNow produce the same rows as the batch run."""
+    monkeypatch.setenv("TEST_INSTANCE_ID", "inst-1")
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src_dir / "part-0.parquet")
+
+    raw = _config_dict(tmp_path)
+    raw["busses"][0]["routes"][0]["sink"]["target"] = str(tmp_path / "stream_clicks")
+    raw["busses"][0]["source_path"] = str(src_dir)
+    raw["busses"][0].pop("source_table")
+    cfg = EngineConfig.from_dict(raw)
+
+    schema = spark.read.parquet(str(src_dir)).schema
+    q = start_streaming(
+        spark, cfg, cfg.busses[0], str(src_dir), schema, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "stream_clicks"))
+    want = load(spark, sf_dir, "events").where(col("event_type") == "click")
+    assert got.count() == want.count()
+    assert {r.event for r in got.select("event").distinct().collect()} == {"click_response"}
+    # replays are idempotent per checkpoint: restarting with same checkpoint
+    # adds nothing
+    q2 = start_streaming(
+        spark, cfg, cfg.busses[0], str(src_dir), schema, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(str(tmp_path / "stream_clicks")).count() == want.count()
