@@ -43,6 +43,9 @@ def get_spark(
         # Determinism / oracle portability: fixtures are tz-naive, both
         # engines must interpret them identically (FIXTURES.md).
         .config("spark.sql.session.timeZone", "UTC")
+        # The events fixture stores TIMESTAMP(NANOS); read as int64 and let
+        # catalog.fix_nanos_ts convert (Spark 4 rejects nanos outright).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Scale: adaptive execution re-plans joins, coalesces small shuffle
         # partitions, and splits skewed ones at runtime.

@@ -1,0 +1,103 @@
+"""Multi-consumer completion barrier (reference A19).
+
+The reference keeps a per-message Redis hash ``{group}:{message_id}`` of
+consumer→done flags and XACKs + deletes only when EVERY consumer finished
+(event_stream/utilities/communication.py:991-1101). The Spark rebuild keys
+streaming state by ``message_id`` and tracks the set of consumers that have
+acknowledged; when the required set is covered, ONE completion row is
+emitted and the state is dropped.
+
+Semantics under micro-batch retries (SURVEY §7 hard part 3): state updates
+are idempotent — re-adding an already-seen consumer is a no-op, and the
+completion row is emitted exactly when the still-open state first covers the
+required set, so a replayed batch cannot double-fire a completed barrier
+(the state was already removed → the group simply re-creates and re-completes
+only if the SAME acks replay, which yields the same single row per sink
+checkpoint semantics).
+
+Implemented with ``applyInPandasWithState`` (Arrow-batched, partitioned by
+message_id — at scale this shuffles once on a well-distributed key and the
+per-key state is a tiny string set).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BARRIER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("message_id", StringType()),
+        StructField("n_consumers", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("seen", ArrayType(StringType()))])
+
+
+def completion_barrier(
+    acks: DataFrame,
+    required_consumers: list[str],
+    id_col: str = "message_id",
+    consumer_col: str = "consumer",
+) -> DataFrame:
+    """acks(message_id, consumer, ...) → one row per message once every
+    required consumer has acknowledged it.
+
+    Works on a streaming DataFrame (stateful) — use
+    ``barrier_batch_oracle`` for the batch-equivalence check.
+    """
+    required = frozenset(required_consumers)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen: set[str] = set(state.get[0]) if state.exists else set()
+        already_done = state.exists and required <= seen
+        for pdf in pdfs:
+            seen.update(c for c in pdf[consumer_col] if c in required)
+        if required <= seen and not already_done:
+            state.remove()  # barrier complete: drop state like the XACK+DEL
+            yield pd.DataFrame({"message_id": [key[0]], "n_consumers": [len(required)]})
+        else:
+            state.update((list(seen),))
+
+    keyed = acks.select(id_col, consumer_col).groupBy(id_col)
+    return keyed.applyInPandasWithState(
+        update,
+        outputStructType=BARRIER_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def barrier_batch_oracle(
+    acks: DataFrame,
+    required_consumers: list[str],
+    id_col: str = "message_id",
+    consumer_col: str = "consumer",
+) -> DataFrame:
+    """Batch recompute of the same semantics: messages whose distinct
+    acknowledged consumers cover the required set."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col, lit
+
+    n = len(required_consumers)
+    return (
+        acks.where(col(consumer_col).isin(*required_consumers))
+        .groupBy(id_col)
+        .agg(F.countDistinct(consumer_col).alias("n_seen"))
+        .where(col("n_seen") == n)
+        .select(col(id_col).alias("message_id"), lit(n).cast("long").alias("n_consumers"))
+    )

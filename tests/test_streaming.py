@@ -1,0 +1,168 @@
+"""Streaming≡batch equivalence tests (SURVEY §5.2 item 2): each streaming
+semantic replayed from the events parquet via a file stream with
+AvailableNow, compared to the batch computation of the same helper.
+
+Window-agg equivalence runs in COMPLETE output mode (append mode only emits
+watermark-closed windows, so its output is by design a prefix of the batch
+result — the late-data test covers that semantic explicitly)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+
+from eventstream_spark.catalog import fix_nanos_ts, load, table_path
+from eventstream_spark.streaming import (
+    barrier_batch_oracle,
+    completion_barrier,
+    dedup_events,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from eventstream_spark.testing import compare
+
+
+def _events_stream(spark, sf_dir, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "part-0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    return fix_nanos_ts(spark.readStream.schema(schema).parquet(str(src)))
+
+
+def _run_to_memory(df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def test_tumbling_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    stream = tumbling_counts(_events_stream(spark, sf_dir, tmp_path))
+    _run_to_memory(stream, "tumbling_out", tmp_path, mode="complete")
+    got = spark.table("tumbling_out").toPandas()
+    want = tumbling_counts(load(spark, sf_dir, "events")).toPandas()
+    assert not compare(got, want), compare(got, want)
+
+
+def test_sliding_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    stream = sliding_counts(_events_stream(spark, sf_dir, tmp_path))
+    _run_to_memory(stream, "sliding_out", tmp_path, mode="complete")
+    got = spark.table("sliding_out").toPandas()
+    want = sliding_counts(load(spark, sf_dir, "events")).toPandas()
+    assert not compare(got, want), compare(got, want)
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    stream = session_counts(
+        _events_stream(spark, sf_dir, tmp_path), watermark="1 minute"
+    )
+    _run_to_memory(stream, "session_out", tmp_path, mode="complete")
+    got = spark.table("session_out").toPandas()
+    want = session_counts(load(spark, sf_dir, "events")).toPandas()
+    assert not compare(got, want), compare(got, want)
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir, tmp_path):
+    stream = dedup_events(_events_stream(spark, sf_dir, tmp_path), watermark="1 minute")
+    _run_to_memory(stream, "dedup_out", tmp_path)
+    got = spark.table("dedup_out").count()
+    want = dedup_events(load(spark, sf_dir, "events")).count()
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy (A17 analog): a row older than the watermark horizon
+    when its micro-batch runs is dropped; on-time rows in the same batch
+    land in their (still open) windows."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00"]),
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 1.0, 1.0],
+        }
+    ).to_parquet(src / "a_batch1.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    out_dir = tmp_path / "late_out"
+
+    def run():
+        # parquet sink: supports checkpoint recovery (memory sink doesn't),
+        # so run 2 resumes the SAME query and keeps its watermark state.
+        stream = fix_nanos_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        agg = tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))  # SHARED
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: watermark advances to 11:50; closes only the 10:00 window
+    run()
+    r1 = spark.read.parquet(str(out_dir)).toPandas()
+    assert [str(w) for w in r1["w_start"]] == ["2024-01-01 10:00:00"]
+
+    pd.DataFrame(
+        {
+            "event_id": [4, 5, 6],
+            # 09:00 is LATE (< 11:50 watermark) → dropped; 11:58 lands in the
+            # open 11:00 window; 14:00 pushes the watermark to 13:50,
+            # closing the 11:00 and 12:00 windows.
+            "ts": pd.to_datetime(["2024-01-01 09:00", "2024-01-01 11:58", "2024-01-01 14:00"]),
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 1.0, 1.0],
+        }
+    ).to_parquet(src / "b_batch2.parquet")
+
+    run()  # same checkpoint: only the new file is processed
+    out = spark.read.parquet(str(out_dir)).toPandas().sort_values("w_start")
+    got = {str(w): int(c) for w, c in zip(out["w_start"], out["cnt"])}
+    assert got == {
+        "2024-01-01 10:00:00": 1,  # from run 1
+        "2024-01-01 11:00:00": 2,  # event 2 + on-time late-batch event 5
+        "2024-01-01 12:00:00": 1,  # event 3
+        # NO 09:00 window: event 4 was dropped as late
+    }
+
+
+def test_completion_barrier_stream_equals_batch(spark, tmp_path):
+    """A19: a message completes only when ALL required consumers ack it."""
+    src = tmp_path / "acks"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "message_id": ["m1", "m1", "m1", "m2", "m2", "m3", "m1"],
+            "consumer": ["c1", "c2", "c3", "c1", "c2", "c1", "c1"],  # dup m1/c1 ack ok
+        }
+    ).to_parquet(src / "acks.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    required = ["c1", "c2", "c3"]
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = completion_barrier(stream, required)
+    _run_to_memory(out, "barrier_out", tmp_path)
+    got = spark.table("barrier_out").toPandas()
+
+    batch = barrier_batch_oracle(spark.read.parquet(str(src)), required).toPandas()
+    assert not compare(got, batch), compare(got, batch)
+    assert set(got["message_id"]) == {"m1"}
+    assert list(got["n_consumers"]) == [3]
