@@ -1,0 +1,54 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the answers match; these prove the PLANS are the
+ones that survive a 100× scale-up: predicate pushdown and column pruning
+reach the parquet scan, dimension joins broadcast, top-N never globally
+sorts, per-group top-k uses WindowGroupLimit, and nothing silently plans a
+cartesian product."""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstream_spark.operators import all_queries
+from eventstream_spark.operators import relational as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    plan = _plan(R.q03_filter_project(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # column pruning: only the 4 referenced columns reach the scan
+    assert "l_orderkey" in scan and "l_shipdate" in scan
+    for dropped in ("l_extendedprice", "l_returnflag", "l_tax"):
+        assert dropped not in scan
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(R.q05_join_rollup(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle for dims
+
+
+def test_topn_is_take_ordered(spark, sf_dir):
+    plan = _plan(R.q15_topn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global Sort + Limit
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(R.q13_topk_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # rank pushdown, state bounded per key
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_cartesian_products(spark, sf_dir, name):
+    """Every declared query must avoid CartesianProduct. Deliberate
+    small-side cross joins (kNN target, query sets) must plan as
+    BroadcastNestedLoopJoin instead."""
+    plan = _plan(all_queries()[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
