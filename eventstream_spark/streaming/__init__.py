@@ -14,6 +14,7 @@ batch DataFrame and a streaming one; the streaming≡batch test harness
 from .windows import session_counts, sliding_counts, tumbling_counts
 from .dedup import dedup_events
 from .barrier import completion_barrier, barrier_batch_oracle
+from .control import QueryInfo, QueryManager, read_archive, trim_and_archive
 
 __all__ = [
     "tumbling_counts",
@@ -22,4 +23,8 @@ __all__ = [
     "dedup_events",
     "completion_barrier",
     "barrier_batch_oracle",
+    "QueryManager",
+    "QueryInfo",
+    "trim_and_archive",
+    "read_archive",
 ]

@@ -1,0 +1,167 @@
+"""Control plane: query manager + retention (reference A11-A14, A12).
+
+The reference's master control plane answers instance-info requests, stops
+targeted readers, purges consumers, and trims/archives streams via messages
+on a MASTER stream (event_stream/handlers/master.py:27-183,
+event_stream/streams/reader.py:77-109). On Spark the control surface is the
+driver: `spark.streams` already tracks every StreamingQuery, so the manager
+is a thin, named wrapper — status/progress (A11), targeted stop (A14),
+checkpoint purge (A13) — plus the trim-and-archive retention job (A12) as a
+batch table operation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class QueryInfo:
+    """Instance-info response shape (A11: get_instance/print_instance_info,
+    reference handlers/master.py:134-151, handlers/instance_info.py:10-26)."""
+
+    name: str | None
+    query_id: str
+    run_id: str
+    is_active: bool
+    status: dict[str, Any]
+    last_progress: dict[str, Any] | None
+
+
+class QueryManager:
+    """Named registry over ``spark.streams``.
+
+    Queries register under ``application_name:instance`` style names (the
+    reference's close-target match is app name + instance,
+    handlers/master.py:154-183); `stop` takes the same selector.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._queries: dict[str, StreamingQuery] = {}
+        self._checkpoints: dict[str, str] = {}
+
+    def register(
+        self, name: str, query: StreamingQuery, checkpoint_dir: str | None = None
+    ) -> StreamingQuery:
+        self._queries[name] = query
+        if checkpoint_dir is not None:
+            self._checkpoints[name] = checkpoint_dir
+        return query
+
+    def names(self) -> list[str]:
+        return sorted(self._queries)
+
+    def info(self, name: str) -> QueryInfo:
+        """A11 get_instance: status + last progress for one query."""
+        q = self._queries[name]
+        return QueryInfo(
+            name=q.name,
+            query_id=str(q.id),
+            run_id=str(q.runId),
+            is_active=q.isActive,
+            status=q.status,
+            last_progress=q.lastProgress,
+        )
+
+    def info_all(self) -> dict[str, QueryInfo]:
+        return {name: self.info(name) for name in self.names()}
+
+    def stop(self, name: str) -> bool:
+        """A14 close_streams: targeted graceful stop. Returns whether the
+        query was active. The query stays registered (inspectable) until
+        `purge`."""
+        q = self._queries[name]
+        was_active = q.isActive
+        if was_active:
+            q.stop()
+            q.awaitTermination()
+        return was_active
+
+    def stop_all(self) -> list[str]:
+        return [name for name in self.names() if self.stop(name)]
+
+    def purge(self, name: str, drop_checkpoint: bool = False) -> None:
+        """A13 purge_consumers: forget the query; optionally drop its
+        checkpoint so a restart reprocesses from scratch (the analog of
+        destroying the consumer group's pending state)."""
+        self.stop(name)
+        self._queries.pop(name)
+        checkpoint = self._checkpoints.pop(name, None)
+        if drop_checkpoint and checkpoint and os.path.isdir(checkpoint):
+            shutil.rmtree(checkpoint)
+
+    def await_all(self, timeout_sec: float | None = None) -> None:
+        for name in self.names():
+            q = self._queries[name]
+            if timeout_sec is None:
+                q.awaitTermination()
+            else:
+                q.awaitTermination(int(timeout_sec * 1000))
+
+
+def trim_and_archive(
+    spark: SparkSession,
+    table_dir: str,
+    keep_count: int,
+    archive_dir: str | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    archive_date: dt.date | None = None,
+) -> dict[str, int]:
+    """A12 trim_streams (reference handlers/master.py:27-69): if the table
+    holds more than ``keep_count`` rows, append the oldest overflow to a
+    dated archive, then rewrite the table to the newest ``keep_count``.
+
+    The reference dumps overflow JSON to ``{stream}_archive_{date}.json``
+    then ``XTRIM maxlen~count``; here the archive is parquet (columnar,
+    re-queryable) partitioned into a dated subdirectory.
+
+    Determinism: "oldest" is (ts, id) ascending — same total order as Redis
+    IDs (millis-seq). The overflow boundary is computed with a single
+    ordered scan, no collect of data rows.
+
+    Scale: this local form rewrites the retained tail, which is correct for
+    a bounded control stream (the reference default keeps only ~100-500
+    entries). For a 100 TB event table the same API routes to partition
+    drops (delete whole dated partitions older than the horizon) — never a
+    rewrite; see SCALING.md.
+    """
+    df = spark.read.parquet(table_dir)
+    total = df.count()
+    if total <= keep_count:
+        return {"total": total, "archived": 0, "kept": total}
+
+    overflow_n = total - keep_count
+    ordered = df.orderBy(col(ts_col).asc(), col(id_col).asc())
+    overflow = ordered.limit(overflow_n)
+
+    if archive_dir is not None:
+        date_tag = (archive_date or dt.date.today()).isoformat()
+        overflow.write.mode("append").parquet(os.path.join(archive_dir, date_tag))
+
+    # Keep the newest keep_count rows; anti-join on the id is exact even if
+    # timestamps tie across the boundary.
+    kept = df.join(overflow.select(id_col), on=id_col, how="left_anti")
+    tmp_dir = table_dir.rstrip("/") + ".trim_tmp"
+    kept.write.mode("overwrite").parquet(tmp_dir)
+    # Atomic-ish swap: parquet dirs only; on a transactional table format
+    # (Delta/Iceberg) this whole function is one DELETE + VACUUM.
+    backup = table_dir.rstrip("/") + ".trim_bak"
+    os.rename(table_dir, backup)
+    os.rename(tmp_dir, table_dir)
+    shutil.rmtree(backup)
+    return {"total": total, "archived": overflow_n, "kept": keep_count}
+
+
+def read_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
+    """Read back every dated archive partition as one DataFrame."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(archive_dir)

@@ -1,0 +1,96 @@
+"""Ops CLI (reference A29: close_local / clear_groups / clean_handler_records
+/ unlock, top-level scripts at /root/reference/*.py). The Spark control
+surface is the driver, so every admin action is a thin spark-submit job over
+the library:
+
+  python scripts/admin.py validate <config.json>     # A27 --validate dry-run
+  python scripts/admin.py trim <table_dir> <keep_n> [archive_dir]   # A12
+  python scripts/admin.py run-batch <config.json> <sf_dir>          # one-shot
+  python scripts/admin.py tail <table_dir> [n]       # A21 XREVRANGE probe
+  python scripts/admin.py length <table_dir>         # A22 XLEN probe
+
+The reference's lock sweeper (unlock.py) and group GC (clear_groups.py) have
+no analog: Spark owns executor coordination and checkpoint state
+(QueryManager.purge drops a query's checkpoint when explicitly asked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eventstream_spark.plans.config import ConfigurationError, EngineConfig
+from eventstream_spark.session import get_spark
+
+
+def cmd_validate(config_path: str) -> int:
+    """A27 `application.py --validate`: compile the config, aggregate every
+    error (env substitution + transform import + sink kinds), exit nonzero
+    on any."""
+    try:
+        cfg = EngineConfig.from_json_file(config_path)
+    except ConfigurationError as exc:
+        print(f"INVALID: {exc}")
+        return 1
+    n_routes = sum(len(b.routes) for b in cfg.busses)
+    print(f"OK: {len(cfg.busses)} bus(ses), {n_routes} route(s)")
+    return 0
+
+
+def cmd_trim(table_dir: str, keep: str, archive_dir: str | None = None) -> int:
+    from eventstream_spark.streaming.control import trim_and_archive
+
+    spark = get_spark(app_name="admin-trim")
+    stats = trim_and_archive(spark, table_dir, int(keep), archive_dir)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_run_batch(config_path: str, sf_dir: str) -> int:
+    from eventstream_spark.plans.routes import run_batch
+
+    cfg = EngineConfig.from_json_file(config_path)
+    spark = get_spark(app_name="admin-run-batch")
+    counts = run_batch(spark, cfg, sf_dir)
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_tail(table_dir: str, n: str = "15") -> int:
+    from eventstream_spark.sources import read_tail
+
+    spark = get_spark(app_name="admin-tail")
+    df = spark.read.parquet(table_dir)
+    ts_col = "ts" if "ts" in df.columns else df.columns[0]
+    for row in read_tail(df, int(n), ts_col=ts_col, id_col=None).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def cmd_length(table_dir: str) -> int:
+    spark = get_spark(app_name="admin-length")
+    print(spark.read.parquet(table_dir).count())
+    return 0
+
+
+COMMANDS = {
+    "validate": cmd_validate,
+    "trim": cmd_trim,
+    "run-batch": cmd_run_batch,
+    "tail": cmd_tail,
+    "length": cmd_length,
+}
+
+
+def main(argv: list[str]) -> int:
+    if not argv or argv[0] not in COMMANDS:
+        print(__doc__)
+        return 2
+    return COMMANDS[argv[0]](*argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,99 @@
+"""Control plane: QueryManager (A11 status, A13 purge, A14 targeted stop)
+and trim-and-archive retention (A12)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from eventstream_spark.catalog import EVENTS_RAW_SCHEMA, load, table_path
+from eventstream_spark.sources import file_stream, rate_stream
+from eventstream_spark.streaming import (
+    QueryManager,
+    read_archive,
+    trim_and_archive,
+)
+
+
+def _start_rate_query(spark, name, checkpoint):
+    return (
+        rate_stream(spark, rows_per_second=5)
+        .writeStream.format("noop")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def test_manager_info_stop_purge(spark, tmp_path):
+    mgr = QueryManager(spark)
+    ckpt = str(tmp_path / "ckpt_q1")
+    mgr.register("app:i1", _start_rate_query(spark, "q1", ckpt), checkpoint_dir=ckpt)
+    assert mgr.names() == ["app:i1"]
+
+    info = mgr.info("app:i1")
+    assert info.is_active and info.name == "q1" and info.query_id
+
+    # A14 targeted stop: returns True when it actually stopped something.
+    assert mgr.stop("app:i1") is True
+    assert mgr.info("app:i1").is_active is False
+    assert mgr.stop("app:i1") is False  # idempotent
+
+    # A13 purge with checkpoint drop.
+    assert os.path.isdir(ckpt)
+    mgr.purge("app:i1", drop_checkpoint=True)
+    assert mgr.names() == [] and not os.path.isdir(ckpt)
+
+
+def test_manager_stop_all(spark, tmp_path):
+    mgr = QueryManager(spark)
+    for i in range(2):
+        ckpt = str(tmp_path / f"ckpt_{i}")
+        mgr.register(f"app:i{i}", _start_rate_query(spark, f"qa{i}", ckpt), ckpt)
+    stopped = mgr.stop_all()
+    assert stopped == ["app:i0", "app:i1"]
+    for name in mgr.names():
+        mgr.purge(name, drop_checkpoint=True)
+
+
+def test_trim_and_archive_keeps_newest(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events")
+    total = events.count()
+    keep = total - 40
+
+    table_dir = str(tmp_path / "events_table")
+    events.write.parquet(table_dir)
+    archive_dir = str(tmp_path / "archive")
+
+    stats = trim_and_archive(
+        spark,
+        table_dir,
+        keep_count=keep,
+        archive_dir=archive_dir,
+        ts_col="ts",
+        id_col="event_id",
+        archive_date=dt.date(2026, 8, 13),
+    )
+    assert stats == {"total": total, "archived": 40, "kept": keep}
+
+    kept = spark.read.parquet(table_dir)
+    archived = read_archive(spark, archive_dir)
+    assert kept.count() == keep and archived.count() == 40
+    # Partition the original on the (ts, id) order: archive got the oldest.
+    oldest_kept = kept.selectExpr("min(struct(ts, event_id)) AS k").collect()[0].k
+    newest_archived = archived.selectExpr("max(struct(ts, event_id)) AS k").collect()[0].k
+    assert (newest_archived.ts, newest_archived.event_id) < (oldest_kept.ts, oldest_kept.event_id)
+    # Nothing lost: kept ∪ archived == original ids.
+    ids = {r.event_id for r in kept.select("event_id").collect()} | {
+        r.event_id for r in archived.select("event_id").collect()
+    }
+    assert len(ids) == total
+
+
+def test_trim_noop_under_limit(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events").limit(10)
+    table_dir = str(tmp_path / "small_table")
+    events.write.parquet(table_dir)
+    stats = trim_and_archive(spark, table_dir, keep_count=100, archive_dir=None)
+    assert stats == {"total": 10, "archived": 0, "kept": 10}
+    assert spark.read.parquet(table_dir).count() == 10

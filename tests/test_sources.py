@@ -1,0 +1,134 @@
+"""Sources: multi-format batch readers, range/tail reads (A21), length probe
+(A22), and streaming source factories (A1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from eventstream_spark.catalog import EVENTS_RAW_SCHEMA, load, table_path
+from eventstream_spark.sources import (
+    events_file_stream,
+    file_stream,
+    kafka_stream,
+    rate_stream,
+    read_any,
+    read_range,
+    read_tail,
+    stream_length,
+)
+
+
+def test_read_any_parquet_matches_catalog(spark, sf_dir):
+    via_sources = read_any(spark, table_path(sf_dir, "nation"))
+    assert via_sources.count() == load(spark, sf_dir, "nation").count()
+
+
+def test_read_any_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, name STRING")
+    target = str(tmp_path / "t.csv")
+    df.write.option("header", "true").csv(target)
+    back = read_any(spark, target, fmt="csv", schema="id INT, name STRING")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_read_any_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING")
+    target = str(tmp_path / "t.json")
+    df.write.json(target)
+    back = read_any(spark, target, fmt="json", schema="id LONG, name STRING")
+    assert back.count() == 2 and set(back.columns) == {"id", "name"}
+
+
+def test_read_range_inclusive_bounds_match_oracle(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    start, end = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    got = read_range(events, "ts", start, end).count()
+    want = events.where((events.ts >= start) & (events.ts <= end)).count()
+    assert got == want > 0
+
+
+def test_read_range_filter_is_pushed_down(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    plan = read_range(events, "event_id", 10, 20)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(event_id" in plan
+
+
+def test_read_tail_is_deterministic_top_n(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    tail = read_tail(events, 15, ts_col="ts", id_col="event_id").collect()
+    assert len(tail) == 15
+    keys = [(r.ts, r.event_id) for r in tail]
+    assert keys == sorted(keys, reverse=True)
+    # Plans as a top-N, not a global sort.
+    plan = (
+        read_tail(events, 15, ts_col="ts", id_col="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stream_length(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    assert stream_length(events) == events.count()
+
+
+def _stage_events_dir(sf_dir, tmp_path):
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    os.symlink(table_path(sf_dir, "events"), src_dir / "part-0.parquet")
+    return str(src_dir)
+
+
+def test_file_stream_availablenow_equals_batch(spark, sf_dir, tmp_path):
+    stream = file_stream(
+        spark, _stage_events_dir(sf_dir, tmp_path), EVENTS_RAW_SCHEMA, max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("src_events_all")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT COUNT(*) AS n FROM src_events_all").collect()[0].n
+    assert got == load(spark, sf_dir, "events").count()
+
+
+def test_events_file_stream_yields_envelope(spark, sf_dir, tmp_path):
+    env = events_file_stream(
+        spark,
+        _stage_events_dir(sf_dir, tmp_path),
+        application_name="app",
+        application_instance="i1",
+    )
+    for field in ("event", "message_id", "response_to", "ts", "header", "props"):
+        assert field in env.columns
+    q = (
+        env.writeStream.format("memory")
+        .queryName("src_envelope")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.sql(
+        "SELECT event, message_id, application_name FROM src_envelope LIMIT 1"
+    ).collect()[0]
+    assert row.application_name == "app" and row.event is not None
+
+
+def test_kafka_stream_requires_connector(spark):
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_rate_stream_schema(spark):
+    df = rate_stream(spark, rows_per_second=10)
+    assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
