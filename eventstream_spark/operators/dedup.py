@@ -121,47 +121,73 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     quadratic in a hot key's document frequency.
     """
     t_prefix = max(threshold - 0.001, 0.0)
-    # The shingle table feeds four branches (freq, prefix, both verification
-    # sides); persist it so the text-parsing scan runs once, not per branch.
-    sh = shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Work on 64-bit shingle hashes, not strings: xxhash64 is a single JVM
+    # codegen'd call, the shuffle rows shrink ~4×, and array_intersect on
+    # longs beats string compares. The final jac equals the string-set value
+    # unless two distinct shingles inside one compared pair collide in 64
+    # bits (~1e-10 at this cardinality — below any fixture's significance).
+    # The shingle table feeds three branches (freq, prefix ranking, doc
+    # sets); persist it so the text-parsing scan runs once, not per branch.
+    sh = (
+        shingle_table(docs)
+        .select("doc_id", F.xxhash64(col("s")).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    freq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    rank_w = Window.partitionBy("doc_id").orderBy("df", "s")
-    ranked = (
-        sh.join(freq, "s")
-        .withColumn("r", F.row_number().over(rank_w))
-        .join(counts, "doc_id")
+    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    # Rank and per-doc shingle count share the doc_id partitioning — one
+    # shuffle, two window passes, no separate counts aggregate/join.
+    rank_w = Window.partitionBy("doc_id").orderBy("df", "h")
+    n_w = Window.partitionBy("doc_id")
+    ranked = sh.join(freq, "h").select(
+        "doc_id",
+        "h",
+        F.row_number().over(rank_w).alias("r"),
+        F.count("*").over(n_w).alias("n"),
     )
     prefix = ranked.where(
         col("r") <= col("n") - F.ceil(lit(t_prefix) * col("n")) + 1
-    ).select("doc_id", "s")
+    ).select("doc_id", "h", "r", "n")
 
+    # PPJoin candidate join on the rare prefix, tightened by the length
+    # filter (J >= t forces t*n1 <= n2) and the positional filter (the
+    # remaining-suffix overlap bound 1 + min(n1-r1, n2-r2) must reach the
+    # required overlap ceil(t/(1+t)*(n1+n2))). Both prune before distinct.
     a = prefix.alias("a")
     b = prefix.alias("b")
+    alpha = F.ceil(
+        lit(t_prefix / (1.0 + t_prefix)) * (col("a.n") + col("b.n"))
+    )
     candidates = (
-        a.join(b, (col("a.s") == col("b.s")) & (col("a.doc_id") < col("b.doc_id")))
+        a.join(
+            b,
+            (col("a.h") == col("b.h"))
+            & (col("a.doc_id") < col("b.doc_id"))
+            & (col("b.n") >= lit(t_prefix) * col("a.n"))
+            & (col("a.n") >= lit(t_prefix) * col("b.n"))
+            & (
+                lit(1)
+                + F.least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))
+                >= alpha
+            ),
+        )
         .select(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
         .distinct()
     )
 
-    # Verification: exact overlap for candidate pairs only.
-    common = (
-        candidates.join(sh.alias("s1"), col("d1") == col("s1.doc_id"))
-        .join(
-            sh.alias("s2"),
-            (col("d2") == col("s2.doc_id")) & (col("s1.s") == col("s2.s")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("c"))
-    )
-    c1 = counts.alias("c1")
-    c2 = counts.alias("c2")
-    jac = col("c").cast("double") / (col("c1.n") + col("c2.n") - col("c")).cast("double")
+    # Verification: exact overlap via per-doc hash sets + array_intersect —
+    # two equi-joins on doc_id carrying one array per row, instead of a
+    # candidates×shingles×shingles join; AQE broadcasts the doc_sets side
+    # when it is small enough.
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("ss"))
+    inter = F.size(F.array_intersect(col("ss1"), col("ss2"))).cast("double")
+    union = (F.size(col("ss1")) + F.size(col("ss2"))).cast("double") - inter
     return (
-        common.join(c1, col("d1") == col("c1.doc_id"))
-        .join(c2, col("d2") == col("c2.doc_id"))
-        .select("d1", "d2", F.round(jac, 6).alias("jac"))
+        candidates.join(
+            doc_sets.select(col("doc_id").alias("d1"), col("ss").alias("ss1")), "d1"
+        )
+        .join(doc_sets.select(col("doc_id").alias("d2"), col("ss").alias("ss2")), "d2")
+        .select("d1", "d2", F.round(inter / union, 6).alias("jac"))
         .where(col("jac") >= threshold)
     )
 

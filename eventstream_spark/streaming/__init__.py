@@ -15,6 +15,7 @@ from .windows import session_counts, sliding_counts, tumbling_counts
 from .dedup import dedup_events
 from .barrier import completion_barrier, barrier_batch_oracle
 from .control import QueryInfo, QueryManager, read_archive, trim_and_archive
+from .correlate import correlate_responses, unanswered_requests
 
 __all__ = [
     "tumbling_counts",
@@ -27,4 +28,6 @@ __all__ = [
     "QueryInfo",
     "trim_and_archive",
     "read_archive",
+    "correlate_responses",
+    "unanswered_requests",
 ]

@@ -1,0 +1,81 @@
+"""UDF/UDAF/UDTF surface smoke (SURVEY §2B last row): the same envelope
+transform at every rung of the user-function ladder gives identical results
+to the built-in expression."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from eventstream_spark.catalog import load
+from eventstream_spark.codec import normalize_envelope
+from eventstream_spark.functions.udfs import (
+    register_explode_props_udtf,
+    response_event_builtin,
+    response_event_pandas,
+    response_event_udf,
+    response_events_map_in_pandas,
+)
+
+
+def _envelope(spark, sf_dir):
+    return normalize_envelope(load(spark, sf_dir, "events")).select(
+        "event", "message_id"
+    )
+
+
+def _counts(df, event_col="event"):
+    return sorted(
+        (r[0], r[1])
+        for r in df.groupBy(event_col).count().collect()
+    )
+
+
+def test_udf_rungs_agree(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    want = _counts(env.select(response_event_builtin(F.col("event")).alias("event")))
+    assert want and all(name.endswith("_response") for name, _ in want)
+
+    got_udf = _counts(env.select(response_event_udf()("event").alias("event")))
+    got_pandas = _counts(env.select(response_event_pandas()("event").alias("event")))
+    got_map = _counts(response_events_map_in_pandas(env).select("event"))
+    assert got_udf == want
+    assert got_pandas == want
+    assert got_map == want
+
+
+def test_apply_in_pandas_grouped_agg(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    want = sorted(
+        (r.event_type, r.n)
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    )
+
+    def agg(key, pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"event_type": [key[0]], "n": [len(pdf)]})
+
+    got = sorted(
+        (r.event_type, r.n)
+        for r in events.groupBy("event_type")
+        .applyInPandas(agg, "event_type string, n long")
+        .collect()
+    )
+    assert got == want
+
+
+def test_udtf_explode_props(spark, sf_dir):
+    register_explode_props_udtf(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_in")
+    got = spark.sql(
+        """
+        SELECT p.key, COUNT(*) AS n
+        FROM events_udtf_in, LATERAL explode_props(props) p
+        GROUP BY p.key ORDER BY p.key
+        """
+    ).collect()
+    # Fixture props JSON is {"k": <int>} — one key, one row per event.
+    want_rows = (
+        load(spark, sf_dir, "events").where(F.col("props").isNotNull()).count()
+    )
+    assert [(r.key, r.n) for r in got] == [("k", want_rows)]
