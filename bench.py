@@ -37,6 +37,8 @@ HEADLINE = [
     "q13_topk_per_group",
     "q14_running_sum",
     "q15_topn",
+    "q45_unanswered_requests",
+    "q61_frame_sample",
     "q21_hourly_window",
     "q22_dedup_count",
     "q25_asof_join",

@@ -97,6 +97,56 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64  # fake frame stride for the container-less stub
+FRAME_STEP = 4  # sample every 4th frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sampled_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES, step: int = FRAME_STEP) -> DataFrame:
+    """Frame sampling over opaque payloads: chop each payload into
+    ``frame_bytes`` frames and keep every ``step``-th, starting at frame 0.
+
+    A real video pipeline swaps the byte-slicing for a decoder call per
+    sampled frame; the Spark shape is identical — mapInPandas streaming
+    Arrow batches, emitting fixed-schema rows, never holding more than one
+    batch of payloads per task.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                sampled = frames[::step]
+                rows.append(
+                    (doc_id, len(frames), len(sampled), sum(len(f) for f in sampled))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled", "sampled_bytes"]
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def q61_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end-to-end, with the byte accounting checked
+    exactly by an arithmetic oracle (frames are deterministic byte slices)."""
+    docs = load(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_media(docs))
+    return frames.orderBy("doc_id")
+
+
 def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end binary plumbing: encode → mapInPandas metadata extract →
     aggregate. Oracle checks byte accounting exactly (text is ASCII here,
@@ -120,6 +170,27 @@ SELECT 'text' AS modality, COUNT(*) AS n_docs,
        CAST(MAX(n_bytes % 480 + 1) AS BIGINT) AS max_h
 FROM m
 """,
+    # Arithmetic mirror of the byte-slicing: frames of 64 bytes, every 4th
+    # sampled; the last (possibly short) frame lands in the sample iff its
+    # index is a multiple of the step.
+    "q61_frame_sample": f"""
+WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents),
+f AS (SELECT doc_id, n, (n + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames FROM m)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST((n_frames + {FRAME_STEP - 1}) // {FRAME_STEP} AS BIGINT) AS n_sampled,
+       CAST(CASE
+         WHEN n_frames = 0 THEN 0
+         WHEN (n_frames - 1) % {FRAME_STEP} = 0
+           THEN ((n_frames + {FRAME_STEP - 1}) // {FRAME_STEP} - 1) * {FRAME_BYTES}
+                + (n - {FRAME_BYTES} * (n_frames - 1))
+         ELSE ((n_frames + {FRAME_STEP - 1}) // {FRAME_STEP}) * {FRAME_BYTES}
+       END AS BIGINT) AS sampled_bytes
+FROM f ORDER BY doc_id
+""",
 }
 
-QUERIES = {"q60_multimodal_meta": q60_multimodal_meta}
+QUERIES = {
+    "q60_multimodal_meta": q60_multimodal_meta,
+    "q61_frame_sample": q61_frame_sample,
+}

@@ -141,6 +141,28 @@ def q09_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_unanswered_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter view (reference A15/A16 inbox semantics, batch form):
+    clicks with no purchase by the same user within 1 hour — a left_anti
+    join whose equi-key (user_id) carries the non-equi time bound as a
+    residual, so it plans as hash/SMJ, never a cartesian."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(col("event_type") == "purchase").select(
+        col("user_id").alias("p_user_id"), col("ts").alias("p_ts")
+    )
+    dlq = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts > clicks.ts)
+        & (purchases.p_ts <= clicks.ts + F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    )
+    return dlq.select("event_id", "user_id").orderBy("event_id")
+
+
 # --- aggregation -----------------------------------------------------------
 
 def q10_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,6 +203,21 @@ def q12b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first(), col("o_orderpriority").asc_nulls_first())
+    )
+
+
+def q12c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the two one-column sets — neither rollup nor
+    cube expresses exactly this)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
         .agg(F.count("*").alias("cnt"))
         .orderBy(col("o_orderstatus").asc_nulls_first(), col("o_orderpriority").asc_nulls_first())
     )
@@ -374,6 +411,19 @@ ORACLES: dict[str, str] = {
         " GROUP BY CUBE(o_orderstatus, o_orderpriority)"
         " ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3"
     ),
+    "q12c_grouping_sets": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders"
+        " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+        " ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3"
+    ),
+    "q45_unanswered_requests": (
+        "SELECT event_id, user_id FROM events e1"
+        " WHERE event_type = 'click' AND NOT EXISTS ("
+        " SELECT 1 FROM events e2 WHERE e2.user_id = e1.user_id"
+        " AND e2.event_type = 'purchase' AND e2.ts > e1.ts"
+        " AND e2.ts <= e1.ts + INTERVAL 1 HOUR)"
+        " ORDER BY event_id"
+    ),
     "q13_topk_per_group": (
         "SELECT o_custkey, o_orderkey, rn FROM ("
         " SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER"
@@ -438,6 +488,8 @@ QUERIES = {
     "q11_count_distinct": q11_count_distinct,
     "q12_rollup": q12_rollup,
     "q12b_cube": q12b_cube,
+    "q12c_grouping_sets": q12c_grouping_sets,
+    "q45_unanswered_requests": q45_unanswered_requests,
     "q13_topk_per_group": q13_topk_per_group,
     "q14_running_sum": q14_running_sum,
     "q15_topn": q15_topn,

@@ -87,13 +87,22 @@ def q50_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def topk_per_query(emb: DataFrame, query_pred, k: int) -> DataFrame:
     """Brute-force top-k cosine neighbors for a (small, broadcast) query set."""
-    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
-    q = e.where(query_pred).select(col("vec_id").alias("q_id"), col("v").alias("qv"))
+    e = emb.select(
+        col("vec_id"), as_double_array(col("embedding")).alias("v")
+    ).withColumn("nsq", dot(col("v"), col("v")))
+    q = e.where(query_pred).select(
+        col("vec_id").alias("q_id"), col("v").alias("qv"), col("nsq").alias("qnsq")
+    )
     w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc(), col("vec_id"))
     return (
         e.crossJoin(broadcast(q))
         .where(col("vec_id") != col("q_id"))
-        .select("q_id", "vec_id", cosine(col("v"), col("qv")).alias("cos_raw"))
+        # Same bit-identical norm factoring as lsh_ann: one fold per pair.
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(col("v"), col("qv")) / F.sqrt(col("nsq") * col("qnsq"))).alias("cos_raw"),
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(col("rank") <= k)
         .select("q_id", col("vec_id").alias("neighbor_id"), "rank", F.round("cos_raw", 4).alias("cos"))
@@ -116,7 +125,13 @@ def lsh_bucketed(emb: DataFrame, planes: list[list[float]] | None = None) -> Dat
     for j, w in enumerate(planes):
         bit = F.when(dot(col("v"), _plane_col(w)) >= 0, lit(1 << j)).otherwise(lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return e.withColumn("bucket", bucket.cast("long"))
+    # nsq = dot(v, v), precomputed per vector so the pairwise cosine inside
+    # the bucket join folds ONE zip (the cross dot) instead of three; the
+    # value is bit-identical because cosine = dot / sqrt(nsq_a * nsq_b)
+    # keeps the same multiply-then-sqrt tree as functions.cosine.
+    return e.withColumn("bucket", bucket.cast("long")).withColumn(
+        "nsq", dot(col("v"), col("v"))
+    )
 
 
 def lsh_ann(emb: DataFrame, k: int = 3) -> DataFrame:
@@ -133,7 +148,10 @@ def lsh_ann(emb: DataFrame, k: int = 3) -> DataFrame:
         .select(
             col("a.vec_id").alias("q_id"),
             col("c.vec_id").alias("neighbor_id"),
-            cosine(col("a.v"), col("c.v")).alias("cos_raw"),
+            (
+                dot(col("a.v"), col("c.v"))
+                / F.sqrt(col("a.nsq") * col("c.nsq"))
+            ).alias("cos_raw"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(col("rank") <= k)
