@@ -351,6 +351,26 @@ def q22_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the native session_window operator (30-min
+    inactivity gap per user). The duckdb oracle is the gaps-and-islands
+    formulation (lag + cumulative break-sum), which has identical semantics:
+    a session breaks when the gap is >= the timeout. Streaming twin covered
+    by streaming.windows.session_counts."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            col("sw.start").alias("session_start"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # --- oracles ---------------------------------------------------------------
 
 ORACLES: dict[str, str] = {
@@ -472,6 +492,18 @@ ORACLES: dict[str, str] = {
         "SELECT COUNT(*) AS cnt FROM"
         " (SELECT DISTINCT user_id, event_type, ts FROM events) t"
     ),
+    "q26_sessionization": (
+        "WITH o AS (SELECT user_id, event_id, ts, value,"
+        " LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts"
+        " FROM events),"
+        " m AS (SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE"
+        " THEN 1 ELSE 0 END AS brk FROM o),"
+        " s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS sid FROM m)"
+        " SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt,"
+        " ROUND(SUM(value), 2) AS sum_value"
+        " FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+    ),
 }
 
 QUERIES = {
@@ -501,4 +533,5 @@ QUERIES = {
     "q20_json_fns": q20_json_fns,
     "q21_hourly_window": q21_hourly_window,
     "q22_dedup_count": q22_dedup_count,
+    "q26_sessionization": q26_sessionization,
 }
