@@ -184,6 +184,22 @@ def create_response(
     return out
 
 
+def envelope_to_wire(df: DataFrame) -> DataFrame:
+    """Wire encoding (A7 Message.send, reference messages/base.py:636-711):
+    the whole row — envelope, props map, any promoted extras — serialized to
+    one JSON string column ``wire``. Matches the reference's send rules:
+    nested values become embedded JSON, and null fields are never sent
+    (to_json drops nulls by default, mirroring base.py:688-690)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("wire"))
+
+
+def wire_to_envelope(df: DataFrame, schema, wire_col: str = "wire") -> DataFrame:
+    """Decode the wire JSON back to typed columns (the read half of §1.3:
+    explicit schema, never per-row inference). ``schema`` is the StructType
+    the stream's registry resolved for this event (SURVEY §1.4→§1.5)."""
+    return df.select(F.from_json(col(wire_col), schema).alias("m")).select("m.*")
+
+
 def props_get(path: str) -> Column:
     """Path access into the open payload (reference Message.get /
     get_by_path, base.py:617-634): map lookup for one level, JSON path for

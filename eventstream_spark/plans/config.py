@@ -207,3 +207,76 @@ class EngineConfig:
     def from_json_file(cls, path: str) -> "EngineConfig":
         with open(path) as f:
             return cls.from_dict(json.load(f))
+
+
+def discover_routes(
+    module_name: str,
+    sink_kind: str = "noop",
+    extra_modules: tuple[str, ...] = (),
+) -> tuple[RouteConfig, ...]:
+    """Handler auto-discovery (reference A26 create_master_handlers /
+    get_master_functions, streams/handlers.py:57-90): reflect every public
+    function of ``module_name`` (plus ``extra_modules``) whose signature is a
+    valid transform, and build one route per function with event = function
+    name. Non-conforming callables are skipped, exactly like the reference
+    skips non-handler attributes."""
+    routes: list[RouteConfig] = []
+    for mod_name in (module_name, *extra_modules):
+        module = importlib.import_module(mod_name)
+        for name in sorted(dir(module)):
+            if name.startswith("_"):
+                continue
+            fn = getattr(module, name)
+            if not inspect.isfunction(fn) or fn.__module__ != module.__name__:
+                continue
+            try:
+                _enforce_transform(fn, f"{mod_name}.{name}")
+            except TypeError:
+                continue
+            routes.append(
+                RouteConfig(
+                    name=name,
+                    event=name,
+                    transform=TransformRef(mod_name, name),
+                    sink=SinkConfig(sink_kind),
+                )
+            )
+    return tuple(routes)
+
+
+def generate_group_name(
+    stream: str,
+    application_name: str,
+    route_name: str,
+    instance: str | None = None,
+    unique: bool = False,
+) -> str:
+    """Deterministic consumer-group naming (reference A28
+    generate_group_name, configuration/communication.py:105-128):
+    ``stream:app:route``, with the instance appended when ``unique``.
+
+    Spark semantics: the group name keys the CHECKPOINT directory. A shared
+    name = one checkpoint = instances compete for the data (work-sharing);
+    a unique name = checkpoint per instance = every instance processes the
+    whole stream (broadcast). Same dichotomy the reference implements with
+    Redis consumer groups."""
+    base = f"{stream}:{application_name}:{route_name}"
+    if unique:
+        if not instance:
+            raise ValueError("unique=True requires an instance identifier")
+        return f"{base}:{instance}"
+    return base
+
+
+def checkpoint_dir_for(
+    root: str,
+    stream: str,
+    application_name: str,
+    route_name: str,
+    instance: str | None = None,
+    unique: bool = False,
+) -> str:
+    """Checkpoint path for a route's streaming query, derived from the
+    group name (colons → path separators)."""
+    group = generate_group_name(stream, application_name, route_name, instance, unique)
+    return os.path.join(root, *group.split(":"))

@@ -144,3 +144,16 @@ def test_streaming_fanout_equals_batch(spark, sf_dir, tmp_path, monkeypatch):
     )
     q2.awaitTermination(60)
     assert spark.read.parquet(str(tmp_path / "stream_clicks")).count() == want.count()
+
+
+def test_group_naming_broadcast_vs_compete(tmp_path):
+    from eventstream_spark.plans.config import checkpoint_dir_for, generate_group_name
+
+    shared = generate_group_name("EVENTS", "app", "clicks")
+    assert shared == "EVENTS:app:clicks"
+    # Two instances, shared group → SAME checkpoint → they compete.
+    assert generate_group_name("EVENTS", "app", "clicks", "i-1") == shared
+    # unique → per-instance checkpoints → both process everything.
+    u1 = checkpoint_dir_for(str(tmp_path), "EVENTS", "app", "clicks", "i-1", unique=True)
+    u2 = checkpoint_dir_for(str(tmp_path), "EVENTS", "app", "clicks", "i-2", unique=True)
+    assert u1 != u2 and u1.startswith(str(tmp_path))
