@@ -49,6 +49,7 @@ HEADLINE = [
     "q43_simhash",
     "q50_knn_exact",
     "q52_lsh_ann",
+    "q53_ivf_ann",
 ]
 
 

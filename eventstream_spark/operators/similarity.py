@@ -164,6 +164,96 @@ def q52_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann(load(spark, sf_dir, "embeddings"), k=3)
 
 
+# --- IVF ANN ---------------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_PROBE = 2
+
+
+def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, v, cell): each vector assigned to its nearest centroid by
+    squared L2. Centroids ride as literals, so assignment is pure map work —
+    zero shuffle regardless of corpus size (the IVF scale property: the
+    coarse quantizer always fits the driver/broadcast)."""
+    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(sq_l2(col("v"), _plane_col(cv)).alias("d"), lit(cid).alias("c"))
+                for cid, cv in centroids
+            ]
+        )
+    )
+    return e.withColumn("cell", best["c"].cast("long"))
+
+
+def ivf_ann(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_cells: int = _IVF_CELLS,
+    n_probe: int = _IVF_PROBE,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted cells, probe
+    the ``n_probe`` nearest cells per query, exact re-rank inside them.
+
+    The coarse centroids are the embeddings of the first ``n_cells``
+    vec_ids — a deterministic seeding (no k-means iterations) so the duckdb
+    oracle reproduces the exact same cells; swapping in trained centroids
+    changes recall, not the plan shape. Collecting them is n_cells × dim
+    doubles — driver-trivial at any corpus size.
+    """
+    seeds = (
+        emb.where(col("vec_id") < n_cells)
+        .select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+
+    assigned = ivf_assign(emb, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+    queries = assigned.where(query_pred).select(
+        col("vec_id").alias("q_id"), col("v").alias("qv")
+    )
+
+    # Probe list per query: the n_probe nearest centroids (again map-side).
+    probe_cells = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(sq_l2(col("qv"), _plane_col(cv)).alias("d"), lit(cid).alias("c"))
+                    for cid, cv in centroids
+                ]
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probes = queries.withColumn(
+        "cell", F.explode(F.transform(probe_cells, lambda s: s["c"].cast("long")))
+    )
+
+    # Candidate join shuffles on cell — the inverted-file lookup.
+    w = Window.partitionBy("q_id").orderBy(col("dist_raw"), col("neighbor_id"))
+    return (
+        probes.join(assigned, "cell")
+        .where(col("vec_id") != col("q_id"))
+        .select(
+            "q_id",
+            col("vec_id").alias("neighbor_id"),
+            sq_l2(col("v"), col("qv")).alias("dist_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("dist_raw", 4).alias("dist"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def q53_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_ann(emb, col("vec_id").isin(100, 101, 102), k=5)
+
+
 # --- oracles ---------------------------------------------------------------
 
 def _lsh_sql(k: int = 3) -> str:
@@ -210,10 +300,40 @@ SELECT q_id, vec_id AS neighbor_id, rank, ROUND(cos_raw, 4) AS cos
 FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """,
     "q52_lsh_ann": _lsh_sql(),
+    # IVF mirror: assignment/probing argmins use ROW_NUMBER ordered by
+    # (dist, cell) — the same (d, c) lexicographic order as Spark's
+    # array_min/array_sort over structs.
+    "q53_ivf_ann": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+a AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq_l2_sql('e.v', 'c.cv')}, c.cell) AS rn
+    FROM e, c) t WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (100, 101, 102)),
+p AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY {sq_l2_sql('q.qv', 'c.cv')}, c.cell) AS rn
+    FROM q, c) t WHERE rn <= {_IVF_PROBE}),
+cand AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id, {sq_l2_sql('a.v', 'p.qv')} AS dist_raw
+  FROM p JOIN a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+ranked AS (
+  SELECT q_id, neighbor_id, dist_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist_raw, neighbor_id) AS rank
+  FROM cand)
+SELECT q_id, neighbor_id, rank, ROUND(dist_raw, 4) AS dist
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+""",
 }
 
 QUERIES = {
     "q50_knn_exact": q50_knn_exact,
     "q51_topk_per_query": q51_topk_per_query,
     "q52_lsh_ann": q52_lsh_ann,
+    "q53_ivf_ann": q53_ivf_ann,
 }
