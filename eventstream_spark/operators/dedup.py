@@ -134,16 +134,21 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    freq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    # Rank and per-doc shingle count share the doc_id partitioning — one
-    # shuffle, two window passes, no separate counts aggregate/join.
+    # Global shingle frequency as a window over h (not groupBy+rejoin):
+    # saves a whole shuffle — the plan is exchange(h) → count window →
+    # exchange(doc_id) → rank/count windows, two exchanges total.
+    df_w = Window.partitionBy("h")
     rank_w = Window.partitionBy("doc_id").orderBy("df", "h")
     n_w = Window.partitionBy("doc_id")
-    ranked = sh.join(freq, "h").select(
-        "doc_id",
-        "h",
-        F.row_number().over(rank_w).alias("r"),
-        F.count("*").over(n_w).alias("n"),
+    ranked = (
+        sh.withColumn("df", F.count("*").over(df_w))
+        .select(
+            "doc_id",
+            "h",
+            "df",
+            F.row_number().over(rank_w).alias("r"),
+            F.count("*").over(n_w).alias("n"),
+        )
     )
     prefix = ranked.where(
         col("r") <= col("n") - F.ceil(lit(t_prefix) * col("n")) + 1
