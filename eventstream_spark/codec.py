@@ -200,6 +200,40 @@ def wire_to_envelope(df: DataFrame, schema, wire_col: str = "wire") -> DataFrame
     return df.select(F.from_json(col(wire_col), schema).alias("m")).select("m.*")
 
 
+def parse_with_quarantine(
+    df: DataFrame, json_col: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-checked parse with a dead-letter side (reference A15 inbox
+    semantics applied to malformed data; SURVEY §4.1 'bad-record handling
+    to quarantine sink').
+
+    Returns ``(good, quarantine)``: good rows carry the typed columns;
+    quarantine rows keep every input column plus the raw offending payload
+    so a fixed parser can replay them — the Spark analog of bouncing an
+    unprocessable message to the shared inbox. Malformed is detected via
+    the corrupt-record column (a legit ``null`` field is NOT malformed).
+    """
+    probe = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    parsed = df.withColumn(
+        "_parsed",
+        F.from_json(
+            col(json_col),
+            probe,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad_cond = col(json_col).isNotNull() & col("_parsed._corrupt_record").isNotNull()
+    good = (
+        parsed.where(~bad_cond | col(json_col).isNull())
+        .select(*df.columns, *[col(f"_parsed.{f.name}") for f in schema.fields])
+        .drop(json_col)
+    )
+    quarantine = parsed.where(bad_cond).select(*df.columns)
+    return good, quarantine
+
+
 def props_get(path: str) -> Column:
     """Path access into the open payload (reference Message.get /
     get_by_path, base.py:617-634): map lookup for one level, JSON path for

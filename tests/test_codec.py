@@ -73,3 +73,29 @@ def test_create_response_semantics(spark, sf_dir):
     assert r.application_name == "resp-app"
     assert r.application_instance == "inst-9"
     assert r.header.caller_application == "resp-app"
+
+
+def test_parse_with_quarantine(spark):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from eventstream_spark.codec import parse_with_quarantine
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1}'),
+            (2, "not json"),
+            (3, None),
+            (4, '{"a": null}'),
+            (5, '{"a": 7, "extra": true}'),
+        ],
+        "id long, js string",
+    )
+    schema = StructType([StructField("a", IntegerType())])
+    good, bad = parse_with_quarantine(df, "js", schema)
+
+    got_good = {r.id: r.a for r in good.collect()}
+    # Malformed row 2 is quarantined; null payload (3) and legit null field
+    # (4) are good; extra keys (5) are permissive.
+    assert got_good == {1: 1, 3: None, 4: None, 5: 7}
+    assert [(r.id, r.js) for r in bad.collect()] == [(2, "not json")]
+    assert "js" not in good.columns and "js" in bad.columns
