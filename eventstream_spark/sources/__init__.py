@@ -4,6 +4,7 @@ SURVEY §2A).
 """
 
 from .batch import read_any, read_range, read_tail, stream_length
+from .bucketed import read_bucketed, write_bucketed
 from .stream import events_file_stream, file_stream, kafka_stream, rate_stream
 
 __all__ = [
@@ -11,6 +12,8 @@ __all__ = [
     "read_range",
     "read_tail",
     "stream_length",
+    "read_bucketed",
+    "write_bucketed",
     "file_stream",
     "events_file_stream",
     "kafka_stream",

@@ -165,3 +165,39 @@ def trim_and_archive(
 def read_archive(spark: SparkSession, archive_dir: str) -> DataFrame:
     """Read back every dated archive partition as one DataFrame."""
     return spark.read.option("recursiveFileLookup", "true").parquet(archive_dir)
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Small-files compaction: streaming sinks and frequent micro-batches
+    leave many tiny parquet files; scans then pay per-file open/footer costs
+    and the driver pays listing costs. Rewrite the directory into
+    ``ceil(total_bytes / target_file_bytes)`` files.
+
+    Scale: run per partition (date=...) directory, not over a whole 100 TB
+    table; on Delta/Iceberg this is OPTIMIZE/rewrite_data_files. The rewrite
+    uses coalesce (no shuffle) since output files need no particular
+    clustering; use repartition(key) instead when re-clustering is wanted.
+    """
+    files = [
+        os.path.join(table_dir, f)
+        for f in os.listdir(table_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    if n_out >= len(files):
+        return {"files_before": len(files), "files_after": len(files), "bytes": total_bytes}
+
+    df = spark.read.parquet(table_dir)
+    tmp_dir = table_dir.rstrip("/") + ".compact_tmp"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
+    backup = table_dir.rstrip("/") + ".compact_bak"
+    os.rename(table_dir, backup)
+    os.rename(tmp_dir, table_dir)
+    shutil.rmtree(backup)
+    after = len([f for f in os.listdir(table_dir) if f.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": after, "bytes": total_bytes}

@@ -49,6 +49,15 @@ def cmd_trim(table_dir: str, keep: str, archive_dir: str | None = None) -> int:
     return 0
 
 
+def cmd_compact(table_dir: str, target_mb: str = "128") -> int:
+    from eventstream_spark.streaming.control import compact_table
+
+    spark = get_spark(app_name="admin-compact")
+    stats = compact_table(spark, table_dir, int(target_mb) << 20)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_run_batch(config_path: str, sf_dir: str) -> int:
     from eventstream_spark.plans.routes import run_batch
 
@@ -79,6 +88,7 @@ def cmd_length(table_dir: str) -> int:
 COMMANDS = {
     "validate": cmd_validate,
     "trim": cmd_trim,
+    "compact": cmd_compact,
     "run-batch": cmd_run_batch,
     "tail": cmd_tail,
     "length": cmd_length,

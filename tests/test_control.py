@@ -97,3 +97,21 @@ def test_trim_noop_under_limit(spark, sf_dir, tmp_path):
     stats = trim_and_archive(spark, table_dir, keep_count=100, archive_dir=None)
     assert stats == {"total": 10, "archived": 0, "kept": 10}
     assert spark.read.parquet(table_dir).count() == 10
+
+
+def test_compact_table_reduces_files(spark, sf_dir, tmp_path):
+    from eventstream_spark.streaming.control import compact_table
+
+    events = load(spark, sf_dir, "events")
+    table_dir = str(tmp_path / "fragmented")
+    events.repartition(40).write.parquet(table_dir)
+    before = len([f for f in os.listdir(table_dir) if f.endswith(".parquet")])
+    assert before == 40
+
+    stats = compact_table(spark, table_dir, target_file_bytes=10 << 20)
+    assert stats["files_before"] == 40 and stats["files_after"] < 40
+    assert spark.read.parquet(table_dir).count() == events.count()
+
+    # Already-compact directory is a no-op.
+    again = compact_table(spark, table_dir, target_file_bytes=10 << 20)
+    assert again["files_after"] == stats["files_after"]

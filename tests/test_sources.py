@@ -132,3 +132,29 @@ def test_kafka_stream_requires_connector(spark):
 def test_rate_stream_schema(spark):
     df = rate_stream(spark, rows_per_second=10)
     assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from eventstream_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").selectExpr("c_custkey", "c_nationkey")
+    write_bucketed(orders, "t_orders_b", "o_custkey", 8)
+    write_bucketed(cust, "t_cust_b", "c_custkey", 8)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force a non-broadcast plan so bucketing (not broadcast) is what
+        # eliminates the shuffle.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, cb = read_bucketed(spark, "t_orders_b"), read_bucketed(spark, "t_cust_b")
+        j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0
+        assert "Bucketed: true" in plan
+        # Same answer as the plain join.
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
