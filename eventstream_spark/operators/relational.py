@@ -351,6 +351,56 @@ def q22_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to fixture columns): segment-filtered
+    customer ⋈ orders ⋈ lineitem, revenue rollup, deterministic top-10.
+    Exercises the composite join→agg→TakeOrdered pipeline under one oracle."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        col("o_orderdate") < lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        col("l_shipdate") > lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q46_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel on first-event times: users whose first view
+    precedes their first click precedes their first purchase, all within 7
+    days of the view — one hash aggregate, three conditional mins."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(col("event_type") == "view", col("ts"))).alias("v"),
+        F.min(F.when(col("event_type") == "click", col("ts"))).alias("c"),
+        F.min(F.when(col("event_type") == "purchase", col("ts"))).alias("p"),
+    )
+    converted = firsts.where(
+        col("v").isNotNull()
+        & col("c").isNotNull()
+        & col("p").isNotNull()
+        & (col("v") < col("c"))
+        & (col("c") < col("p"))
+        & (col("p") <= col("v") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return converted.agg(F.count("*").alias("n_converted"))
+
+
 def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization via the native session_window operator (30-min
     inactivity gap per user). The duckdb oracle is the gaps-and-islands
@@ -492,6 +542,27 @@ ORACLES: dict[str, str] = {
         "SELECT COUNT(*) AS cnt FROM"
         " (SELECT DISTINCT user_id, event_type, ts FROM events) t"
     ),
+    "q28_shipping_priority": (
+        "SELECT l_orderkey, o_orderdate,"
+        " ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+        " FROM customer, orders, lineitem"
+        " WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey"
+        " AND l_orderkey = o_orderkey"
+        " AND o_orderdate < TIMESTAMP '1995-03-15'"
+        " AND l_shipdate > TIMESTAMP '1995-03-15'"
+        " GROUP BY l_orderkey, o_orderdate"
+        " ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+    ),
+    "q46_funnel": (
+        "SELECT COUNT(*) AS n_converted FROM ("
+        " SELECT user_id,"
+        " MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,"
+        " MIN(CASE WHEN event_type = 'click' THEN ts END) AS c,"
+        " MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p"
+        " FROM events GROUP BY user_id) t"
+        " WHERE v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL"
+        " AND v < c AND c < p AND p <= v + INTERVAL 7 DAY"
+    ),
     "q26_sessionization": (
         "WITH o AS (SELECT user_id, event_id, ts, value,"
         " LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts"
@@ -534,4 +605,6 @@ QUERIES = {
     "q21_hourly_window": q21_hourly_window,
     "q22_dedup_count": q22_dedup_count,
     "q26_sessionization": q26_sessionization,
+    "q28_shipping_priority": q28_shipping_priority,
+    "q46_funnel": q46_funnel,
 }

@@ -166,3 +166,55 @@ def test_completion_barrier_stream_equals_batch(spark, tmp_path):
     assert not compare(got, batch), compare(got, batch)
     assert set(got["message_id"]) == {"m1"}
     assert list(got["n_consumers"]) == [3]
+
+
+def test_completion_barrier_idle_timeout(spark, tmp_path):
+    """A17 analog: a barrier idle past the timeout emits a timed_out row
+    with the partial ack count instead of wedging forever."""
+    from eventstream_spark.streaming import completion_barrier
+
+    src = tmp_path / "acks_src"
+    src.mkdir()
+    # Batch 1: m_stuck gets 1 of 2 required acks. Batch 2 (other key only)
+    # arrives after the 1 ms idle timer has expired → timeout fires.
+    pd.DataFrame({"message_id": ["m_stuck"], "consumer": ["c1"]}).to_parquet(
+        src / "f1.parquet"
+    )
+    pd.DataFrame({"message_id": ["m_done"], "consumer": ["c1"]}).to_parquet(
+        src / "f2.parquet"
+    )
+    pd.DataFrame({"message_id": ["m_done"], "consumer": ["c2"]}).to_parquet(
+        src / "f3.parquet"
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = completion_barrier(stream, ["c1", "c2"], idle_timeout_ms=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("barrier_timeout_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # The query stays alive while processing-time timers are pending; poll
+    # the sink and stop as soon as both outcomes have landed.
+    import time
+
+    deadline = time.time() + 120
+    rows = {}
+    while time.time() < deadline:
+        rows = {
+            r.message_id: (r.n_consumers, r.status)
+            for r in spark.table("barrier_timeout_out").collect()
+        }
+        if len(rows) == 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert rows["m_done"] == (2, "complete")
+    assert rows["m_stuck"] == (1, "timed_out")
