@@ -41,3 +41,19 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read back a bucketed table (bucket metadata rides in the catalog —
     a plain path read would lose it)."""
     return spark.table(table_name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet (`path/col=value/...`). The 100 TB
+    layout for fact/event tables: filters on the partition columns prune
+    whole directories before any file is opened (PartitionFilters in the
+    scan, asserted by test). Typical: derive a low-cardinality `event_date`
+    column and partition on it — never on a high-cardinality key (one
+    directory per value)."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.partitionBy(*cols).mode(mode).parquet(path)

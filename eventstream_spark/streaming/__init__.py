@@ -16,6 +16,7 @@ from .dedup import dedup_events
 from .barrier import completion_barrier, barrier_batch_oracle
 from .control import QueryInfo, QueryManager, read_archive, trim_and_archive
 from .correlate import correlate_responses, unanswered_requests
+from .sinks import idempotent_parquet_sink, read_sink
 
 __all__ = [
     "tumbling_counts",
@@ -30,4 +31,6 @@ __all__ = [
     "read_archive",
     "correlate_responses",
     "unanswered_requests",
+    "idempotent_parquet_sink",
+    "read_sink",
 ]

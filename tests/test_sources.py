@@ -158,3 +158,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.sources.bucketed import write_partitioned
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_part")
+    write_partitioned(events, path, "event_date")
+    # One directory per day on disk.
+    days = [d for d in os.listdir(path) if d.startswith("event_date=")]
+    assert len(days) > 5
+
+    back = spark.read.parquet(path)
+    one_day = back.where(F.col("event_date") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # The date filter lands in PartitionFilters (directory pruning), not in
+    # the data filters — no row is read outside the matching partition.
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    want = events.where(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == want > 0

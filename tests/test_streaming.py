@@ -218,3 +218,20 @@ def test_completion_barrier_idle_timeout(spark, tmp_path):
     q.stop()
     assert rows["m_done"] == (2, "complete")
     assert rows["m_stuck"] == (1, "timed_out")
+
+
+def test_idempotent_sink_survives_batch_replay(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same batch_id) must not duplicate rows."""
+    from eventstream_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+
+    out = str(tmp_path / "eo_sink")
+    sink = idempotent_parquet_sink(out)
+    events = load(spark, sf_dir, "events").limit(100)
+
+    sink(events, 0)
+    first = read_sink(spark, out).count()
+    # Simulate failure-replay of batch 0 and a new batch 1.
+    sink(events, 0)
+    sink(events.limit(10), 1)
+    total = read_sink(spark, out).count()
+    assert first == 100 and total == 110
