@@ -97,3 +97,35 @@ def test_columnar_resolution_matches_driver_side(spark):
     assert rows[0].value_event.example_body_value == 1
     assert rows[0].example_event is None
     assert rows[3].generic_message.data == {"value1": 1, "value2": 2}
+
+
+def test_registry_parse_on_stream(spark, tmp_path):
+    """Registry schema-on-read inside a streaming pipeline (§1.4→§1.5): the
+    per-event when() chain and from_json run per micro-batch with schemas
+    resolved from the registry, never inferred."""
+    import pandas as pd
+
+    reg = _registry()
+    payloads = [json.dumps(p) for p, _ in GOLDEN]
+    src = tmp_path / "reg_src"
+    src.mkdir()
+    pd.DataFrame({"value": payloads}).to_parquet(src / "p.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    stream = reg.parse(spark.readStream.schema(schema).parquet(str(src)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("reg_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_reg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT schema_name, value_event.example_body_value AS v FROM reg_stream_out"
+    ).collect()
+    got = sorted(r.schema_name for r in rows)
+    want = sorted(expected for _, expected in GOLDEN)
+    assert got == want
+    # Typed access works on the resolved struct column.
+    assert sorted([r.v for r in rows if r.v is not None]) == [1]
