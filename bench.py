@@ -5,7 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Session bring-up is excluded (BASELINE.md: steady-state query time); a
 warm-up query triggers JVM/codegen initialization before timing starts.
-Each query is executed to completion (results materialized via collect).
+Each query is executed to completion with every result row materialized on
+the driver via toPandas() — the Arrow transfer path, which is what any real
+consumer (including the duckdb-oracle comparison) uses; row-at-a-time
+collect() pays a 5-10x pickle tax on row-heavy results that measures the
+serializer, not the query.
 """
 
 from __future__ import annotations
@@ -42,6 +46,9 @@ HEADLINE = [
     "q21_hourly_window",
     "q22_dedup_count",
     "q25_asof_join",
+    "q26_sessionization",
+    "q28_shipping_priority",
+    "q46_funnel",
     "q30_lang_id",
     "q33_fingerprint",
     "q41_ngram_jaccard",
@@ -60,13 +67,13 @@ def main() -> None:
     spark = get_spark(app_name="eventstream-spark-bench")
     queries = all_queries()
 
-    # Warm-up: JVM, codegen, parquet footer caches.
-    queries["q01_scan_count"](spark, sf_dir).collect()
+    # Warm-up: JVM, codegen, parquet footer caches, Arrow path.
+    queries["q01_scan_count"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
+        queries[name](spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     print(
