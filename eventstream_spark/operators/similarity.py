@@ -254,6 +254,39 @@ def q53_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann(emb, col("vec_id").isin(100, 101, 102), k=5)
 
 
+def kmeans_step(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its nearest centroid
+    (map-side, centroid literals) and emit the new centroids in long form
+    (cell, dim, member count, mean). The building block for iterative
+    clustering: a driver loop collects the output, re-literalizes, and
+    repeats — each iteration is one shuffle (the groupBy), which is the
+    canonical distributed k-means plan.
+    """
+    assigned = ivf_assign(emb, centroids)
+    pos = assigned.select(
+        "cell", F.posexplode(col("v")).alias("i0", "x")
+    ).withColumn("i", (col("i0") + 1).cast("long"))
+    return (
+        pos.groupBy("cell", "i")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("x"), 4).alias("mean_x"),
+        )
+        .orderBy("cell", "i")
+    )
+
+
+def q54_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.where(col("vec_id") < _IVF_CELLS)
+        .select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+    return kmeans_step(emb, centroids)
+
+
 # --- oracles ---------------------------------------------------------------
 
 def _lsh_sql(k: int = 3) -> str:
@@ -329,6 +362,19 @@ ranked AS (
 SELECT q_id, neighbor_id, rank, ROUND(dist_raw, 4) AS dist
 FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """,
+    "q54_kmeans_step": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+a AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq_l2_sql('e.v', 'c.cv')}, c.cell) AS rn
+    FROM e, c) t WHERE rn = 1)
+SELECT cell, i, COUNT(*) AS n_members, ROUND(AVG(v[i]), 4) AS mean_x
+FROM a, UNNEST(range(1, {_DIM + 1})) AS t(i)
+GROUP BY cell, i ORDER BY cell, i
+""",
 }
 
 QUERIES = {
@@ -336,4 +382,5 @@ QUERIES = {
     "q51_topk_per_query": q51_topk_per_query,
     "q52_lsh_ann": q52_lsh_ann,
     "q53_ivf_ann": q53_ivf_ann,
+    "q54_kmeans_step": q54_kmeans_step,
 }

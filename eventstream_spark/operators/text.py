@@ -121,7 +121,43 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py), with
+# the trailing-space lookahead dropped — RE2 (duckdb) has no lookahead, and
+# both engines must split identically. Contractions, space-prefixed word /
+# number / punctuation runs, then whitespace runs.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def q34_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting: the GPT-2 pre-tokenizer regex applied
+    per document, aggregated per source. regexp_extract_all is JVM-side;
+    the duckdb mirror uses the same pattern under RE2 (no lookahead, so
+    the two engines split identically)."""
+    docs = load(spark, sf_dir, "documents")
+    n_pretokens = F.size(
+        F.regexp_extract_all(col("text"), lit(BPE_PRETOKEN_RE), 0)
+    ).cast("long")
+    return (
+        docs.select("source", n_pretokens.alias("n_pre"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pre").alias("total_pretokens"),
+            F.round(F.avg("n_pre"), 2).alias("avg_pretokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
+
 ORACLES = {
+    "q34_bpe_pretokenize": f"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS total_pretokens,
+       ROUND(AVG(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))), 2) AS avg_pretokens
+FROM documents GROUP BY source ORDER BY source
+""",
     "q30_lang_id": f"""
 WITH tok AS (SELECT doc_id, {tokens_sql()} AS w FROM documents),
 scored AS (
@@ -174,4 +210,5 @@ QUERIES = {
     "q31_quality_score": q31_quality_score,
     "q32_token_count": q32_token_count,
     "q33_fingerprint": q33_fingerprint,
+    "q34_bpe_pretokenize": q34_bpe_pretokenize,
 }
