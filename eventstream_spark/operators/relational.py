@@ -351,6 +351,26 @@ def q22_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-user deltas between consecutive event values
+    and the time to the next event, one window spec for both directions."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+            # Exact integer microseconds: epoch-seconds casts disagree
+            # between engines on fractional parts (truncate vs round).
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(col("ts"))).alias(
+                "micros_to_next"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (adapted to fixture columns): segment-filtered
     customer ⋈ orders ⋈ lineitem, revenue rollup, deterministic top-10.
@@ -542,6 +562,14 @@ ORACLES: dict[str, str] = {
         "SELECT COUNT(*) AS cnt FROM"
         " (SELECT DISTINCT user_id, event_type, ts FROM events) t"
     ),
+    "q27_lag_lead": (
+        "SELECT user_id, event_id,"
+        " ROUND(value - LAG(value) OVER w, 2) AS delta_prev,"
+        " epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS micros_to_next"
+        " FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        " ORDER BY user_id, event_id"
+    ),
     "q28_shipping_priority": (
         "SELECT l_orderkey, o_orderdate,"
         " ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue"
@@ -605,6 +633,7 @@ QUERIES = {
     "q21_hourly_window": q21_hourly_window,
     "q22_dedup_count": q22_dedup_count,
     "q26_sessionization": q26_sessionization,
+    "q27_lag_lead": q27_lag_lead,
     "q28_shipping_priority": q28_shipping_priority,
     "q46_funnel": q46_funnel,
 }
