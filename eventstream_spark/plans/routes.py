@@ -23,7 +23,13 @@ from pyspark.storagelevel import StorageLevel
 
 from ..catalog import fix_nanos_ts, load
 from ..codec import normalize_envelope
-from .config import BusConfig, EngineConfig, RouteConfig, SinkConfig
+from .config import (
+    BusConfig,
+    EngineConfig,
+    RouteConfig,
+    SinkConfig,
+    checkpoint_dir_for,
+)
 
 
 def _source_batch(spark: SparkSession, cfg: EngineConfig, bus: BusConfig, sf_dir: str) -> DataFrame:
@@ -118,3 +124,64 @@ def start_streaming(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_per_route(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    bus: BusConfig,
+    source_dir: str,
+    schema,
+    checkpoint_root: str,
+    manager=None,
+    available_now: bool = True,
+) -> dict[str, "StreamingQuery"]:
+    """One INDEPENDENT streaming query per route — the Spark-idiomatic
+    alternative to the foreachBatch fan-out (SURVEY A19 disposition): each
+    route owns its checkpoint (named via the A28 group convention), so
+    routes progress, fail, and recover independently, and every route sees
+    the whole stream (the reference's unique-group broadcast semantics).
+
+    Trade-off vs ``start_streaming``: N queries scan the source N times
+    (fine for file/Kafka sources — the OS page cache and Kafka fan-out
+    absorb it) in exchange for per-route isolation and exactly-once per
+    sink. Use the foreachBatch form when one scan must feed all routes.
+
+    Routes with memory/console sinks use the native streaming sinks here
+    (no foreachBatch involved). If ``manager`` (a QueryManager) is given,
+    each query is registered under ``bus:route``.
+    """
+    raw = fix_nanos_ts(spark.readStream.schema(schema).parquet(source_dir))
+    env = normalize_envelope(
+        raw,
+        application_name=cfg.application_name,
+        application_instance=cfg.application_instance,
+    )
+    queries = {}
+    for route in bus.routes:
+        routed = _apply_route(env, route)
+        ckpt = checkpoint_dir_for(
+            checkpoint_root,
+            bus.name,
+            cfg.application_name,
+            route.name,
+            cfg.application_instance,
+            unique=True,
+        )
+        writer = routed.writeStream.option("checkpointLocation", ckpt)
+        if route.sink.kind == "parquet":
+            writer = writer.format("parquet").option("path", route.sink.target)
+        elif route.sink.kind == "memory":
+            writer = writer.format("memory").queryName(route.sink.target)
+        elif route.sink.kind == "console":
+            writer = writer.format("console")
+        else:  # noop
+            writer = writer.format("noop")
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        name = f"{bus.name}:{route.name}"
+        if manager is not None:
+            manager.register(name, q, ckpt)
+        queries[name] = q
+    return queries

@@ -157,3 +157,64 @@ def test_group_naming_broadcast_vs_compete(tmp_path):
     u1 = checkpoint_dir_for(str(tmp_path), "EVENTS", "app", "clicks", "i-1", unique=True)
     u2 = checkpoint_dir_for(str(tmp_path), "EVENTS", "app", "clicks", "i-2", unique=True)
     assert u1 != u2 and u1.startswith(str(tmp_path))
+
+
+def test_per_route_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Independent per-route queries (broadcast semantics): every route sees
+    the whole stream, results equal the batch compilation route-for-route."""
+    import shutil as _sh
+
+    from eventstream_spark.catalog import table_path
+    from eventstream_spark.plans.config import (
+        BusConfig,
+        EngineConfig,
+        RouteConfig,
+        SinkConfig,
+    )
+    from eventstream_spark.plans.routes import compile_bus, start_streaming_per_route
+    from eventstream_spark.streaming import QueryManager
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    _sh.copy(table_path(sf_dir, "events"), src / "p0.parquet")
+    raw_schema = spark.read.parquet(str(src)).schema
+
+    cfg = EngineConfig(
+        application_name="pr_app",
+        application_instance="i-1",
+        busses=(
+            BusConfig(
+                name="ev",
+                source_path=str(src),
+                routes=(
+                    RouteConfig(
+                        name="clicks",
+                        event="click",
+                        sink=SinkConfig("parquet", str(tmp_path / "out_clicks")),
+                    ),
+                    RouteConfig(
+                        name="views",
+                        event="view",
+                        sink=SinkConfig("parquet", str(tmp_path / "out_views")),
+                    ),
+                ),
+            ),
+        ),
+    )
+    bus = cfg.busses[0]
+    mgr = QueryManager(spark)
+    queries = start_streaming_per_route(
+        spark, cfg, bus, str(src), raw_schema, str(tmp_path / "ckpts"), manager=mgr
+    )
+    assert set(queries) == {"ev:clicks", "ev:views"}
+    mgr.await_all()
+
+    batch = compile_bus(spark, cfg, bus, sf_dir)
+    for route, out_dir in (("clicks", "out_clicks"), ("views", "out_views")):
+        got = spark.read.parquet(str(tmp_path / f"{out_dir}")).count()
+        want = batch[route].count()
+        assert got == want > 0
+    # Independent checkpoints, named by the A28 unique-group convention.
+    assert mgr.info("ev:clicks").query_id != mgr.info("ev:views").query_id
+    for name in list(mgr.names()):
+        mgr.purge(name, drop_checkpoint=True)
