@@ -96,8 +96,8 @@ def interpret_double(c: Column) -> Column:
 def interpret_boolean(c: Column) -> Column:
     """Lenient boolean (reference is_true): word lists, else numeric strings
     count as true above 0.5 (the reference's truth threshold)."""
-    c = _nullified(c)
-    low = F.lower(F.trim(c))
+    c = _nullified(F.trim(c))  # whole-branch trim: '2 ' is numeric-true
+    low = F.lower(c)
     return (
         F.when(low.isin(*_TRUE_WORDS), lit(True))
         .when(low.isin(*_FALSE_WORDS), lit(False))

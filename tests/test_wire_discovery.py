@@ -114,3 +114,32 @@ def test_interpret_casts_match_python_model(spark, values):
         assert row.l == _py_interpret_long(v), f"long({v!r})"
         want_b = _py_interpret_boolean(v)
         assert row.b == want_b, f"bool({v!r}): {row.b} != {want_b}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd\t\n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_word_shingles_match_python_model(spark, texts):
+    """The zip/slice shingle construction (dedup.word_shingles) equals the
+    naive Python n-gram model on arbitrary whitespace-noise strings."""
+    from eventstream_spark.operators.dedup import _SHINGLE_N, word_shingles
+
+    def py_shingles(s: str) -> list[str]:
+        w = [t for t in s.split() if t]
+        seen, out = set(), []
+        for i in range(max(len(w) - (_SHINGLE_N - 1), 0)):
+            sh = " ".join(w[i : i + _SHINGLE_N])
+            if sh not in seen:
+                seen.add(sh)
+                out.append(sh)
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.s for r in df.select(word_shingles("text").alias("s")).collect()]
+    want = [py_shingles(t) for t in texts]
+    assert got == want
