@@ -1,0 +1,53 @@
+"""Regenerate PLANS.md: formatted physical plans for representative queries,
+the evidence behind SCALING.md's claims. Usage:
+
+    python scripts/dump_plans.py [sf_dir] > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eventstream_spark.operators import all_queries
+from eventstream_spark.session import get_spark
+
+PICKS = {
+    "q03_filter_project": "pushdown + pruning reach the parquet scan (PushedFilters, 2-column ReadSchema)",
+    "q05_join_rollup": "all three dims broadcast; the fact side never shuffles",
+    "q13_topk_per_group": "WindowGroupLimit caps per-group state before the sort",
+    "q15_topn": "TakeOrderedAndProject: per-partition heaps, no global sort",
+    "q41_ngram_jaccard": "PPJoin prefix plan: window-based frequency, two exchanges feed the ranked prefix",
+    "q53_ivf_ann": "map-side centroid assignment: literal planes, no centroid join before the cell shuffle",
+}
+
+
+def formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="dump-plans")
+    qs = all_queries()
+    print("# PLANS — physical-plan evidence for the scale claims\n")
+    print(
+        "Generated with `.explain('formatted')` (plans are scale-independent;\n"
+        "regenerate: `python scripts/dump_plans.py > PLANS.md`). What to look for\n"
+        "is noted per query; the same properties are asserted as regression tests\n"
+        "in `tests/test_plans.py` and `tests/test_sources.py`.\n"
+    )
+    for name, note in PICKS.items():
+        print(f"## {name}\n\n*{note}*\n")
+        plan = formatted_plan(spark, qs[name](spark, sf))
+        lines = [ln[:200] for ln in plan.splitlines()[:90]]
+        print("```")
+        print("\n".join(lines))
+        print("```\n")
+
+
+if __name__ == "__main__":
+    main()
