@@ -59,10 +59,6 @@ def _plane_sql_literal(w: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in w) + "]"
 
 
-def _plane_col(w: list[float]):
-    return F.array(*[lit(x) for x in w])
-
-
 # --- exact k-NN ------------------------------------------------------------
 
 def knn_exact(
@@ -118,13 +114,19 @@ def q51_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hyperplane-LSH ANN ----------------------------------------------------
 
 def lsh_bucketed(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
-    """(vec_id, v, bucket) — map-side signature, plane weights as literals."""
+    """(vec_id, v, bucket) — map-side signature. Plane weights ride as ONE
+    2-D literal + transform (same small-expression-tree trick as
+    _centroid_dists — identical projections, cheaper codegen)."""
     planes = planes or plane_weights()
     e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
-    bucket = None
-    for j, w in enumerate(planes):
-        bit = F.when(dot(col("v"), _plane_col(w)) >= 0, lit(1 << j)).otherwise(lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    pmat = F.array(*[F.array(*[lit(x) for x in w]) for w in planes])
+    powers = F.array(*[lit(1 << j) for j in range(len(planes))])
+    projections = F.transform(pmat, lambda w: dot(col("v"), w))
+    bucket = F.aggregate(
+        F.zip_with(projections, powers, lambda d, p: F.when(d >= 0, p).otherwise(lit(0))),
+        lit(0),
+        lambda acc, x: acc + x,
+    )
     # nsq = dot(v, v), precomputed per vector so the pairwise cosine inside
     # the bucket join folds ONE zip (the cross dot) instead of three; the
     # value is bit-identical because cosine = dot / sqrt(nsq_a * nsq_b)
