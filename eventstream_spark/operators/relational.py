@@ -400,6 +400,24 @@ def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (PivotFirst): per-user event-type count matrix. The value list
+    is explicit — at scale never let pivot() infer it (that is an extra
+    distinct scan) — and the oracle is the equivalent conditional
+    aggregation."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
 def q46_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel on first-event times: users whose first view
     precedes their first click precedes their first purchase, all within 7
@@ -581,6 +599,14 @@ ORACLES: dict[str, str] = {
         " GROUP BY l_orderkey, o_orderdate"
         " ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
     ),
+    "q47_pivot": (
+        "SELECT user_id,"
+        + ", ".join(
+            f" COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+            for t in _EVENT_TYPES
+        )
+        + " FROM events GROUP BY user_id ORDER BY user_id"
+    ),
     "q46_funnel": (
         "SELECT COUNT(*) AS n_converted FROM ("
         " SELECT user_id,"
@@ -636,4 +662,5 @@ QUERIES = {
     "q27_lag_lead": q27_lag_lead,
     "q28_shipping_priority": q28_shipping_priority,
     "q46_funnel": q46_funnel,
+    "q47_pivot": q47_pivot,
 }

@@ -1,0 +1,51 @@
+"""Admin CLI (A29): config validation paths, without a Spark session."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ADMIN = os.path.join(REPO, "scripts", "admin.py")
+CONFIG = os.path.join(REPO, "examples", "bus_config.json")
+
+
+def _run(args, env_extra=None):
+    env = {**os.environ, **(env_extra or {})}
+    return subprocess.run(
+        [sys.executable, ADMIN, *args], capture_output=True, text=True, env=env
+    )
+
+
+def test_validate_ok_with_env():
+    r = _run(["validate", CONFIG], {"SPARK_GRAFT_INSTANCE": "i-0"})
+    assert r.returncode == 0 and "OK: 1 bus(ses), 2 route(s)" in r.stdout
+
+
+def test_validate_fails_on_missing_env():
+    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_INSTANCE"}
+    r = subprocess.run(
+        [sys.executable, ADMIN, "validate", CONFIG], capture_output=True, text=True, env=env
+    )
+    assert r.returncode == 1 and "SPARK_GRAFT_INSTANCE" in r.stdout
+
+
+def test_validate_aggregates_errors(tmp_path):
+    bad = {
+        "application_name": "a",
+        "busses": [{"routes": [{"sink": {"kind": "bogus"}}]}],
+    }
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps(bad))
+    r = _run(["validate", str(path)])
+    out = r.stdout
+    assert r.returncode == 1
+    for frag in ("application_instance", "source_table/source_path", "event: required", "bogus"):
+        assert frag in out, out
+
+
+def test_unknown_command_prints_usage():
+    r = _run(["frobnicate"])
+    assert r.returncode == 2 and "Ops CLI" in r.stdout
