@@ -139,6 +139,49 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES, step: int = 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, deterministic_fake: bool = True
+) -> DataFrame:
+    """Resize stub with real Spark plumbing: binary in, binary out, typed
+    dimensions attached. A real implementation decodes, resamples, and
+    re-encodes per payload inside the same mapInPandas batch loop; the
+    container has no image libs, so the fake produces a deterministic
+    payload of exactly ``width*height`` bytes (cycled from the source) —
+    enough to test schema, batch shape, and byte accounting end-to-end."""
+
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media resize requires image libraries not present in this environment"
+        )
+    n_out = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                src = bytes(payload) or b"\x00"
+                resized = (src * (n_out // len(src) + 1))[:n_out]
+                out.append((doc_id, modality, resized, width, height))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "modality", "payload", "width", "height"]
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def q61_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing end-to-end, with the byte accounting checked
     exactly by an arithmetic oracle (frames are deterministic byte slices)."""
