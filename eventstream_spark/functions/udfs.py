@@ -66,6 +66,21 @@ def response_events_map_in_pandas(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, df.schema)
 
 
+def weighted_mean_udaf() -> "pandas_udf":
+    """UDAF rung: a grouped-aggregate pandas_udf (weighted mean) — the
+    vectorized custom-aggregate surface. Factory for the same
+    session-at-import reason as the scalar factories."""
+
+    def fn(values: pd.Series, weights: pd.Series) -> float:
+        total = float(weights.sum())
+        if total == 0.0:
+            return float("nan")
+        return float((values * weights).sum() / total)
+
+    # Series→scalar type hints make this a GROUPED_AGG udf.
+    return pandas_udf(fn, "double")
+
+
 def register_explode_props_udtf(spark) -> None:
     """Rung 5: a Python UDTF — one envelope row in, one row per props entry
     out (the table-function shape the reference has no analog for; its

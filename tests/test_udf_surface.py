@@ -79,3 +79,25 @@ def test_udtf_explode_props(spark, sf_dir):
         load(spark, sf_dir, "events").where(F.col("props").isNotNull()).count()
     )
     assert [(r.key, r.n) for r in got] == [("k", want_rows)]
+
+
+def test_grouped_agg_udaf_matches_builtin(spark, sf_dir):
+    """UDAF (grouped-agg pandas_udf): weighted mean equals the built-in
+    expression sum(v*w)/sum(w) per group."""
+    from eventstream_spark.functions.udfs import weighted_mean_udaf
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("v"), (F.col("user_id") + 1).alias("w")
+    )
+    wmean = weighted_mean_udaf()
+    got = {
+        r.event_type: round(r.wm, 6)
+        for r in ev.groupBy("event_type").agg(wmean("v", "w").alias("wm")).collect()
+    }
+    want = {
+        r.event_type: round(r.wm, 6)
+        for r in ev.groupBy("event_type")
+        .agg((F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("wm"))
+        .collect()
+    }
+    assert got == want and len(got) >= 3
