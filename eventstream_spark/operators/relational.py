@@ -400,6 +400,23 @@ def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORRELATED_SQL = (
+    "SELECT o_orderpriority, COUNT(*) AS n_above FROM orders o"
+    " WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i"
+    " WHERE i.o_orderpriority = o.o_orderpriority)"
+    " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def q48_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point: orders above
+    their priority class's average price. Catalyst decorrelates this into
+    an aggregate + join (no per-row re-execution) — the oracle runs the
+    IDENTICAL SQL string in duckdb."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -599,6 +616,7 @@ ORACLES: dict[str, str] = {
         " GROUP BY l_orderkey, o_orderdate"
         " ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
     ),
+    "q48_correlated_subquery": _CORRELATED_SQL,
     "q47_pivot": (
         "SELECT user_id,"
         + ", ".join(
@@ -663,4 +681,5 @@ QUERIES = {
     "q28_shipping_priority": q28_shipping_priority,
     "q46_funnel": q46_funnel,
     "q47_pivot": q47_pivot,
+    "q48_correlated_subquery": q48_correlated_subquery,
 }
