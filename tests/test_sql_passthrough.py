@@ -32,6 +32,7 @@ PORTABLE = [
     "q17_string_fns",
     "q22_dedup_count",
     "q47_pivot",
+    "q48_correlated_subquery",
 ]
 
 
