@@ -400,6 +400,23 @@ def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile (NTILE) sizes and the max
+    percent_rank per quartile within each order priority."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(F.count("*").alias("n"), F.round(F.max("pr"), 6).alias("max_pr"))
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
 _CORRELATED_SQL = (
     "SELECT o_orderpriority, COUNT(*) AS n_above FROM orders o"
     " WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i"
@@ -617,6 +634,15 @@ ORACLES: dict[str, str] = {
         " ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
     ),
     "q48_correlated_subquery": _CORRELATED_SQL,
+    "q49_distribution_windows": (
+        "SELECT o_orderpriority, quartile, COUNT(*) AS n,"
+        " ROUND(MAX(pr), 6) AS max_pr FROM ("
+        " SELECT o_orderpriority,"
+        " NTILE(4) OVER w AS quartile, PERCENT_RANK() OVER w AS pr"
+        " FROM orders"
+        " WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t"
+        " GROUP BY o_orderpriority, quartile ORDER BY o_orderpriority, quartile"
+    ),
     "q47_pivot": (
         "SELECT user_id,"
         + ", ".join(
@@ -682,4 +708,5 @@ QUERIES = {
     "q46_funnel": q46_funnel,
     "q47_pivot": q47_pivot,
     "q48_correlated_subquery": q48_correlated_subquery,
+    "q49_distribution_windows": q49_distribution_windows,
 }

@@ -33,6 +33,7 @@ PORTABLE = [
     "q22_dedup_count",
     "q47_pivot",
     "q48_correlated_subquery",
+    "q49_distribution_windows",
 ]
 
 
