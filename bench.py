@@ -22,6 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from eventstream_spark.cache import release_cached
 from eventstream_spark.operators import all_queries
 from eventstream_spark.session import get_spark
 
@@ -75,6 +76,10 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Free operator-internal persisted intermediates between queries so
+        # cached blocks don't accumulate across the suite (outside the timer:
+        # a real consumer frees the working set after reading the result).
+        release_cached()
 
     print(
         json.dumps(

@@ -62,8 +62,14 @@ ENVELOPE_SCHEMA = StructType(
 # (constants.py:46-49), boolean words (common.py:138-190, constants.py:20-37),
 # nan/inf (common.py:390-395), null words (common.py:396-397).
 
+# Deliberate superset of the reference's patterns (INTEGER_PATTERN
+# `^-?\d+$`, FLOATING_POINT_PATTERN `^-?\d+\.\d*$`, constants.py:46-49):
+# also accepts a leading '+', bare '.5', and exponent forms — values any
+# standard producer emits that the reference would leave as strings.
 _INT_RE = r"^[+-]?\d+$"
 _FLOAT_RE = r"^[+-]?(\d+\.\d*|\.\d+|\d+[eE][+-]?\d+|\d+\.\d*[eE][+-]?\d+)$"
+# Reference null words are exact-case ("None","Null","null","nil",
+# common.py:396-397); matched case-insensitively here.
 _NULL_WORDS = ("none", "null", "nil")
 _TRUE_WORDS = ("true", "yes", "on", "1", "y", "t")
 _FALSE_WORDS = ("false", "no", "off", "0", "n", "f")
@@ -94,14 +100,24 @@ def interpret_double(c: Column) -> Column:
 
 
 def interpret_boolean(c: Column) -> Column:
-    """Lenient boolean (reference is_true): word lists, else numeric strings
-    count as true above 0.5 (the reference's truth threshold)."""
+    """Lenient boolean — the composition of the reference's interpret_value
+    and is_true (common.py:366-404 then :138-190): integer strings are true
+    iff nonzero (so ``'-1'`` is true), float strings are true above the
+    reference's default ``minimum_truth`` of 0.3.
+
+    Deliberate, documented deviations (SQL-idiomatic tri-state): word
+    matching is case-insensitive where the reference's TRUE_VALUES
+    (constants.py:20-37) enumerates exact casings, inputs are trimmed, and
+    unrecognized / null-word strings yield SQL NULL rather than False so
+    downstream filters keep three-valued logic.
+    """
     c = _nullified(F.trim(c))  # whole-branch trim: '2 ' is numeric-true
     low = F.lower(c)
     return (
-        F.when(low.isin(*_TRUE_WORDS), lit(True))
+        F.when(c.rlike(_INT_RE), c.cast("long") != 0)
+        .when(c.rlike(_FLOAT_RE), c.cast("double") > 0.3)
+        .when(low.isin(*_TRUE_WORDS), lit(True))
         .when(low.isin(*_FALSE_WORDS), lit(False))
-        .when(c.rlike(_FLOAT_RE) | c.rlike(_INT_RE), c.cast("double") > 0.5)
         .otherwise(lit(None).cast("boolean"))
     )
 

@@ -24,9 +24,9 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
-from pyspark.storagelevel import StorageLevel
 from pyspark.sql.functions import col, lit
 
+from ..cache import persist_tracked
 from ..catalog import load
 from ..functions import (
     as_double_array,
@@ -128,10 +128,9 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # bits (~1e-10 at this cardinality — below any fixture's significance).
     # The shingle table feeds three branches (freq, prefix ranking, doc
     # sets); persist it so the text-parsing scan runs once, not per branch.
-    sh = (
-        shingle_table(docs)
-        .select("doc_id", F.xxhash64(col("s")).alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Tracked: callers free it via eventstream_spark.cache.release_cached().
+    sh = persist_tracked(
+        shingle_table(docs).select("doc_id", F.xxhash64(col("s")).alias("h"))
     )
 
     # Global shingle frequency as a window over h (not groupBy+rejoin):
@@ -229,12 +228,11 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             for k in range(_N_BANDS)
         ]
     )
-    bt = (
+    bt = persist_tracked(
         mh.select("doc_id", F.explode(bands).alias("b"))
         .select("doc_id", col("b.band").alias("band"), col("b.key").alias("key"))
-        # Both sides of the self-join read this; persist so the md5 + 16
-        # min-agg signature pipeline runs once.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # Both sides of the self-join read this; persist (tracked, freed by
+        # cache.release_cached) so the md5 + 16 min-agg pipeline runs once.
     )
     a = bt.alias("a")
     b = bt.alias("b")

@@ -23,9 +23,9 @@ import hashlib
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.storagelevel import StorageLevel
 from pyspark.sql.functions import broadcast, col, lit
 
+from ..cache import persist_tracked
 from ..catalog import load
 from ..functions import (
     as_double_array,
@@ -141,7 +141,7 @@ def lsh_ann(emb: DataFrame, k: int = 3) -> DataFrame:
     candidates + exact re-rank."""
     # Persist: both self-join sides read the signature table; without this the
     # 6 plane-projection dot products run twice per vector.
-    b = lsh_bucketed(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    b = persist_tracked(lsh_bucketed(emb))
     a = b.alias("a")
     c = b.alias("c")
     w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc(), col("neighbor_id"))
@@ -218,7 +218,7 @@ def ivf_ann(
     )
     centroids = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
 
-    assigned = ivf_assign(emb, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = persist_tracked(ivf_assign(emb, centroids))
     queries = assigned.where(query_pred).select(
         col("vec_id").alias("q_id"), col("v").alias("qv")
     )

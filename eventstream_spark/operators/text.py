@@ -154,7 +154,7 @@ _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 ORACLES = {
     "q34_bpe_pretokenize": f"""
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS total_pretokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS BIGINT) AS total_pretokens,
        ROUND(AVG(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))), 2) AS avg_pretokens
 FROM documents GROUP BY source ORDER BY source
 """,

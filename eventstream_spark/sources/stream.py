@@ -83,16 +83,11 @@ def kafka_stream(
     broadcast, shared group semantics come from partition assignment,
     reference A28 configuration/communication.py:105-128).
 
-    The container has no Kafka connector jars, so this raises with guidance
-    instead of failing deep inside the JVM; the option plumbing is real and
-    tested by inspection.
+    Connector availability is detected by attempting the load and catching
+    the source-not-found error — so a connector supplied via ``--jars``,
+    ``--packages``, or a fat classpath all work; only a genuinely missing
+    connector raises, with guidance instead of a deep JVM stack.
     """
-    jars = spark.conf.get("spark.jars.packages", "") or ""
-    if "spark-sql-kafka" not in jars:
-        raise NotImplementedError(
-            "Kafka connector not on classpath; start the session with "
-            "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<version>"
-        )
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -103,7 +98,16 @@ def kafka_stream(
         reader = reader.option("kafka.group.id", group_id)
     for key, value in options.items():
         reader = reader.option(key, value)
-    return reader.load()
+    try:
+        return reader.load()
+    except Exception as exc:  # connector missing → friendly, actionable error
+        msg = str(exc)
+        if "Failed to find" in msg and "kafka" in msg.lower():
+            raise NotImplementedError(
+                "Kafka connector not on classpath; add it via --jars or "
+                "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<version>"
+            ) from exc
+        raise
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:

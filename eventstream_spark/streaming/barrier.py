@@ -8,8 +8,9 @@ threshold are reclaimed so a crashed consumer cannot wedge the group
 (``get_idle_messages``, communication.py:756-807, default 10 min,
 system/system.py:35). The Spark rebuild keys streaming state by
 ``message_id`` and tracks the set of consumers that have acknowledged; when
-the required set is covered, ONE completion row is emitted and the state is
-dropped. With ``idle_timeout_ms`` set, a barrier that stops receiving acks
+the required set is covered, ONE completion row is emitted and the state
+becomes a tombstone (late duplicate acks are ignored; the idle timer, when
+configured, garbage-collects it). With ``idle_timeout_ms`` set, a barrier that stops receiving acks
 fires a processing-time timer instead and emits a ``timed_out`` row with the
 partial ack count — the idle-reclaim signal, surfaced as data.
 
@@ -32,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -46,7 +48,18 @@ BARRIER_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-_STATE_SCHEMA = StructType([StructField("seen", ArrayType(StringType()))])
+# seen = consumers acknowledged so far; done = completion tombstone. The
+# tombstone outlives the 'complete' emission so late duplicate acks are
+# ignored rather than resurrecting the barrier (and a full duplicate ack
+# set cannot re-emit a second 'complete' row). With idle_timeout_ms set the
+# timer garbage-collects tombstones; without it they persist — callers with
+# unbounded message-id domains should set idle_timeout_ms.
+_STATE_SCHEMA = StructType(
+    [
+        StructField("seen", ArrayType(StringType())),
+        StructField("done", BooleanType()),
+    ]
+)
 
 
 def completion_barrier(
@@ -71,7 +84,10 @@ def completion_barrier(
     ) -> Iterator[pd.DataFrame]:
         if idle_timeout_ms is not None and state.hasTimedOut:
             seen = set(state.get[0]) if state.exists else set()
+            done = bool(state.get[1]) if state.exists else False
             state.remove()
+            if done:
+                return  # tombstone GC — barrier already completed, emit nothing
             yield pd.DataFrame(
                 {
                     "message_id": [key[0]],
@@ -81,11 +97,22 @@ def completion_barrier(
             )
             return
         seen: set[str] = set(state.get[0]) if state.exists else set()
-        already_done = state.exists and required <= seen
+        done = bool(state.get[1]) if state.exists else False
+        if done:
+            # Late duplicate acks on a completed barrier: ignore, keep the
+            # tombstone, and re-arm the GC timer.
+            state.update((list(seen), True))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
+            return
         for pdf in pdfs:
             seen.update(c for c in pdf[consumer_col] if c in required)
-        if required <= seen and not already_done:
-            state.remove()  # barrier complete: drop state like the XACK+DEL
+        if required <= seen:
+            # Barrier complete (the XACK+DEL analog) — leave a tombstone so
+            # replayed/late acks cannot double-fire.
+            state.update((list(seen), True))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
             yield pd.DataFrame(
                 {
                     "message_id": [key[0]],
@@ -94,7 +121,7 @@ def completion_barrier(
                 }
             )
         else:
-            state.update((list(seen),))
+            state.update((list(seen), False))
             if idle_timeout_ms is not None:
                 state.setTimeoutDuration(idle_timeout_ms)
 

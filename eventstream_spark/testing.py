@@ -67,6 +67,13 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
         return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    # Integer-vs-float column drift (e.g. duckdb SUM(BIGINT) → HUGEINT →
+    # float64) compares equal cell-by-cell in Python but fails the driver's
+    # typed value-hash gate — flag it here so local runs catch it first.
+    for c in spark_pdf.columns:
+        ks, ko = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+        if {ks, ko} <= {"i", "u", "f"} and (ks == "f") != (ko == "f"):
+            problems.append(f"numeric kind mismatch on '{c}': spark={ks} oracle={ko}")
     a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
     for i, (ra, rb) in enumerate(zip(a, b)):
         if ra != rb:

@@ -9,6 +9,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from eventstream_spark.cache import release_cached
 from eventstream_spark.operators import all_oracles, all_queries
 from eventstream_spark.session import get_spark
 from eventstream_spark.testing import compare, run_oracle
@@ -27,6 +28,7 @@ def main() -> int:
             problems = compare(spark_pdf, oracle_pdf)
         except Exception as exc:  # noqa: BLE001
             problems = [f"exception: {exc}"]
+        release_cached()
         dt = time.time() - t0
         status = "OK " if not problems else "FAIL"
         print(f"{status} {name:28s} {dt:6.2f}s {'; '.join(problems)[:400]}")

@@ -41,10 +41,14 @@ def test_interpret_double(spark):
 
 def test_interpret_boolean_word_lists_and_threshold(spark):
     df = _one_col(spark, ["true", "YES", "on", "1", "false", "No", "off", "0",
-                          "0.9", "0.2", "7", "maybe", "nil"])
+                          "0.9", "0.2", "7", "maybe", "nil",
+                          "-1", "0.35", "0.3"])
     out = [r[0] for r in df.select(interpret_boolean(col("v"))).collect()]
+    # Numeric-string truth mirrors the reference's is_true: nonzero ints are
+    # true ('-1'), floats use the 0.3 minimum_truth default (strictly above).
     assert out == [True, True, True, True, False, False, False, False,
-                   True, False, True, None, None]
+                   True, False, True, None, None,
+                   True, True, False]
 
 
 def test_normalize_envelope_and_props(spark, sf_dir):

@@ -79,17 +79,23 @@ def _py_interpret_long(s: str):
 
 
 def _py_interpret_boolean(s: str):
-    low = s.strip().lower()
+    # Mirrors the reference's interpret_value→is_true composition: integer
+    # strings true iff nonzero, float strings true above minimum_truth=0.3.
+    import re
+
+    t = s.strip()
+    low = t.lower()
     if low in ("none", "null", "nil"):
         return None
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t) != 0
+    if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+[eE][+-]?\d+|\d+\.\d*[eE][+-]?\d+)", t):
+        return float(t) > 0.3
     if low in ("true", "yes", "on", "1", "y", "t"):
         return True
     if low in ("false", "no", "off", "0", "n", "f"):
         return False
-    try:
-        return float(s) > 0.5
-    except ValueError:
-        return None
+    return None
 
 
 @settings(max_examples=30, deadline=None)
