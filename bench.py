@@ -68,26 +68,46 @@ def main() -> None:
     spark = get_spark(app_name="eventstream-spark-bench")
     queries = all_queries()
 
-    # Warm-up: JVM, codegen, parquet footer caches, Arrow path.
+    # Warm-up: JVM, codegen, parquet footer caches, Arrow path — and the
+    # Python worker-daemon pool (spark.python.worker.reuse keeps it alive),
+    # so Pandas-UDF queries measure steady-state, not process fork.
     queries["q01_scan_count"](spark, sf_dir).toPandas()
+    import pandas as _pd
 
-    timings: dict[str, float] = {}
+    def _touch(it):
+        for pdf in it:
+            yield _pd.DataFrame({"n": [len(pdf)]})
+
+    spark.range(64).repartition(8).mapInPandas(_touch, schema="n long").collect()
+
+    # Each query is timed twice. The first (cold) run includes Catalyst
+    # analysis + whole-stage-codegen compilation of that query's plan — a
+    # per-plan one-time cost that dominates sub-second queries at this SF
+    # (janino compiles are ~1-5 s for the widest plans) and amortizes to
+    # nothing at 100 TB. The second (steady) run is the BASELINE.md metric:
+    # steady-state query time. Both are reported; `value` stays the cold
+    # total so the series remains comparable across rounds.
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Free operator-internal persisted intermediates between queries so
-        # cached blocks don't accumulate across the suite (outside the timer:
-        # a real consumer frees the working set after reading the result).
-        release_cached()
+        for timings in (cold, steady):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).toPandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # Free operator-internal persisted intermediates between runs so
+            # cached blocks don't accumulate across the suite (outside the
+            # timer: a consumer frees the working set after reading results).
+            release_cached()
 
     print(
         json.dumps(
             {
                 "metric": "headline_suite_time",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(cold.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "steady_state_value": round(sum(steady.values()), 3),
+                "steady_state_queries": steady,
                 "sf": sf,
             }
         )

@@ -72,12 +72,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Determinism contract (FIXTURES.md): tz-naive fixture timestamps must be
     # interpreted identically in both engines, so pin the session to UTC even
-    # when the caller's session (e.g. the driver's) didn't.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = fix_nanos_ts(df)
+    # when the caller's session (e.g. the driver's) didn't. Conf writes and
+    # the footer-reading spark.read are memoized per session — a plain read
+    # costs ~0.1 s of driver time, and suites load the same tables hundreds
+    # of times. DataFrames are immutable plans, so sharing one is safe; the
+    # fixture directories are read-only, so the plan never goes stale.
+    cache = getattr(spark, "_eventstream_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._eventstream_table_cache = cache
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if name == "events":
+            df = fix_nanos_ts(df)
+        cache[key] = df
     return df
 
 
@@ -87,6 +99,40 @@ def fix_nanos_ts(df: DataFrame, col_name: str = "ts") -> DataFrame:
     if col_name in df.columns and isinstance(df.schema[col_name].dataType, LongType):
         df = df.withColumn(col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000")))
     return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before CPU-dense
+    per-row work (regex tokenization, shingle hashing, vector folds,
+    Pandas-UDF stages).
+
+    A single parquet file with one row group plans as ONE input split no
+    matter what ``maxPartitionBytes`` says — so every downstream map runs on
+    one core (measured 3 s single-threaded vs 0.4 s spread for the sf0.1
+    shingle build on local[32]). The round-robin shuffle this inserts moves
+    only the raw rows (a few MB here) and unlocks every core. At cluster
+    scale the scan already has >= parallelism splits and this is a no-op —
+    the guard reads the actual planned partition count.
+
+    Deliberately NOT applied to float-sum aggregations (e.g. the q54 k-means
+    means): repartitioning reorders partial-aggregation folds, which can
+    flip a ROUND boundary against the fixed-order duckdb oracle. Integer
+    aggregates, per-row scores, min/max, and rank orderings are unaffected.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    # Guard on the leaf-file count, not df.rdd.getNumPartitions(): the RDD
+    # conversion forces a full physical planning pass (~0.2 s of driver time
+    # per call), while inputFiles() reads the already-cached file index. One
+    # file per core is the break-even point past which the source's own
+    # splits provide the parallelism.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (memory, stream): leave it alone
+        return df
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

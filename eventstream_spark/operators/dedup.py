@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
 from ..cache import persist_tracked
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions import (
     as_double_array,
     as_double_array_sql,
@@ -95,10 +95,10 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.agg(
+    docs = spread(load(spark, sf_dir, "documents"))
+    return docs.select(F.md5(col("text")).alias("fp")).agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct(F.md5(col("text"))).alias("n_unique"),
+        F.countDistinct("fp").alias("n_unique"),
     )
 
 
@@ -126,32 +126,38 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # longs beats string compares. The final jac equals the string-set value
     # unless two distinct shingles inside one compared pair collide in 64
     # bits (~1e-10 at this cardinality — below any fixture's significance).
-    # The shingle table feeds three branches (freq, prefix ranking, doc
-    # sets); persist it so the text-parsing scan runs once, not per branch.
-    # Tracked: callers free it via eventstream_spark.cache.release_cached().
-    sh = persist_tracked(
-        shingle_table(docs).select("doc_id", F.xxhash64(col("s")).alias("h"))
+    # Persist the PER-DOC hash arrays (a few KB per doc), not the exploded
+    # table: the expensive text parse runs once, the exploded views derive
+    # cheaply from the cache, and the verification step reads the arrays
+    # directly — no collect_set re-aggregation shuffle. Tracked: callers
+    # free it via eventstream_spark.cache.release_cached().
+    docs = spread(docs)
+    arr = persist_tracked(
+        docs.select(
+            "doc_id",
+            F.transform(word_shingles("text"), lambda s: F.xxhash64(s)).alias("hs"),
+        ).withColumn("n", F.size("hs"))
     )
+    sh = arr.select("doc_id", "n", F.explode("hs").alias("h"))
 
     # Global shingle frequency as a window over h (not groupBy+rejoin):
     # saves a whole shuffle — the plan is exchange(h) → count window →
-    # exchange(doc_id) → rank/count windows, two exchanges total.
+    # exchange(doc_id) → rank window, two exchanges total (the per-doc
+    # shingle count n rides along from the array size, no third window).
     df_w = Window.partitionBy("h")
     rank_w = Window.partitionBy("doc_id").orderBy("df", "h")
-    n_w = Window.partitionBy("doc_id")
     ranked = (
         sh.withColumn("df", F.count("*").over(df_w))
-        .select(
-            "doc_id",
-            "h",
-            "df",
-            F.row_number().over(rank_w).alias("r"),
-            F.count("*").over(n_w).alias("n"),
-        )
+        .select("doc_id", "h", "df", "n", F.row_number().over(rank_w).alias("r"))
     )
-    prefix = ranked.where(
-        col("r") <= col("n") - F.ceil(lit(t_prefix) * col("n")) + 1
-    ).select("doc_id", "h", "r", "n")
+    # Persist: both sides of the candidate self-join read prefix; aliasing
+    # defeats exchange reuse, so without this the two windows (and their
+    # exchanges) execute twice — measured ~25% of the operator's runtime.
+    prefix = persist_tracked(
+        ranked.where(
+            col("r") <= col("n") - F.ceil(lit(t_prefix) * col("n")) + 1
+        ).select("doc_id", "h", "r", "n")
+    )
 
     # PPJoin candidate join on the rare prefix, tightened by the length
     # filter (J >= t forces t*n1 <= n2) and the positional filter (the
@@ -179,18 +185,17 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .distinct()
     )
 
-    # Verification: exact overlap via per-doc hash sets + array_intersect —
-    # two equi-joins on doc_id carrying one array per row, instead of a
-    # candidates×shingles×shingles join; AQE broadcasts the doc_sets side
-    # when it is small enough.
-    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("ss"))
+    # Verification: exact overlap via the cached per-doc hash arrays +
+    # array_intersect — two equi-joins on doc_id carrying one array per row,
+    # instead of a candidates×shingles×shingles join; AQE broadcasts the
+    # (cached, small) array side.
     inter = F.size(F.array_intersect(col("ss1"), col("ss2"))).cast("double")
     union = (F.size(col("ss1")) + F.size(col("ss2"))).cast("double") - inter
     return (
         candidates.join(
-            doc_sets.select(col("doc_id").alias("d1"), col("ss").alias("ss1")), "d1"
+            arr.select(col("doc_id").alias("d1"), col("hs").alias("ss1")), "d1"
         )
-        .join(doc_sets.select(col("doc_id").alias("d2"), col("ss").alias("ss2")), "d2")
+        .join(arr.select(col("doc_id").alias("d2"), col("hs").alias("ss2")), "d2")
         .select("d1", "d2", F.round(inter / union, 6).alias("jac"))
         .where(col("jac") >= threshold)
     )
@@ -205,7 +210,7 @@ def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh15) — one hash-aggregate, no permutation explode."""
-    sh = shingle_table(docs).select("doc_id", hash48(col("s")).alias("h"))
+    sh = shingle_table(spread(docs)).select("doc_id", hash48(col("s")).alias("h"))
     aggs = [
         F.min((lit(a) * col("h") + lit(b)) % _P).alias(f"mh{j}")
         for j, (a, b) in enumerate(_MINHASH_PARAMS)
@@ -261,7 +266,7 @@ _SIMHASH_BITS = 16
 def simhash_table(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 16-bit SimHash over token hashes (with
     multiplicity), computed as 16 conditional sums in one aggregation."""
-    t = docs.select("doc_id", F.explode(tokens("text")).alias("t")).select(
+    t = spread(docs).select("doc_id", F.explode(tokens("text")).alias("t")).select(
         "doc_id", hash48(col("t")).alias("h")
     )
     aggs = [
@@ -292,7 +297,7 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     candidate sets. The scale path is q52 (hyperplane-LSH bucketing) followed
     by this check within buckets.
     """
-    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
     a = e.alias("a")
     b = e.alias("b")
     cos = cosine(col("a.v"), col("b.v"))

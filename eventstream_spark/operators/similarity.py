@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast, col, lit
 
 from ..cache import persist_tracked
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions import (
     as_double_array,
     as_double_array_sql,
@@ -34,6 +34,7 @@ from ..functions import (
     cosine_sql,
     dot,
     dot_sql,
+    matrix_literal,
     sq_l2,
     sq_l2_sql,
 )
@@ -66,7 +67,7 @@ def knn_exact(
 ) -> DataFrame:
     """Top-k neighbors of one vector. Target side is broadcast; the corpus
     scan is a single map + TakeOrdered — no shuffle of the corpus."""
-    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
     target = e.where(col("vec_id") == target_vec_id).select(col("v").alias("t"))
     cand = e.where(col("vec_id") != target_vec_id).crossJoin(broadcast(target))
     if metric == "sq_l2":
@@ -83,7 +84,7 @@ def q50_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def topk_per_query(emb: DataFrame, query_pred, k: int) -> DataFrame:
     """Brute-force top-k cosine neighbors for a (small, broadcast) query set."""
-    e = emb.select(
+    e = spread(emb).select(
         col("vec_id"), as_double_array(col("embedding")).alias("v")
     ).withColumn("nsq", dot(col("v"), col("v")))
     q = e.where(query_pred).select(
@@ -118,8 +119,8 @@ def lsh_bucketed(emb: DataFrame, planes: list[list[float]] | None = None) -> Dat
     2-D literal + transform (same small-expression-tree trick as
     _centroid_dists — identical projections, cheaper codegen)."""
     planes = planes or plane_weights()
-    e = emb.select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
-    pmat = F.array(*[F.array(*[lit(x) for x in w]) for w in planes])
+    e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    pmat = matrix_literal(planes)
     powers = F.array(*[lit(1 << j) for j in range(len(planes))])
     projections = F.transform(pmat, lambda w: dot(col("v"), w))
     bucket = F.aggregate(
@@ -175,8 +176,9 @@ _IVF_PROBE = 2
 def _centroid_dists(v: Column, centroids: list[tuple[int, list[float]]]):
     """(dists, cells) columns from ONE 2-D centroid literal + transform —
     a far smaller expression tree than per-centroid fold expressions
-    (measured 2× faster end-to-end from the codegen savings alone)."""
-    cmat = F.array(*[F.array(*[lit(x) for x in cv]) for _, cv in centroids])
+    (measured 2× faster end-to-end from the codegen savings alone; the
+    matrix itself is one parsed expr, not dim×cells py4j lit calls)."""
+    cmat = matrix_literal([cv for _, cv in centroids])
     cells = F.array(*[lit(cid) for cid, _ in centroids])
     return F.transform(cmat, lambda cv: sq_l2(v, cv)), cells
 
@@ -218,7 +220,7 @@ def ivf_ann(
     )
     centroids = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
 
-    assigned = persist_tracked(ivf_assign(emb, centroids))
+    assigned = persist_tracked(ivf_assign(spread(emb), centroids))
     queries = assigned.where(query_pred).select(
         col("vec_id").alias("q_id"), col("v").alias("qv")
     )

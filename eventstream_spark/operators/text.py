@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col, lit
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions import tokens, tokens_sql
 
 # Marker stopwords per language, checked in fixed order (en, es, de, fr).
@@ -41,7 +41,7 @@ def _marker_count_sql(lang: str) -> str:
 def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-marker language ID; argmax over marker hit counts with a
     deterministic preference order, 'und' when nothing matches."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = tokens("text")
     d = docs.select(
         "doc_id", *[_marker_count(toks, lang).alias(f"n_{lang}") for lang in _LANG_ORDER]
@@ -65,7 +65,7 @@ def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length saturation + punctuation penalty +
     stopword-density reward, mirrored exactly in the oracle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = tokens("text")
     n_tokens = F.size(toks).cast("double")
     punct = F.length(F.regexp_replace(col("text"), r"[^!?.,;:]", "")).cast("double")
@@ -83,7 +83,7 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per source: whitespace tokens + a BPE-ish
     chars/4 estimate (standard subword heuristic)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return (
         docs.select(
             "source",
@@ -114,10 +114,13 @@ def _normalized_text():
 def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over normalized text (lowercase, strip
     non-alphanumerics, collapse whitespace) — the exact-dedup key."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.agg(
+    docs = spread(load(spark, sf_dir, "documents"))
+    # Project the fingerprint BEFORE aggregating: countDistinct over a raw
+    # expression re-prints the whole regex tree in every aggregate phase of
+    # the plan — a column reference keeps codegen small.
+    return docs.select(F.md5(_normalized_text()).alias("fp")).agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct(F.md5(_normalized_text())).alias("n_unique"),
+        F.countDistinct("fp").alias("n_unique"),
     )
 
 
@@ -133,7 +136,7 @@ def q34_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document, aggregated per source. regexp_extract_all is JVM-side;
     the duckdb mirror uses the same pattern under RE2 (no lookahead, so
     the two engines split identically)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     n_pretokens = F.size(
         F.regexp_extract_all(col("text"), lit(BPE_PRETOKEN_RE), 0)
     ).cast("long")
