@@ -54,6 +54,7 @@ HEADLINE = [
     "q33_fingerprint",
     "q41_ngram_jaccard",
     "q42_minhash_lsh",
+    "q55_dedup_clusters",
     "q43_simhash",
     "q50_knn_exact",
     "q52_lsh_ann",

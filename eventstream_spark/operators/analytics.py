@@ -1,0 +1,241 @@
+"""Relational surface extensions: subquery shapes, window frames,
+percentiles, conditional/ordered-set aggregation, sliding windows.
+
+Same contract as ``relational.py``: every builder is pure DataFrame API
+(Catalyst owns the physical plan) and every query has a duckdb oracle with
+IDENTICAL column names/types. The shapes here round out SURVEY §2 Part B
+coverage with the query families a warehouse user reaches for next:
+EXISTS / NOT EXISTS decorrelation, RANGE window frames over event time,
+first/last_value frames, exact interpolated percentiles, FILTER-style
+conditional aggregation, ordered string aggregation, and the sliding-window
+batch twin of the streaming ``window(ts, len, slide)`` operator.
+
+Scale notes: the EXISTS/NOT EXISTS forms compile to semi/anti joins (one
+shuffle on the join key, AQE-broadcastable); the RANGE frame is linear state
+within each user partition (sum via DECIMAL so partial order cannot change
+the value); the sliding window expands each row to len/slide windows
+map-side before one aggregation shuffle — the standard streaming plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import col, lit
+
+from ..catalog import load
+
+
+def q62_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one deep-discount line, per priority (TPC-H Q4
+    shape). EXISTS decorrelates to a left-semi join — the scalable form."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(col("l_discount") > 0.09)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q63_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with NO line shipped more than 60 days after the order date,
+    per status. Correlated NOT EXISTS == left-anti with the residual theta
+    condition riding on the equi-join."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def q64_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum over event time — a RANGE frame keyed on
+    epoch seconds, the batch twin of a sliding stateful aggregation.
+
+    The frame sum runs over DECIMAL(18,2) so the result is identical no
+    matter how either engine orders or segments the frame (duckdb uses
+    segment trees, Spark a sliding buffer — float folds would differ in
+    the last ulp); the output is cast back to double.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    vdec = F.round(col("value"), 2).cast("decimal(18,2)")
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return (
+        ev.select("user_id", "event_id", sec.alias("sec"), vdec.alias("v"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("v").over(w).cast("double").alias("roll_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q65_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last order price per customer via full-partition frames
+    (first_value / last_value / count over UNBOUNDED..UNBOUNDED)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first_value("o_totalprice").over(w).alias("first_price"),
+            F.last_value("o_totalprice").over(w).alias("last_price"),
+            F.count("*").over(w).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+def q66_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of l_quantity per return flag
+    (percentile == duckdb quantile_cont: linear interpolation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q67_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregation per order status: big-ticket
+    counts and their share, as CASE-WHEN sums (identical in both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    big = F.when(col("o_totalprice") > 200000.0, 1).otherwise(0)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(big).cast("long").alias("n_big"),
+            F.round(F.sum(big) / F.count("*"), 4).alias("big_share"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q68_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: comma-joined sorted nation list per
+    region (collect_list → array_sort → array_join == string_agg ORDER BY)."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q21b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour / 30-minute window counts — the batch twin of the
+    streaming ``window(ts, '1 hour', '30 minutes')`` aggregation. Each event
+    lands in len/slide = 2 windows (map-side expansion, one shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(col("w.start").alias("w_start"), "event_type", "cnt")
+        .orderBy("w_start", "event_type")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q62_exists_subquery": """
+SELECT o_orderpriority, COUNT(*) AS cnt
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+GROUP BY 1 ORDER BY 1
+""",
+    "q63_not_exists_anti": """
+SELECT o_orderstatus, COUNT(*) AS cnt
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+""",
+    "q64_range_frame": """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_1h
+FROM events ORDER BY user_id, event_id
+""",
+    "q65_first_last_value": """
+SELECT DISTINCT o_custkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price,
+       COUNT(*) OVER w AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey
+""",
+    "q66_percentiles": """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+    "q67_conditional_agg": """
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       ROUND(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS big_share
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    "q68_string_agg": """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY 1 ORDER BY 1
+""",
+    # Each event belongs to the two 1h windows starting at its 30-minute
+    # bucket and 30 minutes earlier (len/slide = 2) — Spark's window()
+    # alignment origin (epoch) and time_bucket agree for divisor intervals.
+    "q21b_sliding_window": """
+WITH x AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w_start, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM events)
+SELECT w_start, event_type, COUNT(*) AS cnt
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+""",
+}
+
+QUERIES = {
+    "q62_exists_subquery": q62_exists_subquery,
+    "q63_not_exists_anti": q63_not_exists_anti,
+    "q64_range_frame": q64_range_frame,
+    "q65_first_last_value": q65_first_last_value,
+    "q66_percentiles": q66_percentiles,
+    "q67_conditional_agg": q67_conditional_agg,
+    "q68_string_agg": q68_string_agg,
+    "q21b_sliding_window": q21b_sliding_window,
+}

@@ -258,6 +258,62 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs).orderBy("d1", "d2")
 
 
+def dedup_clusters(docs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate graph, by distributed min-label propagation.
+
+    Each iteration every node takes the min of its own label and its
+    neighbors' labels — one equi-join + one aggregation (shuffles on
+    doc_id, a uniform key). Convergence needs O(component diameter)
+    iterations; near-dup clusters are small-diameter by construction, and
+    ``max_iterations`` bounds the loop defensively. ``localCheckpoint``
+    truncates lineage each round so the plan stays constant-size — the
+    standard large-scale CC shape (GraphX's label propagation is the same
+    plan). The driver loop carries only a convergence bit, never data.
+
+    Returns one row per cluster: (cluster_id = min doc_id, size).
+    """
+    pairs = lsh_candidate_pairs(docs)
+    edges = (
+        pairs.select(col("d1").alias("src"), col("d2").alias("dst"))
+        .unionAll(pairs.select(col("d2").alias("src"), col("d1").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = edges.select(col("src").alias("node")).distinct().withColumn(
+        "label", col("node")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            nbr.unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(col("n.label") != col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .select(col("label").alias("cluster_id"), "size")
+    )
+
+
+def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup_clusters(docs).orderBy("cluster_id")
+
+
 # --- SimHash ---------------------------------------------------------------
 
 _SIMHASH_BITS = 16
@@ -319,7 +375,9 @@ def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracles ---------------------------------------------------------------
 
-def _minhash_sql() -> str:
+def _lsh_pairs_ctes() -> str:
+    """The shared CTE chain producing the LSH candidate pairs (d1 < d2) —
+    reused by the q42 oracle and the q55 recursive-CTE clusters oracle."""
     mins = ", ".join(
         f"MIN(({a} * h + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_MINHASH_PARAMS)
     )
@@ -327,16 +385,39 @@ def _minhash_sql() -> str:
         f"SELECT doc_id, {k} AS band, mh{2 * k}::VARCHAR || ',' || mh{2 * k + 1}::VARCHAR AS key FROM mh"
         for k in range(_N_BANDS)
     )
-    return f"""
-WITH sh AS ({_SHINGLES_SQL}),
+    return f"""sh AS ({_SHINGLES_SQL}),
 h AS (SELECT doc_id, {hash48_sql('s')} AS h FROM sh),
 mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
 bands AS ({bands}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_lsh_pairs_ctes()}
 SELECT d1, d2 FROM pairs ORDER BY 1, 2
+"""
+
+
+def _clusters_sql() -> str:
+    """Connected components as a recursive CTE: reach = transitive closure
+    of (node, seen-label), then MIN per node — the set-semantics UNION
+    guarantees termination."""
+    return f"""
+WITH RECURSIVE {_lsh_pairs_ctes()},
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+final AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+FROM final GROUP BY 1 ORDER BY 1
 """
 
 
@@ -373,6 +454,7 @@ WHERE ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6) >= 0.5
 ORDER BY 1, 2
 """,
     "q42_minhash_lsh": _minhash_sql(),
+    "q55_dedup_clusters": _clusters_sql(),
     "q43_simhash": _simhash_sql(),
     "q44_embedding_neardup": f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings)
@@ -388,6 +470,7 @@ QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_ngram_jaccard": q41_ngram_jaccard,
     "q42_minhash_lsh": q42_minhash_lsh,
+    "q55_dedup_clusters": q55_dedup_clusters,
     "q43_simhash": q43_simhash,
     "q44_embedding_neardup": q44_embedding_neardup,
 }

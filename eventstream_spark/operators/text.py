@@ -12,11 +12,11 @@ except the final small aggregation, filters/projections push into the scan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
 from ..catalog import load, spread
-from ..functions import tokens, tokens_sql
+from ..functions import hash48, hash48_sql, tokens, tokens_sql
 
 # Marker stopwords per language, checked in fixed order (en, es, de, fr).
 _MARKERS = {
@@ -152,6 +152,88 @@ def q34_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF: top-20 terms by total_tf × ln(N/df).
+
+    Counts are integers (partition-order independent); the only float op is
+    the final per-term ln — mirrored exactly in the oracle. The corpus size
+    N rides in as a broadcast scalar subquery, not a driver-side collect.
+    Scale: explode → one groupBy(term) shuffle; df and tf come from the same
+    aggregate."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    stats = tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    score = F.round(col("tf") * F.log(col("n_docs") / col("df")), 4)
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select("term", "tf", "df", score.alias("tfidf"))
+        .orderBy(col("tfidf").desc(), "term")
+        .limit(20)
+    )
+
+
+def q36_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams by document frequency (per-doc distinct bigrams,
+    the n-gram language-model building block)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    w = tokens("text")
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.array_distinct(
+        F.zip_with(F.slice(w, 1, m), F.slice(w, 2, m), lambda x, y: F.concat_ws(" ", x, y))
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(col("doc_freq").desc(), "bigram")
+        .limit(20)
+    )
+
+
+def q56_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% corpus sample: hash48(doc_id) mod 100 < 5 — the
+    reproducible-sampling primitive for training-data pipelines (same rows
+    selected on every engine, every run, any partitioning)."""
+    docs = load(spark, sf_dir, "documents")
+    picked = docs.where(hash48(col("doc_id").cast("string")) % 100 < 5)
+    return picked.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample per source stratum: rank docs inside each
+    source by hash order and keep the first ceil(0.1·n). One window shuffle
+    on the stratum key; the hash rank makes the pick reproducible without a
+    seed."""
+    docs = load(spark, sf_dir, "documents")
+    h = hash48(col("doc_id").cast("string"))
+    rank_w = Window.partitionBy("source").orderBy("h", "doc_id")
+    n_w = Window.partitionBy("source")
+    ranked = docs.select("doc_id", "source", "n_chars", h.alias("h")).select(
+        "source",
+        "n_chars",
+        F.row_number().over(rank_w).alias("r"),
+        F.count("*").over(n_w).alias("n"),
+    )
+    return (
+        ranked.where(col("r") <= F.ceil(lit(0.1) * col("n")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.max("n").alias("n_total"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
 ORACLES = {
@@ -206,6 +288,38 @@ FROM tok GROUP BY 1 ORDER BY 1
     "q33_fingerprint": f"""
 SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5({_NORM})) AS n_unique FROM documents
 """,
+    "q35_tfidf": f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql()}) AS term FROM documents),
+s AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT term, tf, df, ROUND(tf * ln(n_docs / df), 4) AS tfidf
+FROM s, n ORDER BY tfidf DESC, term LIMIT 20
+""",
+    "q36_bigram_counts": f"""
+WITH tok AS (SELECT doc_id, {tokens_sql()} AS w FROM documents),
+bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+       FROM tok, UNNEST(range(1, len(w))) AS t(i))
+SELECT bigram, COUNT(*) AS doc_freq
+FROM bg GROUP BY 1 ORDER BY doc_freq DESC, bigram LIMIT 20
+""",
+    "q56_hash_sample": f"""
+SELECT COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       MIN(doc_id) AS first_doc
+FROM documents
+WHERE {hash48_sql("CAST(doc_id AS VARCHAR)")} % 100 < 5
+""",
+    "q57_stratified_sample": f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY {hash48_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT source, COUNT(*) AS n_sampled, MAX(n) AS n_total,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
+""",
 }
 
 QUERIES = {
@@ -214,4 +328,8 @@ QUERIES = {
     "q32_token_count": q32_token_count,
     "q33_fingerprint": q33_fingerprint,
     "q34_bpe_pretokenize": q34_bpe_pretokenize,
+    "q35_tfidf": q35_tfidf,
+    "q36_bigram_counts": q36_bigram_counts,
+    "q56_hash_sample": q56_hash_sample,
+    "q57_stratified_sample": q57_stratified_sample,
 }

@@ -34,6 +34,10 @@ PORTABLE = [
     "q47_pivot",
     "q48_correlated_subquery",
     "q49_distribution_windows",
+    "q62_exists_subquery",
+    "q63_not_exists_anti",
+    "q65_first_last_value",
+    "q67_conditional_agg",
 ]
 
 
