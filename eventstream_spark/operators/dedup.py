@@ -282,26 +282,28 @@ def dedup_clusters(docs: DataFrame, max_iterations: int = 20) -> DataFrame:
     labels = edges.select(col("src").alias("node")).distinct().withColumn(
         "label", col("node")
     ).localCheckpoint()
+    # Convergence via the label-sum invariant: labels are non-increasing per
+    # node each round (min of self ∪ neighbors), so an unchanged exact sum
+    # ⟺ fixpoint — one tiny aggregate per round instead of a self-join
+    # diff. DECIMAL(38,0) keeps the sum exact at any id scale.
+    label_sum = lambda df: df.agg(  # noqa: E731
+        F.sum(col("label").cast("decimal(38,0)")).alias("s")
+    ).first()[0]
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
         nbr = edges.join(labels, edges.src == labels.node).select(
             col("dst").alias("node"), "label"
         )
-        new_labels = (
+        labels = (
             nbr.unionAll(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(col("n.label") != col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("size"))
