@@ -21,6 +21,9 @@ PICKS = {
     "q15_topn": "TakeOrderedAndProject: per-partition heaps, no global sort",
     "q41_ngram_jaccard": "PPJoin prefix plan: window-based frequency, two exchanges feed the ranked prefix",
     "q53_ivf_ann": "map-side centroid assignment: literal planes, no centroid join before the cell shuffle",
+    "q62_exists_subquery": "EXISTS decorrelates to a left-semi join (AQE-broadcastable)",
+    "q64_range_frame": "RANGE frame: one exchange on user_id, linear in-partition state",
+    "q21b_sliding_window": "sliding window: map-side 2x expansion, one aggregation shuffle",
 }
 
 

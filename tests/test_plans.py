@@ -45,6 +45,13 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # rank pushdown, state bounded per key
 
 
+def test_exists_shapes_plan_as_semi_anti_joins(spark, sf_dir):
+    from eventstream_spark.operators import analytics as A
+
+    assert "LeftSemi" in _plan(A.q62_exists_subquery(spark, sf_dir))
+    assert "LeftAnti" in _plan(A.q63_not_exists_anti(spark, sf_dir))
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_cartesian_products(spark, sf_dir, name):
     """Every declared query must avoid CartesianProduct. Deliberate

@@ -24,3 +24,23 @@ def test_every_query_has_oracle():
 def test_query_matches_oracle(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert_matches_oracle(df, ORACLES[name], sf_dir)
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++) lands within 5% of the exact count —
+    the scale path for q11-style distincts when exactness isn't required.
+    (No duckdb hash-parity is possible for sketches, so this is a
+    tolerance test, not an oracle query.)"""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load
+
+    row = (
+        load(spark, sf_dir, "orders")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        )
+        .first()
+    )
+    assert abs(row.approx - row.exact) / row.exact < 0.05
