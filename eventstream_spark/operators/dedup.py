@@ -258,7 +258,7 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs).orderBy("d1", "d2")
 
 
-def dedup_clusters(docs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def cc_labels(docs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     candidate graph, by distributed min-label propagation.
 
@@ -271,7 +271,9 @@ def dedup_clusters(docs: DataFrame, max_iterations: int = 20) -> DataFrame:
     standard large-scale CC shape (GraphX's label propagation is the same
     plan). The driver loop carries only a convergence bit, never data.
 
-    Returns one row per cluster: (cluster_id = min doc_id, size).
+    Returns per-node labels (node, label): label = min doc_id reachable —
+    the component representative. Only nodes that appear in some candidate
+    pair are returned (singletons are their own trivial cluster).
     """
     pairs = lsh_candidate_pairs(docs)
     edges = (
@@ -304,10 +306,37 @@ def dedup_clusters(docs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """One row per near-dup cluster: (cluster_id = min doc_id, size)."""
     return (
-        labels.groupBy("label")
+        cc_labels(docs, max_iterations)
+        .groupBy("label")
         .agg(F.count("*").alias("size"))
         .select(col("label").alias("cluster_id"), "size")
+    )
+
+
+def dedup_keep_representatives(docs: DataFrame) -> DataFrame:
+    """The full dedup APPLICATION: drop every near-dup cluster member except
+    its representative (min doc_id), keep everything else — the corpus a
+    training pipeline actually feeds downstream. One anti join against the
+    (small) non-representative set; at 100 TB the label table is a tiny
+    fraction of the corpus, so AQE broadcasts it and the corpus never
+    shuffles."""
+    labels = cc_labels(docs)
+    drop = labels.where(col("node") != col("label")).select(col("node").alias("doc_id"))
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def q58_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    kept = dedup_keep_representatives(docs)
+    return kept.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )
 
 
@@ -404,12 +433,11 @@ SELECT d1, d2 FROM pairs ORDER BY 1, 2
 """
 
 
-def _clusters_sql() -> str:
-    """Connected components as a recursive CTE: reach = transitive closure
-    of (node, seen-label), then MIN per node — the set-semantics UNION
-    guarantees termination."""
-    return f"""
-WITH RECURSIVE {_lsh_pairs_ctes()},
+def _cc_ctes() -> str:
+    """Recursive-CTE connected components over the LSH pairs: reach =
+    transitive closure of (node, seen-label), then MIN per node — the
+    set-semantics UNION guarantees termination. Shared by q55 and q58."""
+    return f"""{_lsh_pairs_ctes()},
 edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
           UNION ALL SELECT d2, d1 FROM pairs),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -417,9 +445,23 @@ reach(node, label) AS (
   SELECT node, node FROM nodes
   UNION
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-final AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+final AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)"""
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_ctes()}
 SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS size
 FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
+def _dedup_keep_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_ctes()}
+SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM final WHERE node <> label)
 """
 
 
@@ -457,6 +499,7 @@ ORDER BY 1, 2
 """,
     "q42_minhash_lsh": _minhash_sql(),
     "q55_dedup_clusters": _clusters_sql(),
+    "q58_dedup_keep": _dedup_keep_sql(),
     "q43_simhash": _simhash_sql(),
     "q44_embedding_neardup": f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings)
@@ -473,6 +516,7 @@ QUERIES = {
     "q41_ngram_jaccard": q41_ngram_jaccard,
     "q42_minhash_lsh": q42_minhash_lsh,
     "q55_dedup_clusters": q55_dedup_clusters,
+    "q58_dedup_keep": q58_dedup_keep,
     "q43_simhash": q43_simhash,
     "q44_embedding_neardup": q44_embedding_neardup,
 }
