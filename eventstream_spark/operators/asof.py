@@ -34,9 +34,16 @@ def asof_join(
     right_ts: str,
     left_value: str,
     value_alias: str = "asof_value",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each right row, attach ``left_value`` of the latest left row with
-    ``left_ts <= right_ts`` on the same key (None if no such row)."""
+    ``left_ts <= right_ts`` on the same key (None if no such row).
+
+    ``tolerance_seconds`` bounds the lookback (pandas ``merge_asof``
+    tolerance semantics): a match older than the tolerance yields None.
+    Implemented by carrying the matched left timestamp alongside the value
+    and nulling stale matches — same single shuffle, no extra join.
+    """
     l = left.select(
         col(key).alias("k"),
         col(left_ts).alias("t"),
@@ -58,6 +65,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn(value_alias, F.last("lv", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        lt = F.when(col("side") == 0, col("t"))
+        carried = carried.withColumn("_lt", F.last(lt, ignorenulls=True).over(w))
+        fresh = (
+            F.unix_timestamp(col("t")) - F.unix_timestamp(col("_lt"))
+            <= tolerance_seconds
+        )
+        carried = carried.withColumn(
+            value_alias, F.when(fresh, col(value_alias))
+        )
     return carried.where(col("side") == 1).select(
         *[col(f"r_{c}").alias(c) for c in r_cols], col(value_alias)
     )
@@ -81,7 +98,36 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "click_id").orderBy("event_id")
 
 
+def q25b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q25 with a 1-hour lookback bound: clicks older than an hour before
+    the purchase no longer count (merge_asof tolerance semantics)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.where(col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_value="event_id",
+        value_alias="click_id",
+        tolerance_seconds=3600,
+    )
+    return out.select("event_id", "click_id").orderBy("event_id")
+
+
 ORACLES = {
+    "q25b_asof_tolerance": """
+WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id,
+       (SELECT c.event_id FROM clicks c
+        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+FROM purch p ORDER BY p.event_id
+""",
     "q25_asof_join": """
 WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
 purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
@@ -93,4 +139,7 @@ FROM purch p ORDER BY p.event_id
 """,
 }
 
-QUERIES = {"q25_asof_join": q25_asof_join}
+QUERIES = {
+    "q25_asof_join": q25_asof_join,
+    "q25b_asof_tolerance": q25b_asof_tolerance,
+}
