@@ -282,6 +282,51 @@ def kmeans_step(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> Dat
     )
 
 
+def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) in long form:
+    (label, dim index, member count, mean component). posexplode → one
+    groupBy(label, i) shuffle; at 100 TB the group count is labels × dim —
+    tiny — so partial aggregation absorbs the volume map-side.
+
+    Like q54, the scan is deliberately NOT spread: AVG folds doubles, and
+    keeping the source order matches the oracle's fold (the round-4 output
+    absorbs ulp noise at this n regardless)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(as_double_array(col("embedding"))).alias("i0", "x")
+    ).withColumn("i", (col("i0") + 1).cast("long"))
+    return (
+        pos.groupBy("label", "i")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("x"), 4).alias("mean_x"),
+        )
+        .orderBy("label", "i")
+    )
+
+
+def q69_doc_vec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: documents ⋈ embeddings (doc_id = vec_id) — text
+    stats joined to vector norms per source. The norm is a per-row fold
+    (mirrored in the oracle); AVGs round to absorb ulp noise."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        col("vec_id"),
+        F.sqrt(dot(as_double_array(col("embedding")), as_double_array(col("embedding")))).alias("nrm"),
+    )
+    return (
+        docs.join(norms, docs.doc_id == norms.vec_id)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q54_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     seeds = (
@@ -368,6 +413,21 @@ ranked AS (
 SELECT q_id, neighbor_id, rank, ROUND(dist_raw, 4) AS dist
 FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """,
+    "q59_label_centroids": f"""
+WITH e AS (SELECT label, {as_double_array_sql('embedding')} AS v FROM embeddings)
+SELECT label, i, COUNT(*) AS n_members, ROUND(AVG(v[i]), 4) AS mean_x
+FROM e, UNNEST(range(1, {_DIM + 1})) AS t(i)
+GROUP BY label, i ORDER BY label, i
+""",
+    "q69_doc_vec_join": f"""
+WITH n AS (SELECT vec_id,
+                  sqrt({dot_sql(as_double_array_sql('embedding'), as_double_array_sql('embedding'))}) AS nrm
+           FROM embeddings)
+SELECT source, COUNT(*) AS n, ROUND(AVG(nrm), 4) AS avg_norm,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents d JOIN n ON d.doc_id = n.vec_id
+GROUP BY 1 ORDER BY 1
+""",
     "q54_kmeans_step": f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
 c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
@@ -389,4 +449,6 @@ QUERIES = {
     "q52_lsh_ann": q52_lsh_ann,
     "q53_ivf_ann": q53_ivf_ann,
     "q54_kmeans_step": q54_kmeans_step,
+    "q59_label_centroids": q59_label_centroids,
+    "q69_doc_vec_join": q69_doc_vec_join,
 }

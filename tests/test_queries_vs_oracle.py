@@ -44,3 +44,22 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         .first()
     )
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """approx_percentile lands near the exact interpolated quantile — the
+    sketch path for q66-style percentiles at scale (same caveat as HLL:
+    no cross-engine hash parity for sketches)."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load
+
+    row = (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+        )
+        .first()
+    )
+    assert abs(row.approx - row.exact) / row.exact < 0.02
