@@ -162,7 +162,75 @@ def q21b_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a 1-hour grid with gap fill: every
+    (event_type, hour) cell of the full spine gets its event count (0 when
+    empty) and the last non-empty hourly value sum carried forward — the
+    hypertable-rollup + locf shape.
+
+    The spine is generated, not scanned: sequence() over the global hour
+    bounds exploded per type — rows = types × hours, independent of event
+    volume. One aggregation shuffle + one window shuffle on event_type.
+    """
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", col("ts"))
+    hourly = (
+        ev.groupBy(col("event_type"), hour.alias("h"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("h_min"), F.max(hour).alias("h_max")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("cnt", lit(0)).alias("cnt"),
+            F.last("sv", ignorenulls=True).over(w).alias("sv_locf"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q70_resample_gapfill": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT MIN(date_trunc('hour', ts)) AS h_min,
+         MAX(date_trunc('hour', ts)) AS h_max
+  FROM events),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds, UNNEST(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS g(h))
+SELECT s.event_type, s.h,
+       COALESCE(hourly.cnt, 0) AS cnt,
+       LAST_VALUE(hourly.sv IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_locf
+FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+ORDER BY 1, 2
+""",
     "q62_exists_subquery": """
 SELECT o_orderpriority, COUNT(*) AS cnt
 FROM orders o
@@ -238,4 +306,5 @@ QUERIES = {
     "q67_conditional_agg": q67_conditional_agg,
     "q68_string_agg": q68_string_agg,
     "q21b_sliding_window": q21b_sliding_window,
+    "q70_resample_gapfill": q70_resample_gapfill,
 }
