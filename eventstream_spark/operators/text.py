@@ -38,6 +38,18 @@ def _marker_count_sql(lang: str) -> str:
     return f"len(list_filter(w, t -> t IN ({words})))"
 
 
+def q24_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2B Q24 verbatim: per-language doc count + char volume over
+    the fixture ``lang`` column (the declared text-analysis smoke query;
+    q30 is the harder variant that PREDICTS the language from content)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-marker language ID; argmax over marker hit counts with a
     deterministic preference order, 'und' when nothing matches."""
@@ -237,6 +249,10 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
 ORACLES = {
+    "q24_lang_stats": """
+SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1 ORDER BY 1
+""",
     "q34_bpe_pretokenize": f"""
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS BIGINT) AS total_pretokens,
@@ -323,6 +339,7 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 }
 
 QUERIES = {
+    "q24_lang_stats": q24_lang_stats,
     "q30_lang_id": q30_lang_id,
     "q31_quality_score": q31_quality_score,
     "q32_token_count": q32_token_count,

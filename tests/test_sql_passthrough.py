@@ -31,6 +31,7 @@ PORTABLE = [
     "q16b_except",
     "q17_string_fns",
     "q22_dedup_count",
+    "q24_lang_stats",
     "q47_pivot",
     "q48_correlated_subquery",
     "q49_distribution_windows",
