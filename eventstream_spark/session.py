@@ -57,7 +57,14 @@ def get_spark(
         # Local-mode niceties; harmless on a cluster.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode runs executor tasks inside the driver JVM, so this heap
+        # backs all $SPARK_GRAFT_CPUS concurrent tasks' shuffle/agg working
+        # sets. 8g with 32 threads produced multi-second full-GC stalls
+        # mid-suite (one query spiked 0.9s -> 14.5s); 16g keeps GC off the
+        # critical path while staying under the 32g compressed-oops limit
+        # (a 32g heap disables compressed oops and measurably slowed the
+        # suite). On a real cluster spark-submit overrides this.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
