@@ -13,9 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import analytics, asof, dedup, multimodal, relational, similarity, text
+    from . import analytics, asof, dedup, multimodal, relational, similarity, text, tpch
 
-    return (relational, analytics, asof, text, dedup, similarity, multimodal)
+    return (relational, analytics, asof, text, dedup, similarity, multimodal, tpch)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
