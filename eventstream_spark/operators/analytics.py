@@ -209,7 +209,61 @@ def q70_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax) per group. Ties on o_totalprice are broken
+    by o_orderkey through one exact composite BIGINT ordering key —
+    round(price*100)*1e10 + orderkey — because duckdb's arg_max/arg_min
+    cannot order by a struct; prices have 2 decimals and keys < 1e10, so
+    the encoding is collision-free and identical in both engines."""
+    orders = load(spark, sf_dir, "orders")
+    composite = (
+        F.round(col("o_totalprice") * 100).cast("long") * lit(10_000_000_000)
+        + col("o_orderkey")
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", composite).alias("max_order"),
+            F.min_by("o_orderkey", composite).alias("min_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q83_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: sample stddev/variance of
+    quantity and the quantity↔extendedprice correlation. Quantities are
+    small integers (sums exact in double at this scale) and the outputs
+    are rounded, so partial-aggregation fold order cannot flip a digit."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q80_argmax": """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS max_order,
+       arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS min_order,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    "q83_stats_agg": """
+SELECT l_returnflag, COUNT(*) AS cnt,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
     "q70_resample_gapfill": """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
@@ -307,4 +361,6 @@ QUERIES = {
     "q68_string_agg": q68_string_agg,
     "q21b_sliding_window": q21b_sliding_window,
     "q70_resample_gapfill": q70_resample_gapfill,
+    "q80_argmax": q80_argmax,
+    "q83_stats_agg": q83_stats_agg,
 }

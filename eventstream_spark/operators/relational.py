@@ -284,6 +284,33 @@ def q16b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s).orderBy("nationkey")
 
 
+def q16c_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): per nation key, min(customer
+    multiplicity, supplier multiplicity) copies survive — summarized as a
+    count per key so the result is deterministic."""
+    c = load(spark, sf_dir, "customer").select(col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(col("s_nationkey").alias("nationkey"))
+    return (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("copies"))
+        .orderBy("nationkey")
+    )
+
+
+def q16d_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): customer multiplicity minus
+    supplier multiplicity per nation key, counted per key."""
+    c = load(spark, sf_dir, "customer").select(col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(col("s_nationkey").alias("nationkey"))
+    return (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("copies"))
+        .orderBy("nationkey")
+    )
+
+
 # --- scalar function surface ----------------------------------------------
 
 def q17_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,6 +617,20 @@ ORACLES: dict[str, str] = {
         "SELECT c_nationkey AS nationkey FROM customer EXCEPT"
         " SELECT s_nationkey AS nationkey FROM supplier ORDER BY 1"
     ),
+    "q16c_intersect_all": """
+SELECT nationkey, COUNT(*) AS copies FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS nationkey FROM supplier)
+GROUP BY 1 ORDER BY 1
+""",
+    "q16d_except_all": """
+SELECT nationkey, COUNT(*) AS copies FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier)
+GROUP BY 1 ORDER BY 1
+""",
     "q17_string_fns": (
         "SELECT p_brand, COUNT(*) AS cnt FROM part"
         " WHERE p_type LIKE '%BRASS%' GROUP BY 1 ORDER BY 1"
@@ -695,6 +736,8 @@ QUERIES = {
     "q14_running_sum": q14_running_sum,
     "q15_topn": q15_topn,
     "q16_intersect": q16_intersect,
+    "q16c_intersect_all": q16c_intersect_all,
+    "q16d_except_all": q16d_except_all,
     "q16b_except": q16b_except,
     "q17_string_fns": q17_string_fns,
     "q18_date_fns": q18_date_fns,

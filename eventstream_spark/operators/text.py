@@ -246,6 +246,60 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = (100, 250, 500, 900)  # per-mille keep rates, cycled by source index
+
+
+def q81_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source stratum is down-sampled at its
+    own rate (training-data pipelines re-weight sources this way — e.g.
+    up-sample curated text, down-sample web crawl). The pick is the same
+    deterministic hash gate as q56, with the per-mille threshold chosen by
+    source index — map-side only, one final small aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    idx = F.substring(col("source"), 4, 10).cast("int")
+    rate = F.element_at(
+        F.array(*[lit(r) for r in _MIX_RATES]), (idx % len(_MIX_RATES)) + 1
+    )
+    picked = docs.where(hash48(col("doc_id").cast("string")) % 1000 < rate)
+    return (
+        picked.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+        .orderBy("source")
+    )
+
+
+_PACK_BUDGET = 2000  # tokens per shard
+
+
+def q82_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each source (ordered by doc_id),
+    docs are assigned to output shards of ~2000 whitespace tokens by the
+    running token count BEFORE each doc — the sequence-packing layout step
+    of a training pipeline. One window shuffle on the stratum key; shard
+    boundaries are deterministic, so the oracle mirrors exactly."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    packed = toks.select(
+        "source",
+        "n_tok",
+        ((F.sum("n_tok").over(w) - col("n_tok")) / lit(_PACK_BUDGET))
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        packed.groupBy("source", "shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
+        .orderBy("source", "shard")
+    )
+
+
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
 ORACLES = {
@@ -325,6 +379,28 @@ SELECT COUNT(*) AS n_sampled,
 FROM documents
 WHERE {hash48_sql("CAST(doc_id AS VARCHAR)")} % 100 < 5
 """,
+    "q81_corpus_mix": f"""
+WITH rates AS (SELECT * FROM (VALUES {", ".join(f"({i}, {r})" for i, r in enumerate(_MIX_RATES))}) AS t(ri, rate))
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM documents JOIN rates
+  ON CAST(substr(source, 4) AS INT) % {len(_MIX_RATES)} = ri
+WHERE {hash48_sql("CAST(doc_id AS VARCHAR)")} % 1000 < rate
+GROUP BY 1 ORDER BY 1
+""",
+    "q82_token_packing": f"""
+WITH toks AS (
+  SELECT source, doc_id, CAST(len({tokens_sql()}) AS BIGINT) AS n_tok
+  FROM documents),
+packed AS (
+  SELECT source, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+              / {_PACK_BUDGET}.0) AS BIGINT) AS shard
+  FROM toks)
+SELECT source, shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "q57_stratified_sample": f"""
 WITH ranked AS (
   SELECT source, n_chars,
@@ -349,4 +425,6 @@ QUERIES = {
     "q36_bigram_counts": q36_bigram_counts,
     "q56_hash_sample": q56_hash_sample,
     "q57_stratified_sample": q57_stratified_sample,
+    "q81_corpus_mix": q81_corpus_mix,
+    "q82_token_packing": q82_token_packing,
 }
