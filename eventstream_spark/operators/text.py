@@ -268,6 +268,38 @@ def q81_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per source (the Gopher/MassiveText
+    rule family): per document, the most-frequent-bigram fraction and the
+    fraction of bigram occurrences belonging to repeated bigrams; documents
+    with dup_frac > 0.3 are flagged repetitive. Per-doc ratios are exact
+    (int/int division); only the per-source average is rounded. Two
+    shuffles: (doc, bigram) count, then the per-source rollup."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    w = tokens("text")
+    m = F.greatest(F.size(w) - 1, lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, 1, m), F.slice(w, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    bg = docs.select("doc_id", "source", F.explode(bigrams).alias("bg"))
+    per = bg.groupBy("doc_id", "source", "bg").agg(F.count("*").alias("c"))
+    stats = per.groupBy("doc_id", "source").agg(
+        (F.max("c") / F.sum("c")).alias("top_frac"),
+        (
+            F.sum(F.when(col("c") >= 2, col("c")).otherwise(0)) / F.sum("c")
+        ).alias("dup_frac"),
+    )
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("top_frac"), 4).alias("avg_top_frac"),
+            F.sum((col("dup_frac") > 0.3).cast("long")).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
 _PACK_BUDGET = 2000  # tokens per shard
 
 
@@ -379,6 +411,22 @@ SELECT COUNT(*) AS n_sampled,
 FROM documents
 WHERE {hash48_sql("CAST(doc_id AS VARCHAR)")} % 100 < 5
 """,
+    "q84_repetition_stats": f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+bg AS (SELECT doc_id, source, w[i] || ' ' || w[i + 1] AS bg
+       FROM tok, UNNEST(range(1, len(w))) AS t(i)),
+per AS (SELECT doc_id, source, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+stats AS (
+  SELECT doc_id, source,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) AS dup_frac
+  FROM per GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(top_frac), 4) AS avg_top_frac,
+       CAST(SUM(CASE WHEN dup_frac > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM stats GROUP BY 1 ORDER BY 1
+""",
     "q81_corpus_mix": f"""
 WITH rates AS (SELECT * FROM (VALUES {", ".join(f"({i}, {r})" for i, r in enumerate(_MIX_RATES))}) AS t(ri, rate))
 SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
@@ -427,4 +475,5 @@ QUERIES = {
     "q57_stratified_sample": q57_stratified_sample,
     "q81_corpus_mix": q81_corpus_mix,
     "q82_token_packing": q82_token_packing,
+    "q84_repetition_stats": q84_repetition_stats,
 }

@@ -24,6 +24,9 @@ PICKS = {
     "q62_exists_subquery": "EXISTS decorrelates to a left-semi join (AQE-broadcastable)",
     "q64_range_frame": "RANGE frame: one exchange on user_id, linear in-partition state",
     "q21b_sliding_window": "sliding window: map-side 2x expansion, one aggregation shuffle",
+    "q71_order_priority": "EXISTS decorrelates to LeftSemi; lineitem contributes keys, never rows",
+    "q74_disjunctive_pred": "OR-of-triples still pushes per-column disjunct bounds into both scans",
+    "q82_token_packing": "sequence packing: one window exchange on the stratum key, agg rides the same partitioning",
 }
 
 

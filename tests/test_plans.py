@@ -52,6 +52,32 @@ def test_exists_shapes_plan_as_semi_anti_joins(spark, sf_dir):
     assert "LeftAnti" in _plan(A.q63_not_exists_anti(spark, sf_dir))
 
 
+def test_q71_exists_plans_as_semi_join(spark, sf_dir):
+    from eventstream_spark.operators import tpch as T
+
+    plan = _plan(T.q71_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q74_disjunction_pushes_brand_filter(spark, sf_dir):
+    """The OR-of-triples predicate must still push a brand/size filter into
+    the part scan (Catalyst extracts the common disjuncts per column)."""
+    from eventstream_spark.operators import tpch as T
+
+    plan = _plan(T.q74_disjunctive_pred(spark, sf_dir))
+    part_scan = next(
+        l for l in plan.splitlines() if "FileScan parquet" in l and "part.parquet" in l
+    )
+    assert "PushedFilters: [" in part_scan and "p_brand" in part_scan
+
+
+def test_q72_dimension_hops_broadcast(spark, sf_dir):
+    from eventstream_spark.operators import tpch as T
+
+    plan = _plan(T.q72_volume_shipping(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_cartesian_products(spark, sf_dir, name):
     """Every declared query must avoid CartesianProduct. Deliberate
