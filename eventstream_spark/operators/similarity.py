@@ -260,6 +260,97 @@ def q53_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann(emb, col("vec_id").isin(100, 101, 102), k=5)
 
 
+# --- product quantization (PQ) ANN ----------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = _DIM // _PQ_M  # dims per subspace
+_PQ_K = 16  # codes per subspace
+
+
+def pq_seed_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """codebooks[m][k] = subvector m of seed vector k. Seeds are the first
+    ``_PQ_K`` vec_ids — deterministic (no k-means training) so the duckdb
+    oracle reproduces the exact codebooks; training better codebooks changes
+    recall, not the plan. Collecting them is K × dim doubles — trivial."""
+    seeds = (
+        emb.where(col("vec_id") < _PQ_K)
+        .select("vec_id", as_double_array(col("embedding")).alias("v"))
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: r.vec_id)
+    return [
+        [list(r.v[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]) for r in seeds]
+        for m in range(_PQ_M)
+    ]
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, v, c0..c{M-1}): each vector's per-subspace nearest-codeword
+    ids (ties → smaller code). Codebooks ride as literals, so encoding is
+    pure map work — the PQ scale property: the corpus compresses to M small
+    ints per vector with zero shuffle, and the codes column set is what a
+    100 TB index actually stores (v is kept here only for the fixture-scale
+    exact queries)."""
+    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    code_cols = []
+    codes = F.array(*[lit(k) for k in range(_PQ_K)])
+
+    # One-arg lambda factory: a default-arg lambda (cv, s=sub) would make
+    # pyspark treat the HOF function as binary and bind s to the array index.
+    def dist_to(sub):
+        return lambda cv: sq_l2(sub, cv)
+
+    for m, cb in enumerate(codebooks):
+        cmat = matrix_literal(cb)
+        sub = F.slice(col("v"), m * _PQ_DSUB + 1, _PQ_DSUB)
+        dists = F.transform(cmat, dist_to(sub))
+        best = F.array_min(
+            F.zip_with(dists, codes, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
+        )
+        code_cols.append(best["c"].cast("long").alias(f"c{m}"))
+    return e.select("vec_id", "v", *code_cols)
+
+
+def pq_ann(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """PQ asymmetric-distance ANN: queries build one 16-entry LUT per
+    subspace (map-side, codebook literals); every corpus vector's
+    approximate distance is the sum of LUT lookups at its stored codes —
+    no per-pair vector math at all. The ADC sum is a fixed left-to-right
+    chain over subspaces, mirrored exactly in the oracle, so even the
+    approximate ranking is bit-reproducible across engines."""
+    cbs = pq_seed_codebooks(emb)
+    enc = persist_tracked(pq_encode(emb, cbs))
+    q = enc.where(query_pred).select(col("vec_id").alias("q_id"), col("v").alias("qv"))
+    def dist_to(sub):
+        return lambda cv: sq_l2(sub, cv)
+
+    lut_cols = []
+    for m, cb in enumerate(cbs):
+        cmat = matrix_literal(cb)
+        qsub = F.slice(col("qv"), m * _PQ_DSUB + 1, _PQ_DSUB)
+        lut_cols.append(F.transform(cmat, dist_to(qsub)).alias(f"lut{m}"))
+    qt = q.select("q_id", *lut_cols)
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(col(f"lut{m}"), (col(f"c{m}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("q_id").orderBy(col("adc_raw"), col("neighbor_id"))
+    return (
+        enc.crossJoin(broadcast(qt))
+        .where(col("vec_id") != col("q_id"))
+        .select("q_id", col("vec_id").alias("neighbor_id"), adc.alias("adc_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("adc_raw", 4).alias("adc"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def q85_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_ann(emb, col("vec_id").isin(100, 101, 102), k=5)
+
+
 def kmeans_step(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """One Lloyd iteration: assign every vector to its nearest centroid
     (map-side, centroid literals) and emit the new centroids in long form
@@ -362,7 +453,56 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
 """
 
 
+def _pq_sql(k: int = 5) -> str:
+    """q85 mirror. Codeword argmins use MIN over {'d','c'} structs (duckdb
+    struct comparison is lexicographic — same order as Spark's array_min
+    over (d, c) structs); the ADC sum is the same left-associative + chain
+    as the Spark column expression, so raw distances are bit-identical."""
+
+    def sl(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m * _PQ_DSUB + 1}, {(m + 1) * _PQ_DSUB})"
+
+    code_aggs = ",\n         ".join(
+        f"MIN({{'d': {sq_l2_sql(sl('e.v', m), sl('s.v', m))}, 'c': s.k}})['c'] AS c{m}"
+        for m in range(_PQ_M)
+    )
+    lut_cols = ",\n         ".join(
+        f"{sq_l2_sql(sl('q.v', m), sl('s.v', m))} AS d{m}" for m in range(_PQ_M)
+    )
+    adc = " + ".join(f"l{m}.d{m}" for m in range(_PQ_M))
+    lut_joins = "\n  ".join(
+        f"JOIN luts l{m} ON l{m}.q_id = qs.q_id AND l{m}.k = c.c{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+seeds AS (SELECT vec_id AS k, v FROM e WHERE vec_id < {_PQ_K}),
+codes AS (
+  SELECT e.vec_id,
+         {code_aggs}
+  FROM e, seeds s GROUP BY e.vec_id),
+luts AS (
+  SELECT q.vec_id AS q_id, s.k,
+         {lut_cols}
+  FROM e q, seeds s WHERE q.vec_id IN (100, 101, 102)),
+qs AS (SELECT DISTINCT q_id FROM luts),
+cand AS (
+  SELECT qs.q_id, c.vec_id AS neighbor_id, {adc} AS adc_raw
+  FROM codes c
+  CROSS JOIN qs
+  {lut_joins}
+  WHERE c.vec_id <> qs.q_id),
+ranked AS (
+  SELECT q_id, neighbor_id, adc_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_raw, neighbor_id) AS rank
+  FROM cand)
+SELECT q_id, neighbor_id, rank, ROUND(adc_raw, 4) AS adc
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
 ORACLES = {
+    "q85_pq_ann": _pq_sql(),
     "q50_knn_exact": f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
 t AS (SELECT v AS tv FROM e WHERE vec_id = 1)
@@ -449,6 +589,7 @@ QUERIES = {
     "q52_lsh_ann": q52_lsh_ann,
     "q53_ivf_ann": q53_ivf_ann,
     "q54_kmeans_step": q54_kmeans_step,
+    "q85_pq_ann": q85_pq_ann,
     "q59_label_centroids": q59_label_centroids,
     "q69_doc_vec_join": q69_doc_vec_join,
 }
