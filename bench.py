@@ -59,6 +59,14 @@ HEADLINE = [
     "q50_knn_exact",
     "q52_lsh_ann",
     "q53_ivf_ann",
+    "q71_order_priority",
+    "q72_volume_shipping",
+    "q74_disjunctive_pred",
+    "q77_returned_items",
+    "q79_customer_distribution",
+    "q82_token_packing",
+    "q84_repetition_stats",
+    "q85_pq_ann",
 ]
 
 
