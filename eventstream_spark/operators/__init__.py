@@ -13,9 +13,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import analytics, asof, dedup, multimodal, relational, similarity, text, tpch
+    from . import (
+        analytics,
+        asof,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        streaming_queries,
+        text,
+        tpch,
+    )
 
-    return (relational, analytics, asof, text, dedup, similarity, multimodal, tpch)
+    return (
+        relational,
+        analytics,
+        asof,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        tpch,
+        streaming_queries,
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,124 @@
+"""Streaming executions exposed through the driver contract.
+
+Most streaming semantics are verified by the streaming≡batch pytest suite
+(tests/test_streaming.py); these queries additionally run REAL Structured
+Streaming pipelines (file source → stateful op → availableNow → memory
+sink) under the external driver's oracle gate: with ``complete`` output
+mode over a fully drained source, the streaming result equals the batch
+computation, so the duckdb oracle of the batch twin applies verbatim.
+
+Reference parity: this is the A1→A5→A7 spine (poll loop → route filter →
+emit) executed by the micro-batch engine instead of the reference's
+asyncio loop (event_stream/streams/reader.py:151-233).
+
+Scale notes: the file source is the lakehouse landing-zone pattern;
+``maxFilesPerTrigger`` bounds catch-up batches. Complete mode is used here
+because the source drains (results must equal batch for the gate); a
+production continuous pipeline uses append mode + watermark as in
+streaming/windows.py, trading the final (unclosed) windows for bounded
+state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+from ..catalog import EVENTS_RAW_SCHEMA, fix_nanos_ts
+from ..sources.stream import file_stream
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The Spark file source tails directories; the fixture is one file.
+    Symlink it into a per-sf temp directory (read-only fixture untouched)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"es_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fix_nanos_ts(
+        file_stream(spark, _events_stream_dir(sf_dir), EVENTS_RAW_SCHEMA)
+    )
+
+
+def _run_to_table(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain the stream with availableNow into a uniquely named in-memory
+    table and return it as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="es_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def q90_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's tumbling-window aggregation as a genuine streaming query."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("cnt"), F.sum("value").alias("sv")
+    )
+    out = _run_to_table(agg, spark)
+    return out.select(
+        col("w.start").alias("h"),
+        "event_type",
+        "cnt",
+        F.round("sv", 2).alias("sum_value"),
+    ).orderBy("h", "event_type")
+
+
+def q91_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22's dedup-count as streaming dropDuplicates feeding a streaming
+    aggregation (two chained stateful operators)."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type", "ts"])
+    out = _run_to_table(deduped.agg(F.count("*").alias("cnt")), spark)
+    return out
+
+
+def q92_stream_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q04's event-name router counts from the micro-batch engine."""
+    ev = _events_stream(spark, sf_dir)
+    out = _run_to_table(
+        ev.groupBy("event_type").agg(F.count("*").alias("cnt")), spark
+    )
+    return out.orderBy("event_type")
+
+
+ORACLES = {
+    # Identical to the batch twins: the streaming run must land on the same
+    # answer the oracle computes from the table at rest.
+    "q90_stream_hourly": """
+SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "q91_stream_dedup": """
+SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+""",
+    "q92_stream_routing": """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY 1
+""",
+}
+
+QUERIES = {
+    "q90_stream_hourly": q90_stream_hourly,
+    "q91_stream_dedup": q91_stream_dedup,
+    "q92_stream_routing": q92_stream_routing,
+}
