@@ -46,6 +46,10 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same determinism pinning catalog.load applies: the driver's session is
+    # vanilla, and this path never goes through the batch catalog.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return fix_nanos_ts(
         file_stream(spark, _events_stream_dir(sf_dir), EVENTS_RAW_SCHEMA)
     )
