@@ -356,6 +356,29 @@ def q20_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_envelope_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read promotion (SURVEY §1.4→§1.5): the open props payload
+    parsed ONCE with a declared schema via from_json (the registry path —
+    never per-row inference), then aggregated as typed data. Complements
+    q20's path-access form: from_json materializes the whole typed struct
+    in one parse, which is the right shape when several fields are read."""
+    ev = load(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_type",
+        F.from_json(col("props"), "k BIGINT").alias("p"),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(col("p.k")).alias("sum_k"),
+            F.round(F.avg(col("p.k")), 4).alias("avg_k"),
+            F.max(col("p.k")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- time windows / dedup (batch twins of streaming semantics) -------------
 
 def q21_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +640,13 @@ ORACLES: dict[str, str] = {
         "SELECT c_nationkey AS nationkey FROM customer EXCEPT"
         " SELECT s_nationkey AS nationkey FROM supplier ORDER BY 1"
     ),
+    "q86_envelope_typed": """
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+""",
     "q16c_intersect_all": """
 SELECT nationkey, COUNT(*) AS copies FROM (
   SELECT c_nationkey AS nationkey FROM customer
@@ -743,6 +773,7 @@ QUERIES = {
     "q18_date_fns": q18_date_fns,
     "q19_array_fns": q19_array_fns,
     "q20_json_fns": q20_json_fns,
+    "q86_envelope_typed": q86_envelope_typed,
     "q21_hourly_window": q21_hourly_window,
     "q22_dedup_count": q22_dedup_count,
     "q26_sessionization": q26_sessionization,
