@@ -17,6 +17,7 @@ def _modules():
         analytics,
         asof,
         dedup,
+        merge,
         multimodal,
         relational,
         similarity,
@@ -34,6 +35,7 @@ def _modules():
         similarity,
         multimodal,
         tpch,
+        merge,
         streaming_queries,
     )
 

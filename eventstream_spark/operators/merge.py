@@ -1,0 +1,144 @@
+"""MERGE / upsert and change-log compaction — the lakehouse write-path
+operators (MERGE INTO, CDC compaction) expressed as pure DataFrame plans.
+
+Without a transactional table format (Delta/Iceberg, not in this
+container) MERGE is a full-outer join + column coalesce producing the new
+table snapshot; with one, the same logical spec drives a transactional
+MERGE INTO and only touches matched files. The reference has no
+table-maintenance surface at all (SURVEY §2 Part A negatives) — these are
+the north-star warehouse additions.
+
+Scale notes (100 TB): the merge join shuffles both sides on the key unless
+the source (the delta batch — typically tiny vs the target) broadcasts,
+which AQE decides from runtime stats; with a bucketed target
+(sources/bucketed.py) the target side never shuffles at all. Latest-per-key
+compaction is one window shuffle, and `WindowGroupLimit` bounds its state
+to one row per key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import col, lit
+
+from ..catalog import load
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics over same-schema frames: rows matched on ``keys``
+    take the source's non-null column values (partial updates fall back to
+    the target's), source-only rows insert, target-only rows carry over.
+    One full-outer join; every non-key column is a coalesce."""
+    t, s = target.alias("t"), source.alias("s")
+    joined = t.join(s, keys, "full_outer")
+    others = [c for c in target.columns if c not in keys]
+    return joined.select(
+        *[col(k) for k in keys],
+        *[F.coalesce(col(f"s.{c}"), col(f"t.{c}")).alias(c) for c in others],
+    )
+
+
+def q87_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO shape under the oracle gate: a synthetic delta batch
+    (every 10th order re-priced and re-statused, every 97th cloned as a
+    brand-new key) merged into orders; the result snapshot is checksummed
+    per status. The oracle reproduces the same merge relationally."""
+    orders = load(spark, sf_dir, "orders")
+    updates = orders.where(col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        lit("X").alias("o_orderstatus"),
+        # No per-row ROUND: double half-way cases round differently across
+        # engines; the multiply itself is bit-identical and only the final
+        # aggregate is rounded (the repo-wide determinism rule).
+        (col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = orders.where(col("o_orderkey") % 97 == 0).select(
+        (col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ),
+        updates.unionAll(inserts),
+        keys=["o_orderkey"],
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Change-log compaction: keep each key's latest record by the (total)
+    ordering columns — the materialize-current-state step of a CDC
+    pipeline. One window shuffle; WindowGroupLimit bounds per-key state."""
+    w = Window.partitionBy(*keys).orderBy(*[col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def q88_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state per user from the events log: the latest event by
+    (ts, event_id) — event_id makes the ordering total, so both engines
+    pick the identical row."""
+    ev = load(spark, sf_dir, "events")
+    return latest_per_key(
+        ev.select("user_id", "event_id", "ts", "event_type", "value"),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+    ).orderBy("user_id")
+
+
+ORACLES = {
+    "q87_merge_upsert": """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders),
+source AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'I', o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0),
+merged AS (
+  SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+         COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+         COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         COALESCE(s.o_orderdate, t.o_orderdate) AS o_orderdate,
+         COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+  FROM target t FULL OUTER JOIN source s USING (o_orderkey))
+SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM merged GROUP BY 1 ORDER BY 1
+""",
+    "q88_latest_per_key": """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id
+""",
+}
+
+QUERIES = {
+    "q87_merge_upsert": q87_merge_upsert,
+    "q88_latest_per_key": q88_latest_per_key,
+}
