@@ -17,11 +17,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: the 4-table broadcast-join regional rollup
-    (SURVEY §2B Q05) — exercises scan, broadcast joins, hash agg, sort."""
-    from eventstream_spark.operators.relational import q05_join_rollup
+    """Flagship query on sf0.001: the composed training-data pipeline
+    (fingerprint dedup → quality filter → language filter → weighted
+    mixing → token-budget packing) as ONE declarative plan — scan, regex
+    tokenization, window dedup, hash gates, running-sum packing, rollup."""
+    from eventstream_spark.operators.pipeline import q89_training_pipeline
 
-    return q05_join_rollup(spark, SMOKE_SF_DIR)
+    return q89_training_pipeline(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -67,6 +67,8 @@ HEADLINE = [
     "q82_token_packing",
     "q84_repetition_stats",
     "q85_pq_ann",
+    "q87_merge_upsert",
+    "q89_training_pipeline",
 ]
 
 

@@ -19,6 +19,7 @@ def _modules():
         dedup,
         merge,
         multimodal,
+        pipeline,
         relational,
         similarity,
         streaming_queries,
@@ -36,6 +37,7 @@ def _modules():
         multimodal,
         tpch,
         merge,
+        pipeline,
         streaming_queries,
     )
 

@@ -38,6 +38,28 @@ def _marker_count_sql(lang: str) -> str:
     return f"len(list_filter(w, t -> t IN ({words})))"
 
 
+def predicted_lang_sql() -> str:
+    """CASE mirror of predicted_lang(); expects n_en/n_es/n_de/n_fr columns."""
+    return """CASE
+         WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+         WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
+         WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+         WHEN n_fr > 0 THEN 'fr'
+         ELSE 'und'
+       END"""
+
+
+def quality_score_sql() -> str:
+    """SQL mirror of quality_score(); expects columns text and w (tokens)."""
+    return f"""ROUND(
+         LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (1.0 - CAST(len(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE)
+                  / CAST(len(text) AS DOUBLE)) * 0.3
+         + LEAST(CAST({_marker_count_sql('en')} AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) * 5.0, 1.0) * 0.3,
+         4)"""
+
+
 def q24_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2B Q24 verbatim: per-language doc count + char volume over
     the fixture ``lang`` column (the declared text-analysis smoke query;
@@ -50,46 +72,56 @@ def q24_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram-marker language ID; argmax over marker hit counts with a
-    deterministic preference order, 'und' when nothing matches."""
-    docs = spread(load(spark, sf_dir, "documents"))
-    toks = tokens("text")
-    d = docs.select(
-        "doc_id", *[_marker_count(toks, lang).alias(f"n_{lang}") for lang in _LANG_ORDER]
-    )
-    n = {lang: col(f"n_{lang}") for lang in _LANG_ORDER}
-    pred = (
+def predicted_lang(n: dict[str, Column]) -> Column:
+    """Argmax over marker hit counts with a deterministic preference order,
+    'und' when nothing matches. ``n`` maps lang → hit-count column."""
+    return (
         F.when((n["en"] >= n["es"]) & (n["en"] >= n["de"]) & (n["en"] >= n["fr"]) & (n["en"] > 0), "en")
         .when((n["es"] >= n["de"]) & (n["es"] >= n["fr"]) & (n["es"] > 0), "es")
         .when((n["de"] >= n["fr"]) & (n["de"] > 0), "de")
         .when(n["fr"] > 0, "fr")
         .otherwise("und")
     )
+
+
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language ID over the corpus."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id", *[_marker_count(toks, lang).alias(f"n_{lang}") for lang in _LANG_ORDER]
+    )
+    n = {lang: col(f"n_{lang}") for lang in _LANG_ORDER}
     return (
-        d.select(pred.alias("predicted_lang"))
+        d.select(predicted_lang(n).alias("predicted_lang"))
         .groupBy("predicted_lang")
         .agg(F.count("*").alias("cnt"))
         .orderBy("predicted_lang")
     )
 
 
-def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: length saturation + punctuation penalty +
-    stopword-density reward, mirrored exactly in the oracle."""
-    docs = spread(load(spark, sf_dir, "documents"))
+def quality_score() -> Column:
+    """Per-document heuristic quality over a ``text`` column: length
+    saturation + punctuation penalty + stopword-density reward. Pure
+    double arithmetic in a fixed expression shape — bit-identical to the
+    SQL mirror per document."""
     toks = tokens("text")
     n_tokens = F.size(toks).cast("double")
     punct = F.length(F.regexp_replace(col("text"), r"[^!?.,;:]", "")).cast("double")
     text_len = F.length("text").cast("double")
     stop_hits = _marker_count(toks, "en").cast("double")
-    score = F.round(
+    return F.round(
         F.least(n_tokens / lit(100.0), lit(1.0)) * 0.4
         + (lit(1.0) - punct / text_len) * 0.3
         + F.least(stop_hits / n_tokens * 5.0, lit(1.0)) * 0.3,
         4,
     )
-    return docs.select("doc_id", score.alias("quality")).orderBy("doc_id")
+
+
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality, mirrored exactly in the oracle."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return docs.select("doc_id", quality_score().alias("quality")).orderBy("doc_id")
 
 
 def q32_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,26 +386,14 @@ scored AS (
          {_marker_count_sql('de')} AS n_de,
          {_marker_count_sql('fr')} AS n_fr
   FROM tok)
-SELECT CASE
-         WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
-         WHEN n_es >= n_de AND n_es >= n_fr AND n_es > 0 THEN 'es'
-         WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
-         WHEN n_fr > 0 THEN 'fr'
-         ELSE 'und'
-       END AS predicted_lang,
+SELECT {predicted_lang_sql()} AS predicted_lang,
        COUNT(*) AS cnt
 FROM scored GROUP BY 1 ORDER BY 1
 """,
     "q31_quality_score": f"""
 WITH tok AS (SELECT doc_id, text, {tokens_sql()} AS w FROM documents)
 SELECT doc_id,
-       ROUND(
-         LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
-         + (1.0 - CAST(len(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE)
-                  / CAST(len(text) AS DOUBLE)) * 0.3
-         + LEAST(CAST({_marker_count_sql('en')} AS DOUBLE)
-                 / CAST(len(w) AS DOUBLE) * 5.0, 1.0) * 0.3,
-         4) AS quality
+       {quality_score_sql()} AS quality
 FROM tok ORDER BY doc_id
 """,
     "q32_token_count": f"""
