@@ -106,7 +106,38 @@ def q88_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q93_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-relief parity under the oracle gate: the salted join (big side
+    gets a deterministic row-hash salt, small side replicates per bucket)
+    must produce exactly the rows of the plain equi-join — salting changes
+    the shuffle layout, never the answer. The oracle is the PLAIN join."""
+    from .skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(col("p_size") <= 10).select(
+        "p_partkey", "p_brand"
+    )
+    joined = salted_join(
+        li.select(col("l_partkey").alias("p_partkey"), "l_quantity"),
+        part,
+        on=["p_partkey"],
+        how="inner",
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("p_brand")
+    )
+
+
 ORACLES = {
+    "q93_salted_join": """
+SELECT p_brand, COUNT(*) AS cnt, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY 1 ORDER BY 1
+""",
     "q87_merge_upsert": """
 WITH target AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
@@ -141,4 +172,5 @@ WHERE rn = 1 ORDER BY user_id
 QUERIES = {
     "q87_merge_upsert": q87_merge_upsert,
     "q88_latest_per_key": q88_latest_per_key,
+    "q93_salted_join": q93_salted_join,
 }
