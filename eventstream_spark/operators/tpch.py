@@ -238,6 +238,232 @@ def q79_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q5 shape: local supplier volume ---------------------------------------
+
+def q94_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from orders where the supplier and customer share a nation,
+    per nation of one region and order year (TPC-H Q5). Six-way join:
+    region→nation broadcast down onto customer, orders shuffles once on
+    custkey, lineitem joins orders on orderkey, supplier broadcast; the
+    c_nationkey = s_nationkey local-supply condition closes the cycle."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    asia_nations = nation.join(
+        broadcast(region.where(col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    o = orders.where(
+        (col("o_orderdate") >= _ts("1996-01-01")) & (col("o_orderdate") < _ts("1997-01-01"))
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(customer.select("c_custkey", "c_nationkey"), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(supplier.select("s_suppkey", "s_nationkey")), li.l_suppkey == supplier.s_suppkey)
+        .where(col("c_nationkey") == col("s_nationkey"))
+        .join(broadcast(asia_nations), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(col("revenue").desc(), col("n_name"))
+    )
+
+
+# --- Q8 shape: national market share ----------------------------------------
+
+def q95_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_1 suppliers' share of ECONOMY-part revenue sold into AMERICA,
+    per order year (TPC-H Q8): a 7-table join where every dimension hop is
+    a broadcast and the conditional share is one aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part")
+
+    america_nations = nation.join(
+        broadcast(region.where(col("r_name") == "AMERICA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(col("n_nationkey").alias("c_nk"))
+    supp_nation = nation.select(
+        col("n_nationkey").alias("s_nk"), col("n_name").alias("supp_nation")
+    )
+    vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    return (
+        li.join(broadcast(part.where(col("p_type") == "ECONOMY").select("p_partkey")),
+                li.l_partkey == col("p_partkey"))
+        .join(load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(america_nations), col("c_nationkey") == col("c_nk"), "left_semi")
+        .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == col("s_suppkey"))
+        .join(broadcast(supp_nation), col("s_nationkey") == col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.when(col("supp_nation") == "NATION_1", vol).otherwise(lit(0.0)).alias("nation_vol"),
+        )
+        .groupBy("o_year")
+        .agg(F.round(F.sum("nation_vol") / F.sum("volume"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --- Q15 shape: top supplier via scalar-subquery max ------------------------
+
+def q96_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) achieving the maximum quarterly revenue (TPC-H Q15):
+    per-supplier aggregate, then an equality join against its own global
+    max — the revenue view is computed once and reused for both sides
+    (Catalyst reuses the exchange; no second scan of lineitem)."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (col("l_shipdate") >= _ts("1996-01-01")) & (col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.join(broadcast(max_rev), revenue.total_revenue == max_rev.m)
+        .join(supplier, revenue.l_suppkey == supplier.s_suppkey)
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q18 shape: large-volume customers --------------------------------------
+
+def q97_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with any order totalling > 250 units (TPC-H Q18): the
+    grouped-HAVING key set (tiny) semi-joins back onto orders before the
+    customer join, so the big aggregation output never re-shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            col("total_qty"),
+        )
+        .orderBy(col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+# --- Q12 shape: late-shipment priority split --------------------------------
+
+def q98_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late line items (shipped > 90 days after order) split into
+    critical/non-critical order counts per ship-year (TPC-H Q12 with the
+    ship-lag standing in for the missing commit/receipt dates): one
+    fact-fact join on the order key, conditional aggregation after."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                li.l_orderkey == col("o_orderkey"))
+        .where(col("l_shipdate") > F.date_add(col("o_orderdate"), 90))
+        .select(
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            F.when(high, 1).otherwise(0).alias("high_line"),
+            F.when(high, 0).otherwise(1).alias("low_line"),
+        )
+        .groupBy("l_year")
+        .agg(
+            F.sum("high_line").alias("high_line_count"),
+            F.sum("low_line").alias("low_line_count"),
+        )
+        .orderBy("l_year")
+    )
+
+
+# --- Q21 shape: suppliers who kept orders waiting ---------------------------
+
+def q99_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top suppliers who were the ONLY late supplier on multi-supplier
+    orders (TPC-H Q21, late = shipped > 90 days after order date). The
+    EXISTS (another supplier on the order) and NOT EXISTS (another LATE
+    supplier) both become aggregates over one grouped pass on the order:
+    counting distinct suppliers and distinct late suppliers per order
+    avoids the two extra self-joins of the literal formulation."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    j = li.join(orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+                li.l_orderkey == col("o_orderkey")).where(col("o_orderstatus") == "F")
+    late = col("l_shipdate") > F.date_add(col("o_orderdate"), 90)
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, col("l_suppkey"))).alias("n_late_supp"),
+    )
+    # Orders with >1 supplier where exactly one supplier was late:
+    solo_late = per_order.where((col("n_supp") > 1) & (col("n_late_supp") == 1))
+    culprit = (
+        j.where(late)
+        .join(broadcast(solo_late.select("l_orderkey")), "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprit.join(broadcast(supplier.select("s_suppkey", "s_name")),
+                     culprit.l_suppkey == col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# --- Q22 shape: rich customers gone idle ------------------------------------
+
+def q100_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no order since
+    2000-01-01, grouped by nation (TPC-H Q22 with the nation key standing
+    in for the missing phone country code). The scalar average broadcasts;
+    the NOT EXISTS is an anti join against recent orders."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = customer.where(col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.where(col("o_orderdate") >= _ts("2000-01-01")).select("o_custkey")
+    return (
+        customer.join(broadcast(avg_bal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 ORACLES = {
     "q71_order_priority": """
 SELECT o_orderpriority, COUNT(*) AS order_count
@@ -314,6 +540,95 @@ FROM (
   GROUP BY 1) per_cust
 GROUP BY 1 ORDER BY custdist DESC, c_count DESC
 """,
+    "q94_local_supplier_volume": """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n_name
+""",
+    "q95_market_share": """
+SELECT o_year, ROUND(SUM(nation_vol) / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1.0 - l_discount) AS volume,
+         CASE WHEN n2.n_name = 'NATION_1'
+              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS nation_vol
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY 1 ORDER BY 1
+""",
+    "q96_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    "q97_large_volume_customers": """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+    "q98_late_shipments": """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1 ORDER BY 1
+""",
+    "q99_waiting_suppliers": """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM j GROUP BY 1),
+culprit AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j JOIN per_order USING (l_orderkey)
+  WHERE j.late = 1 AND per_order.n_supp > 1 AND per_order.n_late_supp = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1 ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    "q100_rich_idle_customers": """
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+""",
 }
 
 QUERIES = {
@@ -324,4 +639,11 @@ QUERIES = {
     "q77_returned_items": q77_returned_items,
     "q78_small_qty_revenue": q78_small_qty_revenue,
     "q79_customer_distribution": q79_customer_distribution,
+    "q94_local_supplier_volume": q94_local_supplier_volume,
+    "q95_market_share": q95_market_share,
+    "q96_top_supplier": q96_top_supplier,
+    "q97_large_volume_customers": q97_large_volume_customers,
+    "q98_late_shipments": q98_late_shipments,
+    "q99_waiting_suppliers": q99_waiting_suppliers,
+    "q100_rich_idle_customers": q100_rich_idle_customers,
 }
