@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
-from ..catalog import load
+from ..catalog import load, spread
 
 
 def q62_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +249,120 @@ def q83_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_vector_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics computed entirely with higher-order
+    array functions (aggregate/filter/array_max) — no explode, so the
+    (label, stats) aggregation shuffles one row per vector, not one per
+    component. Norms are rounded per row and summed as DECIMAL so the
+    cross-row fold order cannot flip a digit."""
+    from ..functions import as_double_array
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = as_double_array(col("embedding"))
+    sumsq = F.aggregate(v, lit(0.0), lambda a, x: a + x * x)
+    norm = F.round(F.sqrt(sumsq), 6).cast("decimal(18,6)")
+    n_pos = F.size(F.filter(v, lambda x: x > 0))
+    return (
+        emb.select(
+            "label",
+            norm.alias("norm"),
+            n_pos.alias("n_pos"),
+            F.array_max(v).alias("max_c"),
+            F.size(v).alias("dim"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vec"),
+            F.round((F.sum("norm") / F.count("*")).cast("double"), 4).alias("avg_norm"),
+            F.sum(F.when(col("n_pos") * 2 > col("dim"), 1).otherwise(0)).alias(
+                "n_pos_heavy"
+            ),
+            F.round(F.max("max_c"), 6).alias("max_component"),
+        )
+        .orderBy("label")
+    )
+
+
+def q102_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of three lineitem measures, then one
+    aggregation over the long form. Spark's unpivot is a zero-shuffle
+    Expand (each input row emits 3), so the only exchange is the final
+    groupBy — the same plan shape a sliding window uses."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("val"), 2).alias("total"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+_SCRUB_RE = r"\b(a|the)\b"
+
+
+def q103_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-cleaning accounting: strip filler words and report, per source,
+    how many documents changed and how many characters were removed — the
+    boilerplate-scrub step of a corpus pipeline. Pure JVM regexp_replace
+    (no UDF); the duckdb mirror uses the identical RE2-compatible pattern."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    cleaned_len = F.length(F.regexp_replace(col("text"), _SCRUB_RE, ""))
+    removed = (F.length("text") - cleaned_len).cast("long")
+    return (
+        docs.select("source", removed.alias("removed"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(col("removed") > 0, 1).otherwise(0)).alias("n_changed"),
+            F.sum("removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q101_vector_hof_stats": """
+WITH per AS (
+  SELECT label,
+         CAST(ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS DECIMAL(18,6)) AS norm,
+         len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_pos,
+         list_max(CAST(embedding AS DOUBLE[])) AS max_c,
+         len(embedding) AS dim
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vec,
+       ROUND(CAST(SUM(norm) / COUNT(*) AS DOUBLE), 4) AS avg_norm,
+       CAST(SUM(CASE WHEN n_pos * 2 > dim THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_heavy,
+       ROUND(MAX(max_c), 6) AS max_component
+FROM per GROUP BY 1 ORDER BY 1
+""",
+    "q102_unpivot": """
+SELECT l_returnflag, measure, COUNT(*) AS cnt, ROUND(SUM(val), 2) AS total
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem) long
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "q103_boilerplate_scrub": r"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(removed) AS BIGINT) AS chars_removed
+FROM (
+  SELECT source,
+         len(text) - len(regexp_replace(text, '\b(a|the)\b', '', 'g')) AS removed
+  FROM documents) scrubbed
+GROUP BY 1 ORDER BY 1
+""",
     "q80_argmax": """
 SELECT o_orderstatus,
        arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS max_order,
@@ -363,4 +476,7 @@ QUERIES = {
     "q70_resample_gapfill": q70_resample_gapfill,
     "q80_argmax": q80_argmax,
     "q83_stats_agg": q83_stats_agg,
+    "q101_vector_hof_stats": q101_vector_hof_stats,
+    "q102_unpivot": q102_unpivot,
+    "q103_boilerplate_scrub": q103_boilerplate_scrub,
 }
