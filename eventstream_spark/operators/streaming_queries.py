@@ -55,7 +55,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_table(agg: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_table(agg: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
     """Drain the stream with availableNow into a uniquely named in-memory
     table and return it as a batch DataFrame."""
     name = "s" + uuid.uuid4().hex[:12]
@@ -63,7 +63,7 @@ def _run_to_table(agg: DataFrame, spark: SparkSession) -> DataFrame:
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -105,6 +105,44 @@ def q92_stream_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
+def q104_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join: click→purchase pairs within one hour per
+    user, run as a REAL streaming join (append mode — the only mode
+    stream-stream joins support). Both sides carry watermarks and the join
+    carries a time-range condition, so state for rows older than the bound
+    is evicted instead of growing with the stream — the 100 TB posture.
+    With a fully drained availableNow source every qualifying pair emits
+    (inner-join emission does not wait on the watermark), so the batch
+    oracle applies verbatim. Pair counting happens batch-side on the sink
+    table; the reference's analog is response correlation via
+    ``response_to`` (event_stream/streams/reader.py:126-128)."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(col("event_type") == "click")
+        .select("user_id", col("ts").alias("c_ts"), col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(col("event_type") == "purchase")
+        .select(col("user_id").alias("p_user"), col("ts").alias("p_ts"),
+                col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (col("user_id") == col("p_user"))
+        & (col("p_ts") > col("c_ts"))
+        & (col("p_ts") <= col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = _run_to_table(joined.select("user_id", "c_id", "p_id"), spark, mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 ORACLES = {
     # Identical to the batch twins: the streaming run must land on the same
     # answer the oracle computes from the table at rest.
@@ -119,10 +157,19 @@ SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT user_id, event_type, ts FROM events
     "q92_stream_routing": """
 SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1 ORDER BY 1
 """,
+    "q104_stream_join": """
+SELECT c.user_id, COUNT(*) AS n_pairs
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
 }
 
 QUERIES = {
     "q90_stream_hourly": q90_stream_hourly,
     "q91_stream_dedup": q91_stream_dedup,
     "q92_stream_routing": q92_stream_routing,
+    "q104_stream_join": q104_stream_join,
 }
