@@ -143,6 +143,27 @@ def q104_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q26's sessionization (30-min inactivity gap per user) as a REAL
+    streaming session_window aggregation — the stateful operator merges
+    overlapping session fragments across micro-batches. Complete mode over
+    the drained source equals the batch computation, so the
+    gaps-and-islands oracle applies; a production pipeline uses append
+    mode + watermark to emit closed sessions with bounded state."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+    )
+    out = _run_to_table(agg, spark)
+    return out.select(
+        "user_id",
+        col("sw.start").alias("session_start"),
+        "cnt",
+        F.round("sv", 2).alias("sum_value"),
+    ).orderBy("user_id", "session_start")
+
+
 ORACLES = {
     # Identical to the batch twins: the streaming run must land on the same
     # answer the oracle computes from the table at rest.
@@ -165,6 +186,18 @@ FROM events c JOIN events p
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 GROUP BY 1 ORDER BY 1
 """,
+    "q105_stream_session": (
+        "WITH o AS (SELECT user_id, event_id, ts, value,"
+        " LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts"
+        " FROM events),"
+        " m AS (SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE"
+        " THEN 1 ELSE 0 END AS brk FROM o),"
+        " s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS sid FROM m)"
+        " SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt,"
+        " ROUND(SUM(value), 2) AS sum_value"
+        " FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+    ),
 }
 
 QUERIES = {
@@ -172,4 +205,5 @@ QUERIES = {
     "q91_stream_dedup": q91_stream_dedup,
     "q92_stream_routing": q92_stream_routing,
     "q104_stream_join": q104_stream_join,
+    "q105_stream_session": q105_stream_session,
 }

@@ -57,6 +57,11 @@ def get_spark(
         # Local-mode niceties; harmless on a cluster.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # The generated-class cache defaults to 100 entries; a 40-query
+        # suite compiles several codegen units per plan and thrashes it,
+        # paying janino compile again on every re-run. Size it to hold the
+        # whole workload (Spark 4 made this configurable).
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # Local mode runs executor tasks inside the driver JVM, so this heap
         # backs all $SPARK_GRAFT_CPUS concurrent tasks' shuffle/agg working
         # sets. 8g with 32 threads produced multi-second full-GC stalls
