@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
 from ..catalog import load
+from ..functions import hash48, hash48_sql
 
 
 def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
@@ -131,6 +132,66 @@ def q93_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Partitioned, size-bounded export — the training-data sharding layout.
+
+    ``partitionBy`` gives hive-style directories (readers prune partitions
+    from the path alone); ``maxRecordsPerFile`` bounds shard size so no
+    downstream loader sees a monster file; an optional in-partition sort
+    makes each shard's row order deterministic and its columns
+    run-length-friendly. Repartitioning by the partition columns first
+    means each task writes ONE open file per partition value it owns
+    instead of every task writing every partition (the small-files
+    explosion at 1000 executors)."""
+    out = df.repartition(*[col(c) for c in partition_cols])
+    if sort_within:
+        out = out.sortWithinPartitions(*partition_cols, *sort_within)
+    (
+        out.write.partitionBy(*partition_cols)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def q106_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export path under the oracle gate: documents written as a
+    hive-partitioned (by lang), shard-bounded parquet dataset, read back,
+    and checksummed per partition. Any row lost, duplicated, or mangled by
+    the write→read round trip breaks the hash match with the oracle, which
+    aggregates the ORIGINAL table."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"es_export_{tag}")
+    write_partitioned(
+        docs, path, ["lang"], max_records_per_file=2000, sort_within=["doc_id"]
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            # String-cast the checksum: the exact DECIMAL sum exceeds 2^53,
+            # and pandas renders duckdb DECIMALs as float64, silently
+            # dropping low bits — strings compare exactly.
+            F.sum(hash48(col("text")).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("text_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 ORACLES = {
     "q93_salted_join": """
 SELECT p_brand, COUNT(*) AS cnt, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
@@ -167,10 +228,17 @@ SELECT user_id, event_id, ts, event_type, value FROM (
   FROM events) t
 WHERE rn = 1 ORDER BY user_id
 """,
+    "q106_partitioned_export": f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST({hash48_sql('text')} AS DECIMAL(38,0))) AS VARCHAR) AS text_sum
+FROM documents GROUP BY 1 ORDER BY 1
+""",
 }
 
 QUERIES = {
     "q87_merge_upsert": q87_merge_upsert,
     "q88_latest_per_key": q88_latest_per_key,
     "q93_salted_join": q93_salted_join,
+    "q106_partitioned_export": q106_partitioned_export,
 }

@@ -53,3 +53,35 @@ def test_latest_per_key_tiebreak_is_deterministic(spark):
     )
     got = _rows(latest_per_key(df, keys=["k"], order_cols=["seq", "sub"]))
     assert got == {(1, 10, 200, "b")}
+
+
+def test_write_partitioned_layout_and_pruning(spark, tmp_path):
+    """The export layout contract: hive-style partition directories,
+    maxRecordsPerFile respected, and a partition-filtered read that prunes
+    to one directory (the scan's partition count equals the value's file
+    count, so the filter was resolved from paths, not data)."""
+    import glob
+    import os
+
+    from eventstream_spark.operators.merge import write_partitioned
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS bucket")
+    path = str(tmp_path / "export")
+    write_partitioned(df, path, ["bucket"], max_records_per_file=10)
+
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(path, "bucket=*"))
+    )
+    assert dirs == ["bucket=0", "bucket=1", "bucket=2"]
+    for f in glob.glob(os.path.join(path, "bucket=*", "*.parquet")):
+        n = spark.read.parquet(f).count()
+        assert n <= 10, f"{f} has {n} rows > maxRecordsPerFile"
+
+    back = spark.read.parquet(path).where(F.col("bucket") == "1")
+    assert back.count() == 33
+    # Execution-time pruning: every file actually opened is under bucket=1
+    # (inputFiles() reflects the pre-filter relation, so ask the rows).
+    files_read = [
+        r[0] for r in back.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files_read and all("bucket=1" in f for f in files_read), files_read
