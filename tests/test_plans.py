@@ -85,3 +85,21 @@ def test_no_cartesian_products(spark, sf_dir, name):
     BroadcastNestedLoopJoin instead."""
     plan = _plan(all_queries()[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, name
+
+
+def test_q94_dimension_hops_broadcast(spark, sf_dir):
+    """Q5 shape: supplier/nation/region hops broadcast; the only
+    non-broadcast join is the orders↔lineitem fact join."""
+    from eventstream_spark.operators import tpch as T
+
+    plan = _plan(T.q94_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q99_solo_late_filter_is_semi_join(spark, sf_dir):
+    """Q21 shape: the only-late-supplier order set applies as a semi join,
+    so the order list never widens the fact rows."""
+    from eventstream_spark.operators import tpch as T
+
+    plan = _plan(T.q99_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan
