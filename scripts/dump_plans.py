@@ -27,6 +27,9 @@ PICKS = {
     "q71_order_priority": "EXISTS decorrelates to LeftSemi; lineitem contributes keys, never rows",
     "q74_disjunctive_pred": "OR-of-triples still pushes per-column disjunct bounds into both scans",
     "q82_token_packing": "sequence packing: one window exchange on the stratum key, agg rides the same partitioning",
+    "q94_local_supplier_volume": "Q5 shape: every dimension hop broadcast; one fact-fact shuffle, one agg shuffle",
+    "q99_waiting_suppliers": "Q21 shape: EXISTS/NOT-EXISTS fused into one grouped pass; order set applies as LeftSemi",
+    "q102_unpivot": "unpivot is a zero-shuffle Expand; the only exchange is the final groupBy",
 }
 
 
