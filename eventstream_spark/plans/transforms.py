@@ -42,3 +42,21 @@ def extract_prop(df: DataFrame, path: str = "k", alias: str = "prop_value") -> D
 def tag_workflow(df: DataFrame, workflow_id: str = "wf-0") -> DataFrame:
     """Stamp the workflow grouping field (reference base.py:515)."""
     return df.withColumn("workflow_id", F.coalesce(col("workflow_id"), lit(workflow_id)))
+
+
+def observe_route(df: DataFrame, observation, include_value: bool = False) -> DataFrame:
+    """Piggyback route health metrics on whatever action consumes the
+    frame: row count, null-event count, and distinct-event sketch ride the
+    existing scan via ``observe()`` — a second pass over 100 TB just to
+    count rows is the anti-pattern. ``observation`` is a pyspark
+    ``Observation`` (batch: read ``.get`` after the action) or a string
+    name (streaming: read ``progress.observedMetrics[name]`` per
+    micro-batch — the A11 instance-info surface, as data)."""
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(col("event").isNull(), 1).otherwise(0)).alias("n_null_event"),
+        F.approx_count_distinct("event").alias("n_event_types"),
+    ]
+    if include_value:
+        metrics.append(F.sum("value").alias("sum_value"))
+    return df.observe(observation, *metrics)
