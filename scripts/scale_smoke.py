@@ -1,0 +1,147 @@
+"""Scale-up smoke: does each relational plan's runtime grow ~linearly when
+the fact tables grow 100x?
+
+Builds (once) a derived dataset at ``/tmp/es_scale<N>``: fact tables
+(lineitem, orders, customer, events) are replicated N times with key
+offsets so join selectivities and per-key state stay CONSTANT while row
+counts scale — orders gain new orderkeys/custkeys, events gain new
+users with identical per-user timelines. Dimensions (region, nation,
+supplier, part) stay 1x, as dimensions do. This measures engine scaling,
+not artificial key skew: every query's per-key work is unchanged, there
+is just N times more of it.
+
+Usage:
+    python scripts/scale_smoke.py [N]        # default 100
+
+Prints one JSON line: per-query seconds at sf0.1 and at N-times, and the
+time ratio (ideal = N / cores' spare capacity; at this size, ~N/1 for
+single-stage scans down to well under N when the 1x run was
+overhead-bound). Queries execute via the "noop" sink so the measurement
+is the computation, not a driver-side collect of N-times more rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+from pyspark.sql.functions import col
+
+from eventstream_spark.operators import all_queries
+from eventstream_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+
+# Key offsets chosen far above any real key in the fixtures.
+OFF_ORDER = 100_000_000
+OFF_CUST = 10_000_000
+OFF_EVENT = 1_000_000_000
+OFF_USER = 1_000_000
+
+SCALE_QUERIES = [
+    "q01_scan_count",
+    "q02_scan_checksum",
+    "q03_filter_project",
+    "q05_join_rollup",
+    "q08_range_join",
+    "q09_request_response",
+    "q10_pricing_summary",
+    "q12_rollup",
+    "q13_topk_per_group",
+    "q14_running_sum",
+    "q15_topn",
+    "q21_hourly_window",
+    "q22_dedup_count",
+    "q25_asof_join",
+    "q26_sessionization",
+    "q71_order_priority",
+    "q77_returned_items",
+    "q79_customer_distribution",
+    "q94_local_supplier_volume",
+    "q97_large_volume_customers",
+    "q98_late_shipments",
+]
+
+
+def _replicate(df, n, offsets):
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    out = df.select("*", rep)
+    for c, off in offsets.items():
+        out = out.withColumn(c, col(c) + col("rep").cast("long") * off)
+    return out.drop("rep")
+
+
+def build(spark, n: int) -> str:
+    out = f"/tmp/es_scale{n}"
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rd = lambda t: spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))  # noqa: E731
+    wr = lambda df, t: df.write.mode("overwrite").parquet(  # noqa: E731
+        os.path.join(out, f"{t}.parquet")
+    )
+    wr(_replicate(rd("lineitem"), n, {"l_orderkey": OFF_ORDER}), "lineitem")
+    wr(
+        _replicate(
+            rd("orders"), n, {"o_orderkey": OFF_ORDER, "o_custkey": OFF_CUST}
+        ),
+        "orders",
+    )
+    wr(_replicate(rd("customer"), n, {"c_custkey": OFF_CUST}), "customer")
+    # events.ts is TIMESTAMP(NANOS) in the fixture; it reads as long under
+    # the nanosAsLong conf and writes back as long — catalog.load's
+    # normalization handles both spellings.
+    wr(
+        _replicate(
+            rd("events"), n, {"event_id": OFF_EVENT, "user_id": OFF_USER}
+        ),
+        "events",
+    )
+    for t in ("region", "nation", "supplier", "part", "documents", "embeddings"):
+        wr(rd(t), t)
+    open(marker, "w").close()
+    return out
+
+
+def _run(queries, name, spark, sf_dir) -> float:
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(runs[-1], 3)  # warm: first run compiled the plan
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    spark = get_spark(app_name="scale-smoke")
+    scaled = build(spark, n)
+    queries = all_queries()
+    base_t, scaled_t, ratio = {}, {}, {}
+    for name in SCALE_QUERIES:
+        base_t[name] = _run(queries, name, spark, BASE)
+        scaled_t[name] = _run(queries, name, spark, scaled)
+        ratio[name] = round(scaled_t[name] / max(base_t[name], 1e-9), 1)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke",
+                "scale": n,
+                "base_sec": base_t,
+                "scaled_sec": scaled_t,
+                "time_ratio": ratio,
+                "base_total": round(sum(base_t.values()), 2),
+                "scaled_total": round(sum(scaled_t.values()), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
