@@ -464,6 +464,246 @@ def q100_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q6 shape: forecasting revenue change -----------------------------------
+
+def q107_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase from dropping small-quantity discounts in 1996
+    (TPC-H Q6): the pure scan-filter-aggregate shape — no join, no group
+    key, so the whole query is one map-side partial agg folded into a
+    single-row final agg. All three predicates push to the parquet scan.
+    Per-row ROUND → DECIMAL sum so the one global fold is order-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (col("l_shipdate") >= _ts("1996-01-01"))
+            & (col("l_shipdate") < _ts("1997-01-01"))
+            & col("l_discount").between(0.05, 0.07)
+            & (col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.round(col("l_extendedprice") * col("l_discount"), 2).cast(
+                    "decimal(18,2)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --- Q2 shape: minimum-cost supplier (correlated MIN) ------------------------
+
+def q108_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each LARGE mid-size part, the EUROPE supplier(s) selling it at
+    the minimum observed unit price (TPC-H Q2 with the partsupp offer
+    table derived from lineitem: unit_cost = MIN(l_extendedprice /
+    l_quantity) per part-supplier pair). The correlated MIN subquery
+    decorrelates to a per-part aggregate equi-joined back onto the offers
+    — the offers view is computed once and reused for both sides.
+    Equality on unit_cost is exact: MIN returns one of the identical
+    IEEE-double quotients both engines compute."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    eu = (
+        supplier.join(
+            broadcast(
+                nation.join(
+                    broadcast(region.where(col("r_name") == "EUROPE")),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier.s_nationkey == col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(col("l_extendedprice") / col("l_quantity")).alias("unit_cost"))
+        .join(broadcast(eu), col("l_suppkey") == eu.s_suppkey)
+    )
+    min_cost = offers.groupBy(col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    target_parts = part.where(
+        (col("p_type") == "LARGE") & col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    return (
+        offers.join(broadcast(target_parts), col("l_partkey") == col("p_partkey"))
+        .join(broadcast(min_cost), col("l_partkey") == col("mc_partkey"))
+        .where(col("unit_cost") == col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q9 shape: product-type profit by nation and year ------------------------
+
+def q109_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on gear parts per supplier nation and order year (TPC-H Q9
+    with p_retailprice standing in for the missing ps_supplycost: profit =
+    discounted revenue − 10% of retail value of the quantity shipped).
+    Part and supplier hops broadcast; orders joins on the order key; one
+    grouped pass. Per-row FLOOR-to-cents → BIGINT sum keeps every
+    (nation, year) group order-exact — and unlike ROUND, floor of the
+    identical IEEE double is identical in both engines (Spark rounds via
+    exact BigDecimal HALF_UP, duckdb on the binary double, so round-half
+    ties would disagree)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part")
+
+    gear = part.where(col("p_name").like("%gear%")).select("p_partkey", "p_retailprice")
+    amount = F.floor(
+        (
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - lit(0.1) * col("p_retailprice") * col("l_quantity")
+        )
+        * lit(100.0)
+    ).cast("long")
+    return (
+        li.join(broadcast(gear), li.l_partkey == gear.p_partkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == col("o_orderkey"))
+        .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == col("s_suppkey"))
+        .join(broadcast(nation.select("n_nationkey", "n_name")),
+              col("s_nationkey") == col("n_nationkey"))
+        .select(
+            col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount").cast("double") / lit(100.0)).alias("sum_profit"))
+        .orderBy("nation", col("o_year").desc())
+    )
+
+
+# --- Q11 shape: important parts vs a global-share threshold ------------------
+
+def q110_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue from NATION_1 suppliers exceeds 0.1% of that
+    nation's total (TPC-H Q11: group-HAVING against a scalar subquery over
+    the same view). The per-part view is computed once; its global sum
+    broadcasts back as a one-row cross join. Per-row ROUND → DECIMAL sums
+    make both the per-part values and the threshold fold-order-exact, so
+    the boundary comparison is deterministic in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    n1_supp = supplier.join(
+        broadcast(nation.where(col("n_name") == "NATION_1")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    v = (
+        li.join(broadcast(n1_supp), li.l_suppkey == col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2
+                ).cast("decimal(18,2)")
+            ).alias("value_dec")
+        )
+    )
+    threshold = v.agg((F.sum("value_dec").cast("double") * lit(0.001)).alias("threshold"))
+    return (
+        v.join(broadcast(threshold))
+        .where(col("value_dec").cast("double") > col("threshold"))
+        .select(
+            col("l_partkey").alias("part_key"),
+            col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(col("value").desc(), "part_key")
+    )
+
+
+# --- Q16 shape: supplier count by part attributes ----------------------------
+
+def q111_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers observed shipping each (brand, type, size) combo,
+    excluding one brand, one type, and suppliers in the red (TPC-H Q16
+    with s_acctbal < 0 standing in for the complaints comment scan). The
+    NOT IN over never-null keys is a left-anti join; the distinct count
+    shuffles once on the three part attributes."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    bad = supplier.where(col("s_acctbal") < 0).select("s_suppkey")
+    keep = part.where(
+        (col("p_brand") != "Brand#12")
+        & (col("p_type") != "PROMO")
+        & col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(broadcast(keep), li.l_partkey == keep.p_partkey)
+        .join(broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- Q20 shape: suppliers with excess share of a part's volume ---------------
+
+def q112_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_9 suppliers who shipped more than half of some small part's
+    total 1996 volume (TPC-H Q20's nested semi-join chain: supplier IN
+    (pairs over parts IN (...) with qty > ½ part total)). Both aggregates
+    reuse one grouped pass over the filtered fact; the supplier set
+    semi-joins at the end, so no wide row ever leaves the shuffle.
+    l_quantity is whole-valued, so double sums are exact in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    small = part.where(col("p_name").like("small%")).select("p_partkey")
+    per_ps = (
+        li.where(
+            (col("l_shipdate") >= _ts("1996-01-01"))
+            & (col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    per_part = per_ps.groupBy(col("l_partkey").alias("pp_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    excess = (
+        per_ps.join(broadcast(per_part), col("l_partkey") == col("pp_partkey"))
+        .where(col("qty") > lit(0.5) * col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            broadcast(nation.where(col("n_name") == "NATION_9")),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(broadcast(excess), supplier.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 ORACLES = {
     "q71_order_priority": """
 SELECT o_orderpriority, COUNT(*) AS order_count
@@ -629,6 +869,93 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1 ORDER BY 1
 """,
+    "q107_forecast_revenue": """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    "q108_min_cost_supplier": """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+eu_offers AS (
+  SELECT l_partkey, unit_cost, s_name, s_acctbal, n_name
+  FROM offers JOIN eu ON l_suppkey = s_suppkey),
+min_cost AS (
+  SELECT l_partkey, MIN(unit_cost) AS min_cost FROM eu_offers GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(unit_cost, 4) AS unit_cost
+FROM eu_offers
+JOIN part ON l_partkey = p_partkey
+JOIN min_cost USING (l_partkey)
+WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+  AND unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    "q109_product_profit": """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)
+                            - 0.1 * p_retailprice * l_quantity) * 100.0)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+    "q110_important_parts": """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 2) AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY 1)
+SELECT l_partkey AS part_key, CAST(value_dec AS DOUBLE) AS value
+FROM v
+WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM v)
+ORDER BY value DESC, part_key
+""",
+    "q111_supplier_cnt": """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    "q112_excess_shippers": """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2),
+per_part AS (SELECT l_partkey, SUM(qty) AS total_qty FROM per_ps GROUP BY 1),
+excess AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_ps JOIN per_part USING (l_partkey)
+  WHERE qty > 0.5 * total_qty)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (SELECT l_suppkey FROM excess)
+ORDER BY s_name
+""",
 }
 
 QUERIES = {
@@ -646,4 +973,10 @@ QUERIES = {
     "q98_late_shipments": q98_late_shipments,
     "q99_waiting_suppliers": q99_waiting_suppliers,
     "q100_rich_idle_customers": q100_rich_idle_customers,
+    "q107_forecast_revenue": q107_forecast_revenue,
+    "q108_min_cost_supplier": q108_min_cost_supplier,
+    "q109_product_profit": q109_product_profit,
+    "q110_important_parts": q110_important_parts,
+    "q111_supplier_cnt": q111_supplier_cnt,
+    "q112_excess_shippers": q112_excess_shippers,
 }
