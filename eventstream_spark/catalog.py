@@ -22,15 +22,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# The events fixture as Spark reads it under nanosAsLong: ts arrives as
-# int64 nanos and is converted by fix_nanos_ts. Streaming sources need this
-# declared (no inference on readStream).
+# The events fixture stores ts as naive parquet TIMESTAMP(MICROS), which
+# Spark 4 reads as timestamp_ntz; fix_nanos_ts normalizes it to session-UTC
+# TimestampType. Streaming sources need this declared (no inference on
+# readStream).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -94,10 +96,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fix_nanos_ts(df: DataFrame, col_name: str = "ts") -> DataFrame:
-    """int64-nanos (from nanosAsLong) → microsecond TimestampType. Shared by
-    batch and streaming readers of the events fixture."""
-    if col_name in df.columns and isinstance(df.schema[col_name].dataType, LongType):
+    """Normalize the events fixture's ts to microsecond TimestampType,
+    whatever physical form the file used: int64 nanos (via nanosAsLong) or
+    naive TIMESTAMP(MICROS) (Spark 4 reads it as timestamp_ntz). The NTZ →
+    LTZ cast is exact under the pinned UTC session timezone, so both engines
+    (duckdb's TIMESTAMP is naive µs) see identical wall-clock values. Shared
+    by batch and streaming readers."""
+    if col_name not in df.columns:
+        return df
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn(col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 
