@@ -66,11 +66,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Plain parquet scan — column pruning and predicate
     pushdown are left to Catalyst (verify via .explain: PushedFilters).
 
-    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark 4 refuses outright (PARQUET_TYPE_ILLEGAL). We read nanos as int64
-    (legacy conf) and floor-convert to microsecond timestamps — exactly what
-    duckdb does when it reads the same file (its TIMESTAMP is µs), so the
-    two engines stay value-identical.
+    The ``events`` fixture stores ``ts`` as naive parquet TIMESTAMP(MICROS),
+    which Spark 4 reads as timestamp_ntz; ``fix_nanos_ts`` casts it to
+    session-UTC TimestampType so both engines (duckdb's TIMESTAMP is naive
+    µs) see identical wall-clock values. ``nanosAsLong`` stays set only so
+    legacy TIMESTAMP(NANOS) fixtures still read (as int64, floor-converted
+    by the same helper).
     """
     # Determinism contract (FIXTURES.md): tz-naive fixture timestamps must be
     # interpreted identically in both engines, so pin the session to UTC even

@@ -17,12 +17,13 @@ fan-out the single persisted micro-batch bounds memory by trigger size
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql.functions import col
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import fix_nanos_ts, load
 from ..codec import normalize_envelope
+from .transforms import observe_route
 from .config import (
     BusConfig,
     EngineConfig,
@@ -74,18 +75,30 @@ def _write_batch(df: DataFrame, sink: SinkConfig, batch_tag: str | None = None) 
 
 
 def run_batch(spark: SparkSession, cfg: EngineConfig, sf_dir: str) -> dict[str, int]:
-    """Execute every bus/route once over the batch view; returns row counts
-    (the counts are observed via the sink writes, not extra scans)."""
+    """Execute every bus/route once over the batch view; returns row counts.
+
+    One action per route: for noop/parquet sinks the count rides the sink
+    write itself via ``observe()`` (a second full pass over 100 TB just to
+    count rows is the anti-pattern); for the memory sink — a lazily
+    registered view with no consuming action of its own — the count IS the
+    materializing action; the console debug sink counts via the same single
+    full action and then displays a bounded 20-row sample (limit-pushdown
+    scan, not a second full pass)."""
     results: dict[str, int] = {}
     for bus in cfg.busses:
         for name, df in compile_bus(spark, cfg, bus, sf_dir).items():
             route = next(r for r in bus.routes if r.name == name)
-            out = df.persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                results[f"{bus.name}.{name}"] = out.count()
-                _write_batch(out, route.sink)
-            finally:
-                out.unpersist()
+            key = f"{bus.name}.{name}"
+            if route.sink.kind in ("noop", "parquet"):
+                obs = Observation()
+                _write_batch(observe_route(df, obs), route.sink)
+                results[key] = int(obs.get["n_rows"])
+            elif route.sink.kind == "memory":
+                _write_batch(df, route.sink)  # view registration is lazy
+                results[key] = df.count()
+            else:  # console
+                results[key] = df.count()
+                df.show(20, truncate=False)  # show() plans its own CollectLimit
     return results
 
 
@@ -105,6 +118,10 @@ def start_streaming(
     the checkpoint replaces group offsets (A3), and replay-on-failure
     replaces the inbox/idle-reclaim machinery (A15-A18).
     """
+    # fix_nanos_ts's NTZ→LTZ cast reads the session timezone: pin UTC before
+    # building the stream so a caller-supplied non-UTC session can't shift
+    # every event timestamp (same contract as catalog.load for batch).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = fix_nanos_ts(spark.readStream.schema(schema).parquet(source_dir))
     env = normalize_envelope(
         raw,
@@ -151,6 +168,9 @@ def start_streaming_per_route(
     (no foreachBatch involved). If ``manager`` (a QueryManager) is given,
     each query is registered under ``bus:route``.
     """
+    # Same UTC pin as start_streaming: the NTZ→LTZ ts cast must not depend
+    # on the caller session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = fix_nanos_ts(spark.readStream.schema(schema).parquet(source_dir))
     env = normalize_envelope(
         raw,

@@ -43,8 +43,10 @@ def get_spark(
         # Determinism / oracle portability: fixtures are tz-naive, both
         # engines must interpret them identically (FIXTURES.md).
         .config("spark.sql.session.timeZone", "UTC")
-        # The events fixture stores TIMESTAMP(NANOS); read as int64 and let
-        # catalog.fix_nanos_ts convert (Spark 4 rejects nanos outright).
+        # The events fixture stores naive TIMESTAMP(MICROS) (read as
+        # timestamp_ntz and normalized by catalog.fix_nanos_ts); nanosAsLong
+        # is kept only so legacy TIMESTAMP(NANOS) fixtures still read as
+        # int64 instead of failing (Spark 4 rejects nanos outright).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Scale: adaptive execution re-plans joins, coalesces small shuffle

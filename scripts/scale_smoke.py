@@ -94,9 +94,9 @@ def build(spark, n: int) -> str:
         "orders",
     )
     wr(_replicate(rd("customer"), n, {"c_custkey": OFF_CUST}), "customer")
-    # events.ts is TIMESTAMP(NANOS) in the fixture; it reads as long under
-    # the nanosAsLong conf and writes back as long — catalog.load's
-    # normalization handles both spellings.
+    # events.ts is naive TIMESTAMP(MICROS) in the fixture; it reads as
+    # timestamp_ntz and replicates unchanged — catalog.load's normalization
+    # (fix_nanos_ts) handles NTZ and legacy int64-nanos spellings alike.
     wr(
         _replicate(
             rd("events"), n, {"event_id": OFF_EVENT, "user_id": OFF_USER}

@@ -113,6 +113,33 @@ def test_batch_run_and_response_semantics(spark, sf_dir, tmp_path, monkeypatch):
     assert row.application_name == "resp-app"
 
 
+def test_batch_counts_ride_sink_action(spark, sf_dir, tmp_path, monkeypatch):
+    """For noop/parquet sinks the row count comes from observe() riding the
+    sink write — run_batch must not issue a second count() action."""
+    from pyspark.sql import DataFrame
+
+    monkeypatch.setenv("TEST_INSTANCE_ID", "inst-1")
+    cfg = EngineConfig.from_dict(_config_dict(tmp_path))
+
+    count_calls = []
+    orig_count = DataFrame.count
+
+    def spying_count(self):
+        count_calls.append(self)
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", spying_count)
+    counts = run_batch(spark, cfg, sf_dir)
+    monkeypatch.setattr(DataFrame, "count", orig_count)
+
+    assert not count_calls, "run_batch issued a count() action for a noop/parquet route"
+    ev = load(spark, sf_dir, "events")
+    assert counts["events_bus.clicks"] == ev.where(col("event_type") == "click").count()
+    assert counts["events_bus.problems"] == ev.where(
+        col("event_type").isin("error", "signup")
+    ).count()
+
+
 def test_streaming_fanout_equals_batch(spark, sf_dir, tmp_path, monkeypatch):
     """Streaming≡batch (SURVEY §5.2 item 2): same routes replayed through a
     file stream with AvailableNow produce the same rows as the batch run."""
