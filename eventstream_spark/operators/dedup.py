@@ -33,11 +33,13 @@ from ..functions import (
     as_double_array_sql,
     cosine,
     cosine_sql,
+    dot,
     hash48,
     hash48_sql,
     tokens,
     tokens_sql,
 )
+from .similarity import lsh_bucket_bits_sql, lsh_bucketed
 
 # Fixed MinHash permutation parameters: h' = (a*h + b) mod P over the 48-bit
 # shingle hash. a < 2^14 keeps a*h inside int64. 16 hashes → 8 bands of 2.
@@ -448,9 +450,10 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Pairs of vectors with cosine >= threshold.
 
-    Brute-force all-pairs — correct as a verification oracle and for small
-    candidate sets. The scale path is q52 (hyperplane-LSH bucketing) followed
-    by this check within buckets.
+    Brute-force all-pairs (BroadcastNestedLoopJoin, O(n²)) — TEST-ONLY
+    verifier for small fixtures. The registered query is
+    ``embedding_neardup_bucketed``; tests pin the bucketed result against
+    this form restricted to shared-bucket pairs.
     """
     e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
     a = e.alias("a")
@@ -467,9 +470,38 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def embedding_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
+    """Scale path: hyperplane-LSH bucketing (``similarity.lsh_bucketed``)
+    then the exact cosine check within buckets.
+
+    Each vector lands in exactly ONE 64-way bucket, so the self-join is a
+    hash/SMJ shuffle on the bucket key — never a BroadcastNestedLoopJoin —
+    and a qualifying pair appears at most once (no DISTINCT needed).
+    Bucket-then-verify is exact for pairs sharing a bucket; pairs the planes
+    split across buckets are the standard LSH recall trade, mirrored
+    verbatim in the duckdb oracle's bucket predicate. The cosine here reuses
+    the precomputed per-vector norms (dot / sqrt(nsq_a * nsq_b)) — the same
+    multiply-then-sqrt tree as ``functions.cosine``, so values stay
+    bit-identical to the oracle's ``cosine_sql``.
+    """
+    b = persist_tracked(lsh_bucketed(emb))
+    a = b.alias("a")
+    c = b.alias("c")
+    cos = dot(col("a.v"), col("c.v")) / F.sqrt(col("a.nsq") * col("c.nsq"))
+    return (
+        a.join(c, (col("a.bucket") == col("c.bucket")) & (col("a.vec_id") < col("c.vec_id")))
+        .select(
+            col("a.vec_id").alias("d1"),
+            col("c.vec_id").alias("d2"),
+            F.round(cos, 4).alias("cos"),
+        )
+        .where(col("cos") >= threshold)
+    )
+
+
 def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, 0.4).orderBy("d1", "d2")
+    return embedding_neardup_bucketed(emb, 0.4).orderBy("d1", "d2")
 
 
 # --- oracles ---------------------------------------------------------------
@@ -570,11 +602,12 @@ ORDER BY 1, 2
     "q58_dedup_keep": _dedup_keep_sql(),
     "q43_simhash": _simhash_sql(),
     "q44_embedding_neardup": f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings)
-SELECT a.vec_id AS d1, b.vec_id AS d2,
-       ROUND({cosine_sql('a.v', 'b.v')}, 4) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND({cosine_sql('a.v', 'b.v')}, 4) >= 0.4
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({lsh_bucket_bits_sql('v')} AS BIGINT) AS bucket FROM e)
+SELECT a.vec_id AS d1, c.vec_id AS d2,
+       ROUND({cosine_sql('a.v', 'c.v')}, 4) AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND({cosine_sql('a.v', 'c.v')}, 4) >= 0.4
 ORDER BY 1, 2
 """,
 }

@@ -431,12 +431,19 @@ def q54_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracles ---------------------------------------------------------------
 
-def _lsh_sql(k: int = 3) -> str:
+def lsh_bucket_bits_sql(vec_expr: str = "v") -> str:
+    """duckdb spelling of the hyperplane-LSH bucket id over ``vec_expr`` —
+    the exact mirror of ``lsh_bucketed``'s signature column, shared by the
+    q52 oracle here and the q44 bucketed near-dup oracle in dedup.py."""
     planes = plane_weights()
-    bits = " + ".join(
-        f"(CASE WHEN {dot_sql('v', _plane_sql_literal(w))} >= 0 THEN {1 << j} ELSE 0 END)"
+    return " + ".join(
+        f"(CASE WHEN {dot_sql(vec_expr, _plane_sql_literal(w))} >= 0 THEN {1 << j} ELSE 0 END)"
         for j, w in enumerate(planes)
     )
+
+
+def _lsh_sql(k: int = 3) -> str:
+    bits = lsh_bucket_bits_sql("v")
     return f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
 b AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM e),

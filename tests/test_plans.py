@@ -87,6 +87,44 @@ def test_no_cartesian_products(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
+def test_q44_bucketed_neardup_never_nested_loop(spark, sf_dir):
+    """The registered embedding near-dup is the LSH-bucketed form: an
+    equi-join on the bucket key (hash/SMJ), never the O(n²)
+    BroadcastNestedLoopJoin of the all-pairs verifier."""
+    from eventstream_spark.operators import dedup as D
+
+    plan = _plan(D.q44_embedding_neardup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_q44_bucketed_matches_allpairs_within_buckets(spark, sf_dir):
+    """Bucket-then-verify is exact for shared-bucket pairs: the bucketed
+    result equals the all-pairs verifier restricted to pairs the planes
+    put in the same bucket."""
+    from pyspark.sql.functions import col
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators import dedup as D
+    from eventstream_spark.operators.similarity import lsh_bucketed
+
+    emb = load(spark, sf_dir, "embeddings")
+    buckets = {
+        r.vec_id: r.bucket for r in lsh_bucketed(emb).select("vec_id", "bucket").collect()
+    }
+    allpairs = {
+        (r.d1, r.d2, r.cos)
+        for r in D.embedding_neardup_pairs(emb, 0.4).collect()
+        if buckets[r.d1] == buckets[r.d2]
+    }
+    bucketed = {
+        (r.d1, r.d2, r.cos)
+        for r in D.embedding_neardup_bucketed(emb, 0.4).collect()
+    }
+    assert bucketed == allpairs
+    assert bucketed, "fixture produced no shared-bucket near-dup pairs"
+
+
 def test_q94_dimension_hops_broadcast(spark, sf_dir):
     """Q5 shape: supplier/nation/region hops broadcast; the only
     non-broadcast join is the orders↔lineitem fact join."""
