@@ -121,19 +121,41 @@ def q08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q09_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch request↔response correlation: first purchase after each click
-    per user (reference A8: response_to ↔ message_id pairing)."""
+    """Batch request↔response correlation: first purchase within 1 hour
+    after each click, per user (reference A8: response_to ↔ message_id
+    pairing — a response answers promptly or lands in the DLQ, q45).
+
+    Scale: the equi-key is (user_id, hour_bucket), not user_id alone — a
+    click explodes to its own bucket and the next (any purchase within the
+    1-hour horizon lands in exactly one of the two, so each qualifying pair
+    matches exactly once), and the time-range check rides as a residual on
+    the hash/SMJ join. Per-key fanout is bounded by a user's events per
+    HOUR, not their whole history — the unbounded hot-key quadratic blowup
+    of a bare user_id join can't occur."""
     ev = load(spark, sf_dir, "events")
-    clicks = ev.where(col("event_type") == "click").select(
-        col("event_id"), col("user_id"), col("ts")
+    hour_bucket = F.floor(F.unix_timestamp(col("ts")) / 3600)
+    clicks = (
+        ev.where(col("event_type") == "click")
+        .select(
+            col("event_id"),
+            col("user_id"),
+            col("ts"),
+            F.explode(F.array(hour_bucket, hour_bucket + 1)).alias("bucket"),
+        )
     )
     purchases = ev.where(col("event_type") == "purchase").select(
-        col("event_id").alias("p_event_id"), col("user_id").alias("p_user_id"), col("ts").alias("p_ts")
+        col("event_id").alias("p_event_id"),
+        col("user_id").alias("p_user_id"),
+        col("ts").alias("p_ts"),
+        hour_bucket.alias("p_bucket"),
     )
     return (
         clicks.join(
             purchases,
-            (clicks.user_id == purchases.p_user_id) & (purchases.p_ts > clicks.ts),
+            (clicks.user_id == purchases.p_user_id)
+            & (col("bucket") == col("p_bucket"))
+            & (purchases.p_ts > clicks.ts)
+            & (purchases.p_ts <= clicks.ts + F.expr("INTERVAL 1 HOUR")),
         )
         .groupBy("event_id")
         .agg(F.min("p_event_id").alias("response_id"))
@@ -581,6 +603,7 @@ ORACLES: dict[str, str] = {
         "SELECT e1.event_id AS event_id, MIN(e2.event_id) AS response_id"
         " FROM events e1 JOIN events e2"
         " ON e1.user_id = e2.user_id AND e2.ts > e1.ts"
+        " AND e2.ts <= e1.ts + INTERVAL 1 HOUR"
         " AND e1.event_type = 'click' AND e2.event_type = 'purchase'"
         " GROUP BY 1 ORDER BY 1"
     ),

@@ -1,5 +1,9 @@
 """Run the full differential suite at a given SF (default sf0.01 — the
-driver's t2 gate scale) and print one status line per query."""
+driver's t2 gate scale) and print one status line per query.
+
+Usage: check_correctness.py [sf_dir] [query_name ...]
+Extra args restrict the run to the named queries (substring match allowed).
+"""
 
 from __future__ import annotations
 
@@ -19,6 +23,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="check-correctness")
     queries, oracles = all_queries(), all_oracles()
+    if len(sys.argv) > 2:
+        wanted = sys.argv[2:]
+        queries = {
+            n: q for n, q in queries.items() if any(w in n for w in wanted)
+        }
     failures = 0
     for name in sorted(queries):
         t0 = time.time()

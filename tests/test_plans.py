@@ -87,6 +87,18 @@ def test_no_cartesian_products(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
+def test_q09_joins_on_composite_time_bucket_key(spark, sf_dir):
+    """The request/response self-join equi-key must carry the hour bucket
+    alongside user_id, so a hot user's fanout is bounded per hour, not by
+    their whole history; the time range stays a join residual."""
+    plan = _plan(R.q09_request_response(spark, sf_dir))
+    join_line = next(
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
+    )
+    assert "user_id" in join_line and "bucket" in join_line
+
+
 def test_q44_bucketed_neardup_never_nested_loop(spark, sf_dir):
     """The registered embedding near-dup is the LSH-bucketed form: an
     equi-join on the bucket key (hash/SMJ), never the O(n²)
