@@ -15,7 +15,13 @@ from .windows import session_counts, sliding_counts, tumbling_counts
 from .dedup import dedup_events
 from .barrier import completion_barrier, barrier_batch_oracle
 from .barrier_tws import ROCKSDB_PROVIDER, completion_barrier_tws
-from .control import QueryInfo, QueryManager, read_archive, trim_and_archive
+from .control import (
+    QueryInfo,
+    QueryManager,
+    read_archive,
+    trim_and_archive,
+    trim_partitions,
+)
 from .correlate import correlate_responses, unanswered_requests
 from .sinks import idempotent_parquet_sink, read_sink
 
@@ -31,6 +37,7 @@ __all__ = [
     "QueryManager",
     "QueryInfo",
     "trim_and_archive",
+    "trim_partitions",
     "read_archive",
     "correlate_responses",
     "unanswered_requests",

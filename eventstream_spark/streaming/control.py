@@ -131,9 +131,8 @@ def trim_and_archive(
 
     Scale: this local form rewrites the retained tail, which is correct for
     a bounded control stream (the reference default keeps only ~100-500
-    entries). For a 100 TB event table the same API routes to partition
-    drops (delete whole dated partitions older than the horizon) — never a
-    rewrite; see SCALING.md.
+    entries). For a 100 TB event table use ``trim_partitions`` — archive
+    then drop whole dated partitions, never a rewrite of retained data.
     """
     df = spark.read.parquet(table_dir)
     total = df.count()
@@ -160,6 +159,47 @@ def trim_and_archive(
     os.rename(tmp_dir, table_dir)
     shutil.rmtree(backup)
     return {"total": total, "archived": overflow_n, "kept": keep_count}
+
+
+def trim_partitions(
+    table_dir: str,
+    horizon: dt.date | str,
+    archive_dir: str | None = None,
+    partition_col: str = "date",
+) -> dict[str, int]:
+    """A12 retention at 100 TB scale: archive-then-drop whole
+    ``{partition_col}=`` partitions strictly older than ``horizon``.
+
+    Retained partitions are never read, rewritten, or even opened — their
+    files keep inode and mtime — and the dropped partitions MOVE (a
+    directory rename, no data copy) into ``archive_dir`` when given, else
+    are deleted. Work is proportional to the number of dropped partitions,
+    not table size: the 100 TB twin of the reference's archive-then-XTRIM
+    (handlers/master.py:27-69), where ``trim_and_archive`` above is the
+    bounded-control-stream form.
+
+    ``horizon`` compares against the partition value as a string (ISO dates
+    sort lexicographically, so date partitions need no parsing); a
+    partition is dropped when ``value < horizon``. On a transactional table
+    format this is ALTER TABLE DROP PARTITION / delete-where + vacuum.
+    """
+    horizon_s = horizon.isoformat() if isinstance(horizon, dt.date) else str(horizon)
+    prefix = f"{partition_col}="
+    dropped = kept = 0
+    for entry in sorted(os.listdir(table_dir)):
+        path = os.path.join(table_dir, entry)
+        if not entry.startswith(prefix) or not os.path.isdir(path):
+            continue
+        if entry[len(prefix):] < horizon_s:
+            if archive_dir is not None:
+                os.makedirs(archive_dir, exist_ok=True)
+                shutil.move(path, os.path.join(archive_dir, entry))
+            else:
+                shutil.rmtree(path)
+            dropped += 1
+        else:
+            kept += 1
+    return {"partitions_dropped": dropped, "partitions_kept": kept}
 
 
 def read_archive(spark: SparkSession, archive_dir: str) -> DataFrame:

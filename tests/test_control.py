@@ -90,6 +90,67 @@ def test_trim_and_archive_keeps_newest(spark, sf_dir, tmp_path):
     assert len(ids) == total
 
 
+def test_trim_partitions_drops_old_without_touching_retained(spark, sf_dir, tmp_path):
+    """The 100 TB retention path: whole date= partitions older than the
+    horizon move to the archive; retained partitions are byte-untouched
+    (same inode and mtime — never read or rewritten)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_spark.streaming import trim_partitions
+
+    events = load(spark, sf_dir, "events")
+    table_dir = str(tmp_path / "events_by_date")
+    events.withColumn("date", F.to_date("ts")).write.partitionBy("date").parquet(table_dir)
+
+    dates = sorted(
+        e[len("date="):] for e in os.listdir(table_dir) if e.startswith("date=")
+    )
+    assert len(dates) >= 3, "fixture must span several days"
+    horizon = dates[1]  # drop only the oldest day
+    per_date = {
+        r.date.isoformat(): r.cnt
+        for r in spark.read.parquet(table_dir).groupBy("date").count().withColumnRenamed("count", "cnt").collect()
+    }
+
+    def file_stats(date_s):
+        d = os.path.join(table_dir, f"date={date_s}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_ino, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {d: file_stats(d) for d in dates[1:]}
+    archive_dir = str(tmp_path / "archive")
+    stats = trim_partitions(table_dir, horizon, archive_dir=archive_dir)
+    assert stats == {"partitions_dropped": 1, "partitions_kept": len(dates) - 1}
+
+    # Retained partitions: identical file sets, inodes, and mtimes.
+    assert {d: file_stats(d) for d in dates[1:]} == before
+    assert not os.path.isdir(os.path.join(table_dir, f"date={dates[0]}"))
+    # The dropped day is fully present in the archive, nothing lost.
+    archived = spark.read.parquet(archive_dir)
+    assert archived.count() == per_date[dates[0]]
+    remaining = spark.read.parquet(table_dir)
+    assert remaining.count() == sum(per_date[d] for d in dates[1:])
+
+
+def test_trim_partitions_delete_without_archive(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eventstream_spark.streaming import trim_partitions
+
+    events = load(spark, sf_dir, "events").limit(200)
+    table_dir = str(tmp_path / "t")
+    events.withColumn("date", F.to_date("ts")).write.partitionBy("date").parquet(table_dir)
+    dates = sorted(e[len("date="):] for e in os.listdir(table_dir) if e.startswith("date="))
+    stats = trim_partitions(table_dir, dates[-1])  # keep only the newest day
+    assert stats["partitions_kept"] == 1
+    assert stats["partitions_dropped"] == len(dates) - 1
+    left = {e[len("date="):] for e in os.listdir(table_dir) if e.startswith("date=")}
+    assert left == {dates[-1]}
+
+
 def test_trim_noop_under_limit(spark, sf_dir, tmp_path):
     events = load(spark, sf_dir, "events").limit(10)
     table_dir = str(tmp_path / "small_table")
