@@ -202,6 +202,11 @@ def start_streaming_per_route(
         q = writer.start()
         name = f"{bus.name}:{route.name}"
         if manager is not None:
-            manager.register(name, q, ckpt)
+            manager.register(
+                name,
+                q,
+                ckpt,
+                owner=(cfg.application_name, cfg.application_instance),
+            )
         queries[name] = q
     return queries

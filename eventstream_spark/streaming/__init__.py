@@ -18,6 +18,8 @@ from .barrier_tws import ROCKSDB_PROVIDER, completion_barrier_tws
 from .control import (
     QueryInfo,
     QueryManager,
+    close_local,
+    publish_event,
     read_archive,
     trim_and_archive,
     trim_partitions,
@@ -38,6 +40,8 @@ __all__ = [
     "QueryInfo",
     "trim_and_archive",
     "trim_partitions",
+    "close_local",
+    "publish_event",
     "read_archive",
     "correlate_responses",
     "unanswered_requests",

@@ -48,13 +48,23 @@ class QueryManager:
         self.spark = spark
         self._queries: dict[str, StreamingQuery] = {}
         self._checkpoints: dict[str, str] = {}
+        self._owners: dict[str, tuple[str | None, str | None]] = {}
 
     def register(
-        self, name: str, query: StreamingQuery, checkpoint_dir: str | None = None
+        self,
+        name: str,
+        query: StreamingQuery,
+        checkpoint_dir: str | None = None,
+        owner: tuple[str | None, str | None] | None = None,
     ) -> StreamingQuery:
+        """``owner`` is the (application_name, application_instance) identity
+        the query answers for — the reference's close-target selector
+        (handlers/master.py:154-183)."""
         self._queries[name] = query
         if checkpoint_dir is not None:
             self._checkpoints[name] = checkpoint_dir
+        if owner is not None:
+            self._owners[name] = owner
         return query
 
     def names(self) -> list[str]:
@@ -89,6 +99,26 @@ class QueryManager:
     def stop_all(self) -> list[str]:
         return [name for name in self.names() if self.stop(name)]
 
+    def stop_owned(
+        self,
+        application_name: str | None = None,
+        application_instance: str | None = None,
+    ) -> list[str]:
+        """A14 close-target match (reference handlers/master.py:154-183,
+        close_local.py should_close): stop every registered query whose
+        owner matches the given application name/instance; ``None`` matches
+        any (same wildcard semantics as the reference's optional args)."""
+        stopped = []
+        for name in self.names():
+            app, inst = self._owners.get(name, (None, None))
+            if application_name is not None and app != application_name:
+                continue
+            if application_instance is not None and inst != application_instance:
+                continue
+            if self.stop(name):
+                stopped.append(name)
+        return stopped
+
     def purge(self, name: str, drop_checkpoint: bool = False) -> None:
         """A13 purge_consumers: forget the query; optionally drop its
         checkpoint so a restart reprocesses from scratch (the analog of
@@ -106,6 +136,95 @@ class QueryManager:
                 q.awaitTermination()
             else:
                 q.awaitTermination(int(timeout_sec * 1000))
+
+
+def publish_event(
+    spark: SparkSession,
+    stream_dir: str,
+    event_type: str = "get_instance",
+    props: dict[str, Any] | None = None,
+    user_id: int = 0,
+) -> str:
+    """XADD analog: append ONE raw event row to a stream directory a
+    streaming query is tailing. Returns the message_id the row will carry
+    after ``normalize_envelope`` (str(event_id)), which a response stamps
+    into ``response_to`` — the reference's request↔response correlation key
+    (messages/base.py:578)."""
+    import json as _json
+    import time as _time
+
+    from ..catalog import EVENTS_RAW_SCHEMA
+
+    event_id = _time.time_ns() // 1000  # micros: unique-enough, sortable
+    row = (
+        event_id,
+        dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),  # NTZ wall-clock
+        user_id,
+        event_type,
+        0.0,
+        _json.dumps(props or {}),
+    )
+    spark.createDataFrame([row], EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    return str(event_id)
+
+
+def close_local(
+    spark: SparkSession,
+    manager: QueryManager,
+    master_dir: str,
+    responses_dir: str,
+    application_name: str | None = None,
+    application_instance: str | None = None,
+    request_event: str = "get_instance",
+    timeout_sec: float = 60.0,
+    poll_sec: float = 0.5,
+) -> dict[str, Any]:
+    """The reference's close_local flow (close_local.py:112-146), A11+A14
+    composed through data: publish ``get_instance`` to the MASTER stream,
+    poll the response sink for ``get_instance_response`` envelopes
+    correlated to OUR request (``response_to == message_id``), filter to the
+    requested app/instance (should_close semantics, None = wildcard), and
+    stop the matched queries.
+
+    Where the reference publishes a second ``close_streams`` message, the
+    Spark control surface is the driver itself, so the close step is a
+    targeted ``QueryManager.stop_owned`` — same selector, no second hop.
+    """
+    import time as _time
+
+    request_id = publish_event(spark, master_dir, request_event)
+    deadline = _time.time() + timeout_sec
+    want_event = f"{request_event}_response"
+    targets: list[tuple[str, str]] = []
+    while _time.time() < deadline:
+        try:
+            resp = spark.read.parquet(responses_dir)
+            rows = (
+                resp.where(
+                    (col("event") == want_event) & (col("response_to") == request_id)
+                )
+                .select("application_name", "application_instance")
+                .distinct()
+                .collect()
+            )
+        except Exception:  # sink dir not created yet
+            rows = []
+        targets = [
+            (r.application_name, r.application_instance)
+            for r in rows
+            if (application_name is None or r.application_name == application_name)
+            and (application_instance is None or r.application_instance == application_instance)
+        ]
+        if targets:
+            break
+        _time.sleep(poll_sec)
+
+    closed: list[str] = []
+    for app, inst in targets:
+        closed.extend(manager.stop_owned(app, inst))
+    return {"request_id": request_id, "targets": targets, "closed": sorted(set(closed))}
 
 
 def trim_and_archive(

@@ -8,6 +8,9 @@ the library:
   python scripts/admin.py run-batch <config.json> <sf_dir>          # one-shot
   python scripts/admin.py tail <table_dir> [n]       # A21 XREVRANGE probe
   python scripts/admin.py length <table_dir>         # A22 XLEN probe
+  python scripts/admin.py close-local <config.json> <source_dir> [app] [inst]
+      # reference close_local.py: bring up the config's per-route streams,
+      # publish get_instance, await the correlated response, stop matched
 
 The reference's lock sweeper (unlock.py) and group GC (clear_groups.py) have
 no analog: Spark owns executor coordination and checkpoint state
@@ -85,8 +88,48 @@ def cmd_length(table_dir: str) -> int:
     return 0
 
 
+def cmd_close_local(
+    config_path: str,
+    source_dir: str,
+    app: str | None = None,
+    inst: str | None = None,
+) -> int:
+    """A11+A14 composed through data (reference close_local.py:112-146):
+    start the config's per-route streams over ``source_dir``, publish a
+    ``get_instance`` request into the stream, poll the responding route's
+    parquet sink for the correlated ``get_instance_response``, and stop the
+    matched queries via the manager. The first parquet-sink route whose
+    events include ``get_instance`` is taken as the responder."""
+    from eventstream_spark.catalog import EVENTS_RAW_SCHEMA
+    from eventstream_spark.plans.routes import start_streaming_per_route
+    from eventstream_spark.streaming import QueryManager, close_local
+
+    cfg = EngineConfig.from_json_file(config_path)
+    bus = cfg.busses[0]
+    responder = next(
+        r for r in bus.routes if "get_instance" in r.events and r.sink.kind == "parquet"
+    )
+    spark = get_spark(app_name="admin-close-local")
+    manager = QueryManager(spark)
+    ckpt_root = source_dir.rstrip("/") + ".close_local_ckpt"
+    start_streaming_per_route(
+        spark, cfg, bus, source_dir, EVENTS_RAW_SCHEMA, ckpt_root,
+        manager=manager, available_now=False,
+    )
+    try:
+        result = close_local(
+            spark, manager, source_dir, responder.sink.target,
+            application_name=app, application_instance=inst,
+        )
+    finally:
+        manager.stop_all()
+    print(json.dumps(result))
+    return 0 if result["closed"] else 1
+
+
 COMMANDS = {
     "validate": cmd_validate,
+    "close-local": cmd_close_local,
     "trim": cmd_trim,
     "compact": cmd_compact,
     "run-batch": cmd_run_batch,

@@ -49,3 +49,42 @@ def test_validate_aggregates_errors(tmp_path):
 def test_unknown_command_prints_usage():
     r = _run(["frobnicate"])
     assert r.returncode == 2 and "Ops CLI" in r.stdout
+
+
+def test_close_local_cli_roundtrip(tmp_path):
+    """close-local end to end in a fresh process: bring up the config's
+    streams, publish get_instance, correlate the response, stop the match."""
+    src = tmp_path / "master"
+    src.mkdir()
+    config = {
+        "application_name": "workerA",
+        "application_instance": "i-1",
+        "busses": [
+            {
+                "name": "MASTER",
+                "source_path": str(src),
+                "routes": [
+                    {
+                        "name": "instance_info",
+                        "event": "get_instance",
+                        "transform": {
+                            "module_name": "eventstream_spark.plans.transforms",
+                            "name": "respond",
+                        },
+                        "kwargs": {
+                            "application_name": "workerA",
+                            "application_instance": "i-1",
+                        },
+                        "sink": {"kind": "parquet", "target": str(tmp_path / "resp")},
+                    }
+                ],
+            }
+        ],
+    }
+    path = tmp_path / "close_local.json"
+    path.write_text(json.dumps(config))
+    r = _run(["close-local", str(path), str(src), "workerA"], {"SPARK_GRAFT_CPUS": "4"})
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["targets"] == [["workerA", "i-1"]]
+    assert out["closed"] == ["MASTER:instance_info"]

@@ -90,6 +90,115 @@ def test_trim_and_archive_keeps_newest(spark, sf_dir, tmp_path):
     assert len(ids) == total
 
 
+def test_close_local_roundtrips_through_running_stream(spark, tmp_path):
+    """Reference close_local.py:112-146, end to end through data: publish
+    get_instance into the live MASTER stream, the responder route answers
+    (A11 as data), close_local correlates response_to↔message_id, matches
+    the app identity, and stops the query (A14) via the manager."""
+    from eventstream_spark.catalog import EVENTS_RAW_SCHEMA
+    from eventstream_spark.plans.config import (
+        BusConfig,
+        EngineConfig,
+        RouteConfig,
+        SinkConfig,
+        TransformRef,
+    )
+    from eventstream_spark.plans.routes import start_streaming_per_route
+    from eventstream_spark.streaming import QueryManager, close_local
+
+    src = tmp_path / "master_stream"
+    src.mkdir()
+    resp_dir = str(tmp_path / "responses")
+    cfg = EngineConfig(
+        application_name="workerA",
+        application_instance="i-1",
+        busses=(
+            BusConfig(
+                name="MASTER",
+                source_path=str(src),
+                routes=(
+                    RouteConfig(
+                        name="instance_info",
+                        event="get_instance",
+                        transform=TransformRef(
+                            "eventstream_spark.plans.transforms", "respond"
+                        ),
+                        kwargs={
+                            "application_name": "workerA",
+                            "application_instance": "i-1",
+                        },
+                        sink=SinkConfig("parquet", resp_dir),
+                    ),
+                ),
+            ),
+        ),
+    )
+    manager = QueryManager(spark)
+    start_streaming_per_route(
+        spark,
+        cfg,
+        cfg.busses[0],
+        str(src),
+        EVENTS_RAW_SCHEMA,
+        str(tmp_path / "ckpt"),
+        manager=manager,
+        available_now=False,
+    )
+    try:
+        # A wrong-app filter must match nothing and close nothing.
+        assert manager.info("MASTER:instance_info").is_active
+        result = close_local(
+            spark,
+            manager,
+            str(src),
+            resp_dir,
+            application_name="workerA",
+            timeout_sec=90,
+        )
+    finally:
+        manager.stop_all()
+
+    assert result["targets"] == [("workerA", "i-1")]
+    assert result["closed"] == ["MASTER:instance_info"]
+    assert not manager.info("MASTER:instance_info").is_active
+    # The response that drove the close is a real envelope in the sink.
+    resp = spark.read.parquet(resp_dir)
+    row = resp.where(resp.response_to == result["request_id"]).first()
+    assert row.event == "get_instance_response"
+    assert row.application_name == "workerA"
+
+
+def test_stop_owned_filters_by_identity(spark, tmp_path):
+    """stop_owned only touches queries whose owner matches the selector."""
+    from eventstream_spark.sources import rate_stream
+    from eventstream_spark.streaming import QueryManager
+
+    mgr = QueryManager(spark)
+    qa = (
+        rate_stream(spark, rows_per_second=1)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ca"))
+        .start()
+    )
+    qb = (
+        rate_stream(spark, rows_per_second=1)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "cb"))
+        .start()
+    )
+    mgr.register("a", qa, owner=("appA", "i-1"))
+    mgr.register("b", qb, owner=("appB", "i-1"))
+    try:
+        assert mgr.stop_owned("nope") == []
+        assert mgr.stop_owned("appA") == ["a"]
+        assert qb.isActive and not qa.isActive
+        assert mgr.stop_owned(None, "i-1") == ["b"]
+    finally:
+        for q in (qa, qb):
+            if q.isActive:
+                q.stop()
+
+
 def test_trim_partitions_drops_old_without_touching_retained(spark, sf_dir, tmp_path):
     """The 100 TB retention path: whole date= partitions older than the
     horizon move to the archive; retained partitions are byte-untouched
