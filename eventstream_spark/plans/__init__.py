@@ -11,8 +11,10 @@ query.
 from .config import (
     BusConfig,
     ConfigurationError,
+    ConnectionConfig,
     EngineConfig,
     RouteConfig,
+    Secret,
     SinkConfig,
     TransformRef,
 )
@@ -21,8 +23,10 @@ from .routes import compile_bus, run_batch, start_streaming
 __all__ = [
     "BusConfig",
     "ConfigurationError",
+    "ConnectionConfig",
     "EngineConfig",
     "RouteConfig",
+    "Secret",
     "SinkConfig",
     "TransformRef",
     "compile_bus",

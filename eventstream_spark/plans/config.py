@@ -57,6 +57,85 @@ def substitute_env(value: Any, errors: list[str], path: str = "$") -> Any:
     return value
 
 
+class Secret:
+    """Masked credential value (reference models secrets as pydantic
+    ``SecretStr``: event_stream/messages/mixins.py:9-11, and carries SSL key
+    material/passwords in configuration/ssl.py and configuration/redis.py).
+
+    ``repr``/``str`` never reveal the value — so dataclass reprs, logs, and
+    aggregated validation errors can't leak it — and
+    ``get_secret_value()`` is the only way out. Values are $ENV-sourced
+    through the same ``substitute_env`` pass as every other config string,
+    then wrapped by the fields that declare themselves secret."""
+
+    __slots__ = ("_value",)
+    _MASK = "**********"
+
+    def __init__(self, value: str) -> None:
+        self._value = value
+
+    def get_secret_value(self) -> str:
+        return self._value
+
+    def __repr__(self) -> str:
+        return f"Secret('{self._MASK}')" if self._value else "Secret('')"
+
+    def __str__(self) -> str:
+        return self._MASK if self._value else ""
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Secret) and other._value == self._value
+
+    def __hash__(self) -> int:
+        return hash(("Secret", self._value))
+
+
+@dataclass(frozen=True)
+class ConnectionConfig:
+    """Source-connection settings with secret-typed credentials (reference
+    configuration/redis.py host/port/password — password a SecretStr — and
+    configuration/ssl.py key material). Spark analog: these feed source
+    options for a live connector (e.g. Kafka SASL/SSL); the parquet fixture
+    sources ignore them."""
+
+    host: str | None = None
+    port: int | None = None
+    username: str | None = None
+    password: Secret | None = None
+    ssl_keyfile: str | None = None
+    ssl_certfile: str | None = None
+    ssl_key_password: Secret | None = None
+
+
+_SECRET_CONN_FIELDS = ("password", "ssl_key_password")
+_PLAIN_CONN_FIELDS = ("host", "username", "ssl_keyfile", "ssl_certfile")
+
+
+def _parse_connection(
+    conn_raw: dict, errors: list[str], path: str
+) -> ConnectionConfig:
+    """Build a ConnectionConfig, wrapping secret fields. Error messages name
+    the field path only, never the value — a mistyped secret must not leak
+    through the aggregated ConfigurationError."""
+    known = set(_SECRET_CONN_FIELDS) | set(_PLAIN_CONN_FIELDS) | {"port"}
+    for key in conn_raw:
+        if key not in known:
+            errors.append(f"{path}.{key}: unknown connection field")
+    kwargs: dict[str, Any] = {}
+    for name in _PLAIN_CONN_FIELDS:
+        if conn_raw.get(name) is not None:
+            kwargs[name] = str(conn_raw[name])
+    for name in _SECRET_CONN_FIELDS:
+        if conn_raw.get(name) is not None:
+            kwargs[name] = Secret(str(conn_raw[name]))
+    if conn_raw.get("port") is not None:
+        try:
+            kwargs["port"] = int(conn_raw["port"])
+        except (TypeError, ValueError):
+            errors.append(f"{path}.port: not an integer")
+    return ConnectionConfig(**kwargs)
+
+
 _transform_cache: dict[tuple[str, str], Callable] = {}
 
 
@@ -133,6 +212,7 @@ class BusConfig:
     source_table: str | None = None  # catalog table name, or
     source_path: str | None = None  # explicit parquet path/dir
     routes: tuple[RouteConfig, ...] = ()
+    connection: ConnectionConfig | None = None
 
 
 @dataclass(frozen=True)
@@ -191,12 +271,18 @@ class EngineConfig:
                         ),
                     )
                 )
+            connection = None
+            if "connection" in bus_raw:
+                connection = _parse_connection(
+                    bus_raw["connection"], errors, f"{bpath}.connection"
+                )
             busses.append(
                 BusConfig(
                     name=bus_raw.get("name", f"bus{bi}"),
                     source_table=bus_raw.get("source_table"),
                     source_path=bus_raw.get("source_path"),
                     routes=tuple(routes),
+                    connection=connection,
                 )
             )
         if errors:

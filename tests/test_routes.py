@@ -93,6 +93,50 @@ def test_transform_signature_enforced(tmp_path, monkeypatch):
     assert "must be a DataFrame" in str(exc2.value)
 
 
+def test_secret_fields_never_leak(tmp_path, monkeypatch):
+    """Secret-typed connection fields (reference SecretStr): $ENV-sourced,
+    readable only via get_secret_value(), masked everywhere else —
+    including the aggregated validation-error text."""
+    from eventstream_spark.plans import Secret
+
+    monkeypatch.setenv("TEST_INSTANCE_ID", "inst-1")
+    monkeypatch.setenv("TEST_REDIS_PW", "hunter2-s3cret")
+    raw = _config_dict(tmp_path)
+    raw["busses"][0]["connection"] = {
+        "host": "redis.internal",
+        "port": 6380,
+        "password": "$TEST_REDIS_PW",
+        "ssl_key_password": "inline-key-pw",
+    }
+    cfg = EngineConfig.from_dict(raw)
+    conn = cfg.busses[0].connection
+    assert conn.host == "redis.internal" and conn.port == 6380
+    assert conn.password.get_secret_value() == "hunter2-s3cret"
+    assert conn.ssl_key_password.get_secret_value() == "inline-key-pw"
+    # Masked in every rendering path: repr/str of the secret, of the
+    # connection dataclass, and of the whole config tree.
+    for rendered in (repr(conn.password), str(conn.password), repr(conn), repr(cfg)):
+        assert "hunter2-s3cret" not in rendered
+        assert "inline-key-pw" not in rendered
+    assert str(conn.password) == "**********"
+    assert Secret("a") == Secret("a") and Secret("a") != Secret("b")
+
+    # Validation errors on the same config must not echo secret values.
+    bad = _config_dict(tmp_path)
+    bad["busses"][0]["connection"] = {
+        "password": "inline-pw-oops",
+        "port": "not-a-number",
+        "bogus_field": "x",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigurationError) as exc:
+        EngineConfig.from_dict(bad)
+    text = str(exc.value)
+    assert "port: not an integer" in text and "bogus_field" in text
+    assert "inline-pw-oops" not in text and "not-a-number" not in text
+
+
 def test_batch_run_and_response_semantics(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setenv("TEST_INSTANCE_ID", "inst-1")
     cfg = EngineConfig.from_dict(_config_dict(tmp_path))
