@@ -128,6 +128,71 @@ def interpret_json(c: Column, schema) -> Column:
     return F.from_json(c, schema)
 
 
+def string_shadow(dt):
+    """The all-string-leaves twin of a nested type: same struct/array/map
+    shape, every leaf a string. ``from_json`` with this schema never drops a
+    value (native JSON numbers/booleans coerce to their string spelling),
+    leaving the promotion rules to ``interpret_nested``."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType([StructField(f.name, string_shadow(f.dataType)) for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(string_shadow(dt.elementType))
+    if isinstance(dt, MapType):
+        return MapType(StringType(), string_shadow(dt.valueType))
+    return StringType()
+
+
+def _promote(c: Column, dt) -> Column:
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        MapType,
+        ShortType,
+        StructType,
+    )
+
+    if isinstance(dt, StructType):
+        built = F.struct(
+            *[_promote(c[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+        # Preserve null objects: a struct() of a null struct's children would
+        # otherwise resurrect as a struct of NULLs.
+        return F.when(c.isNull(), lit(None).cast(dt)).otherwise(built)
+    if isinstance(dt, ArrayType):
+        return F.transform(c, lambda x: _promote(x, dt.elementType))
+    if isinstance(dt, MapType):
+        return F.transform_values(c, lambda _, v: _promote(v, dt.valueType))
+    if isinstance(dt, (LongType, IntegerType, ShortType, ByteType)):
+        return interpret_long(c).cast(dt)
+    if isinstance(dt, (DoubleType, FloatType)):
+        return interpret_double(c).cast(dt)
+    if isinstance(dt, BooleanType):
+        return interpret_boolean(c)
+    return c.cast(dt)
+
+
+def interpret_nested(c: Column, schema) -> Column:
+    """Recursive value inference over arbitrarily nested payloads — the
+    column-expression twin of the reference's ``interpret_value`` recursion
+    (event_stream/utilities/common.py:366-404: dicts and iterables recurse,
+    string leaves promote by the integer/float/boolean/null-word rules).
+
+    ``c`` is a JSON string; ``schema`` declares the nested shape with the
+    TARGET leaf types (struct/array/map nesting to any depth). The payload
+    is parsed ONCE against the all-string shadow schema, then every leaf is
+    promoted by the same lenient ``interpret_*`` rules the flat envelope
+    uses — entirely JVM-side expressions (from_json + transform/
+    transform_values folds), no per-row Python."""
+    return _promote(F.from_json(c, string_shadow(schema)), schema)
+
+
 # --- envelope construction -------------------------------------------------
 
 def normalize_envelope(

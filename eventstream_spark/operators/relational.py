@@ -401,6 +401,80 @@ def q86_envelope_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q113_nested_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive value inference over a nested payload (reference
+    interpret_value recursion, event_stream/utilities/common.py:366-404):
+    a nested JSON document with all-string leaves parses ONCE against the
+    string-shadow schema and every leaf promotes by the lenient
+    int/float/bool/null rules (codec.interpret_nested) — struct, array,
+    and nested-struct-in-array levels all exercised — then aggregates as
+    typed data. The payload is constructed from event columns so the
+    duckdb oracle mirrors both the construction and the promotion rules.
+
+    Scale: one from_json + transform folds per row, no shuffle beyond the
+    final small aggregation; zero Python in the row path."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType as _Str,
+        StructField,
+        StructType,
+    )
+
+    from ..codec import interpret_nested
+
+    ev = load(spark, sf_dir, "events")
+    flag = (
+        F.when(col("user_id") % 5 == 0, "yes")
+        .when(col("user_id") % 5 == 1, "no")
+        .when(col("user_id") % 5 == 2, "1")
+        .when(col("user_id") % 5 == 3, "0.2")
+        .otherwise("none")
+    )
+    payload = F.format_string(
+        '{"meta": {"id": "%s", "flag": "%s", "score": "%s"},'
+        ' "tags": ["%s", "nan", "3.5e1"]}',
+        col("event_id"),
+        flag,
+        F.format_string("%.2f", col("value")),
+        col("user_id"),
+    )
+    schema = StructType(
+        [
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("id", LongType()),
+                        StructField("flag", BooleanType()),
+                        StructField("score", DoubleType()),
+                    ]
+                ),
+            ),
+            StructField("tags", ArrayType(DoubleType())),
+        ]
+    )
+    t = ev.select("event_type", interpret_nested(payload, schema).alias("p"))
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("p.meta.id").alias("sum_id"),
+            # centi-units: fold-order-proof integer sum of the float leaf
+            F.sum(F.round(col("p.meta.score") * 100).cast("long")).alias("score_c"),
+            F.count(F.when(col("p.meta.flag"), 1)).alias("n_true"),
+            F.count(F.when(~col("p.meta.flag"), 1)).alias("n_false"),
+            F.count(F.when(col("p.meta.flag").isNull(), 1)).alias("n_null_flag"),
+            F.sum(F.element_at(col("p.tags"), 1).cast("long")).alias("sum_tag0"),
+            F.count(F.when(F.isnan(F.element_at(col("p.tags"), 2)), 1)).alias("n_nan"),
+            F.max(F.element_at(col("p.tags"), 3)).alias("max_tag2"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- time windows / dedup (batch twins of streaming semantics) -------------
 
 def q21_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,6 +744,50 @@ SELECT event_type, COUNT(*) AS cnt,
        CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY 1 ORDER BY 1
 """,
+    "q113_nested_inference": r"""
+WITH j AS (
+  SELECT event_type,
+         printf('{"meta": {"id": "%s", "flag": "%s", "score": "%s"}, "tags": ["%s", "nan", "3.5e1"]}',
+                CAST(event_id AS VARCHAR),
+                CASE user_id % 5 WHEN 0 THEN 'yes' WHEN 1 THEN 'no' WHEN 2 THEN '1'
+                                 WHEN 3 THEN '0.2' ELSE 'none' END,
+                printf('%.2f', value),
+                CAST(user_id AS VARCHAR)) AS payload
+  FROM events),
+x AS (
+  SELECT event_type,
+         json_extract_string(payload, '$.meta.id') AS id_s,
+         json_extract_string(payload, '$.meta.flag') AS flag_s,
+         json_extract_string(payload, '$.meta.score') AS score_s,
+         json_extract_string(payload, '$.tags[0]') AS tag0_s,
+         json_extract_string(payload, '$.tags[1]') AS tag1_s,
+         json_extract_string(payload, '$.tags[2]') AS tag2_s
+  FROM j),
+p AS (
+  SELECT event_type,
+         CAST(id_s AS BIGINT) AS id,
+         CASE
+           WHEN regexp_matches(flag_s, '^[+-]?\d+$') THEN CAST(flag_s AS BIGINT) <> 0
+           WHEN regexp_matches(flag_s, '^[+-]?(\d+\.\d*|\.\d+)$') THEN CAST(flag_s AS DOUBLE) > 0.3
+           WHEN lower(flag_s) IN ('true','yes','on','y','t') THEN TRUE
+           WHEN lower(flag_s) IN ('false','no','off','n','f') THEN FALSE
+           ELSE NULL END AS flag,
+         CAST(score_s AS DOUBLE) AS score,
+         CAST(tag0_s AS DOUBLE) AS tag0,
+         CAST(tag1_s AS DOUBLE) AS tag1,
+         CAST(tag2_s AS DOUBLE) AS tag2
+  FROM x)
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(id) AS BIGINT) AS sum_id,
+       CAST(SUM(CAST(ROUND(score * 100) AS BIGINT)) AS BIGINT) AS score_c,
+       COUNT(CASE WHEN flag THEN 1 END) AS n_true,
+       COUNT(CASE WHEN NOT flag THEN 1 END) AS n_false,
+       COUNT(CASE WHEN flag IS NULL THEN 1 END) AS n_null_flag,
+       CAST(SUM(CAST(tag0 AS BIGINT)) AS BIGINT) AS sum_tag0,
+       COUNT(CASE WHEN isnan(tag1) THEN 1 END) AS n_nan,
+       MAX(tag2) AS max_tag2
+FROM p GROUP BY 1 ORDER BY 1
+""",
     "q16c_intersect_all": """
 SELECT nationkey, COUNT(*) AS copies FROM (
   SELECT c_nationkey AS nationkey FROM customer
@@ -797,6 +915,7 @@ QUERIES = {
     "q19_array_fns": q19_array_fns,
     "q20_json_fns": q20_json_fns,
     "q86_envelope_typed": q86_envelope_typed,
+    "q113_nested_inference": q113_nested_inference,
     "q21_hourly_window": q21_hourly_window,
     "q22_dedup_count": q22_dedup_count,
     "q26_sessionization": q26_sessionization,

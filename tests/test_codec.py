@@ -103,3 +103,78 @@ def test_parse_with_quarantine(spark):
     assert got_good == {1: 1, 3: None, 4: None, 5: 7}
     assert [(r.id, r.js) for r in bad.collect()] == [(2, "not json")]
     assert "js" not in good.columns and "js" in bad.columns
+
+
+def test_interpret_nested_recursive_promotion(spark):
+    """interpret_nested recurses dicts/lists/maps and promotes string
+    leaves by the same rules as the flat interpret_* family (reference
+    interpret_value recursion, common.py:366-404)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from eventstream_spark.codec import interpret_nested
+
+    schema = StructType(
+        [
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("id", LongType()),
+                        StructField("flag", BooleanType()),
+                        StructField("name", StringType()),
+                    ]
+                ),
+            ),
+            StructField("scores", ArrayType(DoubleType())),
+            StructField("attrs", MapType(StringType(), LongType())),
+            StructField(
+                "deep", ArrayType(StructType([StructField("b", BooleanType())]))
+            ),
+        ]
+    )
+    payload = (
+        '{"meta": {"id": "42", "flag": "yes", "name": "abc"},'
+        ' "scores": ["1.5", "nan", "3.5e1", "none"],'
+        ' "attrs": {"a": "7", "b": "x"},'
+        ' "deep": [{"b": "0.2"}, {"b": "2"}, {"b": "nil"}]}'
+    )
+    row = (
+        spark.range(1)
+        .select(interpret_nested(F.lit(payload), schema).alias("v"))
+        .first()
+        .v
+    )
+    assert row.meta.id == 42 and row.meta.flag is True and row.meta.name == "abc"
+    assert row.scores[0] == 1.5 and math.isnan(row.scores[1])
+    assert row.scores[2] == 35.0 and row.scores[3] is None
+    assert row.attrs == {"a": 7, "b": None}
+    # float 0.2 <= 0.3 threshold -> False; int "2" nonzero -> True; nil -> NULL
+    assert [d.b for d in row.deep] == [False, True, None]
+
+    # Native JSON numbers/booleans coerce through the string shadow fine,
+    # and a null object stays a null object (not a struct of NULLs).
+    native = '{"meta": {"id": 7, "flag": true, "name": null}, "scores": [2, 0.5]}'
+    row2 = (
+        spark.range(1)
+        .select(interpret_nested(F.lit(native), schema).alias("v"))
+        .first()
+        .v
+    )
+    assert row2.meta.id == 7 and row2.meta.flag is True and row2.meta.name is None
+    assert row2.scores == [2.0, 0.5] and row2.attrs is None and row2.deep is None
+    row3 = (
+        spark.range(1)
+        .select(interpret_nested(F.lit('{"scores": []}'), schema).alias("v"))
+        .first()
+        .v
+    )
+    assert row3.meta is None and row3.scores == []
