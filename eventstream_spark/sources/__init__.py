@@ -5,6 +5,7 @@ SURVEY §2A).
 
 from .batch import read_any, read_range, read_tail, stream_length
 from .bucketed import read_bucketed, write_bucketed
+from .redis_stream import RedisStreamClient, register_rediswire
 from .stream import events_file_stream, file_stream, kafka_stream, rate_stream
 
 __all__ = [
@@ -18,4 +19,6 @@ __all__ = [
     "events_file_stream",
     "kafka_stream",
     "rate_stream",
+    "RedisStreamClient",
+    "register_rediswire",
 ]

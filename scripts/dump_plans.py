@@ -17,7 +17,9 @@ from eventstream_spark.session import get_spark
 PICKS = {
     "q03_filter_project": "pushdown + pruning reach the parquet scan (PushedFilters, 2-column ReadSchema)",
     "q05_join_rollup": "all three dims broadcast; the fact side never shuffles",
+    "q09_request_response": "composite (user_id, hour_bucket) equi-key with the 1-hour range as residual — hot-user fanout bounded per hour",
     "q13_topk_per_group": "WindowGroupLimit caps per-group state before the sort",
+    "q44_embedding_neardup": "LSH-bucketed near-dup: equi-join on the bucket key, no BroadcastNestedLoopJoin",
     "q15_topn": "TakeOrderedAndProject: per-partition heaps, no global sort",
     "q41_ngram_jaccard": "PPJoin prefix plan: window-based frequency, two exchanges feed the ranked prefix",
     "q53_ivf_ann": "map-side centroid assignment: literal planes, no centroid join before the cell shuffle",
