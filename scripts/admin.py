@@ -5,6 +5,8 @@ the library:
 
   python scripts/admin.py validate <config.json>     # A27 --validate dry-run
   python scripts/admin.py trim <table_dir> <keep_n> [archive_dir]   # A12
+  python scripts/admin.py trim-partitions <table_dir> <iso_date> [archive_dir]
+      # A12 at scale: drop whole date= partitions older than the horizon
   python scripts/admin.py run-batch <config.json> <sf_dir>          # one-shot
   python scripts/admin.py tail <table_dir> [n]       # A21 XREVRANGE probe
   python scripts/admin.py length <table_dir>         # A22 XLEN probe
@@ -48,6 +50,16 @@ def cmd_trim(table_dir: str, keep: str, archive_dir: str | None = None) -> int:
 
     spark = get_spark(app_name="admin-trim")
     stats = trim_and_archive(spark, table_dir, int(keep), archive_dir)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_trim_partitions(table_dir: str, horizon: str, archive_dir: str | None = None) -> int:
+    """A12 at scale: archive-then-drop whole date= partitions older than
+    the horizon (ISO date); no Spark session needed — pure directory moves."""
+    from eventstream_spark.streaming.control import trim_partitions
+
+    stats = trim_partitions(table_dir, horizon, archive_dir)
     print(json.dumps(stats))
     return 0
 
@@ -130,6 +142,7 @@ def cmd_close_local(
 COMMANDS = {
     "validate": cmd_validate,
     "close-local": cmd_close_local,
+    "trim-partitions": cmd_trim_partitions,
     "trim": cmd_trim,
     "compact": cmd_compact,
     "run-batch": cmd_run_batch,

@@ -88,3 +88,18 @@ def test_close_local_cli_roundtrip(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["targets"] == [["workerA", "i-1"]]
     assert out["closed"] == ["MASTER:instance_info"]
+
+
+def test_trim_partitions_cli(tmp_path):
+    """trim-partitions is pure directory manipulation — no Spark session."""
+    table = tmp_path / "t"
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        (table / f"date={d}").mkdir(parents=True)
+        (table / f"date={d}" / "part-0.parquet").write_bytes(b"x")
+    archive = tmp_path / "arch"
+    r = _run(["trim-partitions", str(table), "2024-01-02", str(archive)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"partitions_dropped": 1, "partitions_kept": 2}
+    assert (archive / "date=2024-01-01" / "part-0.parquet").exists()
+    assert not (table / "date=2024-01-01").exists()
