@@ -167,6 +167,66 @@ def q52_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann(load(spark, sf_dir, "embeddings"), k=3)
 
 
+def lsh_multiprobe_ann(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al., VLDB'07): each query vector
+    probes its own bucket PLUS the bucket with its lowest-|margin| sign bit
+    flipped — the most likely neighbor-holding bucket — roughly doubling
+    recall without doubling the table count.
+
+    Scale: the corpus is still stored/bucketed ONCE; only the probe side
+    expands ×2 map-side (explode), and the join stays an equi-shuffle on
+    the bucket key. A corpus vector owns one bucket, so the two probes can
+    never both match it — no duplicate candidates, no DISTINCT."""
+    planes = plane_weights()
+    n = len(planes)
+    e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    pmat = matrix_literal(planes)
+    powers = F.array(*[lit(1 << j) for j in range(n)])
+    proj = F.transform(pmat, lambda w: dot(col("v"), w))
+    bucket = F.aggregate(
+        F.zip_with(proj, powers, lambda d, p: F.when(d >= 0, p).otherwise(lit(0))),
+        lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    # argmin |projection|: the struct array_min orders by (margin, j) — the
+    # same first-match-on-ties rule as the oracle's CASE chain.
+    idxs = F.array(*[lit(j) for j in range(n)])
+    flip = F.array_min(
+        F.zip_with(proj, idxs, lambda d, j: F.struct(F.abs(d).alias("m"), j.alias("j")))
+    )["j"]
+    b = persist_tracked(
+        e.withColumn("bucket", bucket).withColumn("flip", flip.cast("int"))
+    )
+    probes = b.select(
+        col("vec_id").alias("q_id"),
+        col("v").alias("qv"),
+        F.explode(
+            F.array(
+                col("bucket"),
+                F.expr("bucket ^ shiftleft(CAST(1 AS BIGINT), flip)"),
+            )
+        ).alias("probe"),
+    )
+    c = b.alias("c")
+    w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc(), col("neighbor_id"))
+    return (
+        probes.join(c, (col("probe") == col("c.bucket")) & (col("q_id") != col("c.vec_id")))
+        .select(
+            "q_id",
+            col("c.vec_id").alias("neighbor_id"),
+            cosine(col("qv"), col("c.v")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def q114_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_multiprobe_ann(load(spark, sf_dir, "embeddings"), k=3)
+
+
 # --- IVF ANN ---------------------------------------------------------------
 
 _IVF_CELLS = 16
@@ -442,6 +502,43 @@ def lsh_bucket_bits_sql(vec_expr: str = "v") -> str:
     )
 
 
+def _lsh_multiprobe_sql(k: int = 3) -> str:
+    """q114 mirror: same plane projections spelled per-column so the flip
+    bit (argmin |margin|, first index on ties) matches the Spark
+    struct-array_min rule exactly."""
+    planes = plane_weights()
+    n = len(planes)
+    bits = lsh_bucket_bits_sql("v")
+    d_cols = ",\n       ".join(
+        f"{dot_sql('v', _plane_sql_literal(w))} AS d{j}" for j, w in enumerate(planes)
+    )
+    least = "LEAST(" + ", ".join(f"ABS(d{j})" for j in range(n)) + ")"
+    flip_case = (
+        "CASE " + " ".join(f"WHEN ABS(d{j}) = mm THEN {j}" for j in range(n)) + " END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket,
+       {d_cols}
+      FROM e),
+m AS (SELECT *, {least} AS mm FROM b),
+pr AS (SELECT vec_id, v, bucket, {flip_case} AS flip FROM m),
+probes AS (
+  SELECT vec_id AS q_id, v AS qv, bucket AS probe FROM pr
+  UNION ALL
+  SELECT vec_id, v, xor(bucket, CAST(1 AS BIGINT) << flip) FROM pr),
+cand AS (
+  SELECT p.q_id, c.vec_id AS neighbor_id, {cosine_sql('p.qv', 'c.v')} AS cos_raw
+  FROM probes p JOIN b c ON p.probe = c.bucket AND p.q_id <> c.vec_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM cand)
+SELECT q_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cos
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
 def _lsh_sql(k: int = 3) -> str:
     bits = lsh_bucket_bits_sql("v")
     return f"""
@@ -531,6 +628,7 @@ SELECT q_id, vec_id AS neighbor_id, rank, ROUND(cos_raw, 4) AS cos
 FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """,
     "q52_lsh_ann": _lsh_sql(),
+    "q114_lsh_multiprobe": _lsh_multiprobe_sql(),
     # IVF mirror: assignment/probing argmins use ROW_NUMBER ordered by
     # (dist, cell) — the same (d, c) lexicographic order as Spark's
     # array_min/array_sort over structs.
@@ -594,6 +692,7 @@ QUERIES = {
     "q50_knn_exact": q50_knn_exact,
     "q51_topk_per_query": q51_topk_per_query,
     "q52_lsh_ann": q52_lsh_ann,
+    "q114_lsh_multiprobe": q114_lsh_multiprobe,
     "q53_ivf_ann": q53_ivf_ann,
     "q54_kmeans_step": q54_kmeans_step,
     "q85_pq_ann": q85_pq_ann,

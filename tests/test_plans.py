@@ -137,6 +137,27 @@ def test_q44_bucketed_matches_allpairs_within_buckets(spark, sf_dir):
     assert bucketed, "fixture produced no shared-bucket near-dup pairs"
 
 
+def test_q114_multiprobe_improves_on_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe candidates per
+    query, so the rank-1 cosine can only improve; and the plan stays an
+    equi-join on the bucket key (no nested loop)."""
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.similarity import lsh_ann, lsh_multiprobe_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    single = {r.q_id: r.cos for r in lsh_ann(emb, k=1).collect()}
+    multi = {r.q_id: r.cos for r in lsh_multiprobe_ann(emb, k=1).collect()}
+    # every query that had a single-probe neighbor still has one...
+    assert set(single) <= set(multi)
+    # ...and its best cosine never got worse; at least one strictly improved
+    # or gained a neighbor (else multi-probe would be pointless here).
+    assert all(multi[q] >= single[q] for q in single)
+    assert len(multi) > len(single) or any(multi[q] > single[q] for q in single)
+
+    plan = _plan(lsh_multiprobe_ann(emb, k=3))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_q94_dimension_hops_broadcast(spark, sf_dir):
     """Q5 shape: supplier/nation/region hops broadcast; the only
     non-broadcast join is the orders↔lineitem fact join."""
