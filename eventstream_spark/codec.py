@@ -265,6 +265,30 @@ def create_response(
     return out
 
 
+def stream_entry_to_envelope(df: DataFrame) -> DataFrame:
+    """Wire rows from the stream sources — ``(message_id, ts,
+    map<string,string> fields)``, the eventwire/rediswire shape — to the
+    canonical envelope (reference Message.parse over a Redis entry,
+    messages/base.py:524-560): envelope keys lift out of the fields map,
+    every other field stays in ``props`` (the ``__extra_data`` analog).
+    The entry ID is the message_id and its millis prefix the event time,
+    both already materialized by the source."""
+    fields = col("fields")
+    lifted = ("event", "response_to", "application_name", "application_instance", "workflow_id")
+    props = F.map_filter(fields, lambda k, _: ~k.isin(*lifted))
+    return df.select(
+        F.element_at(fields, "event").alias("event"),
+        col("message_id"),
+        F.element_at(fields, "response_to").alias("response_to"),
+        F.element_at(fields, "application_name").alias("application_name"),
+        F.element_at(fields, "application_instance").alias("application_instance"),
+        F.element_at(fields, "workflow_id").alias("workflow_id"),
+        col("ts"),
+        make_header().alias("header"),
+        props.alias("props"),
+    )
+
+
 def envelope_to_wire(df: DataFrame) -> DataFrame:
     """Wire encoding (A7 Message.send, reference messages/base.py:636-711):
     the whole row — envelope, props map, any promoted extras — serialized to

@@ -118,3 +118,32 @@ def test_stream_read_is_incremental_and_replay_safe(spark, tmp_path):
         # ...and nothing was double-read across restarts.
         assert got.select("message_id").distinct().count() == 4
         client.close()
+
+
+def test_rediswire_rows_compose_into_envelopes(spark):
+    """The full ingestion composition: live stream -> wire rows ->
+    canonical envelope -> response derivation (A1 -> SURVEY §1 -> A8)."""
+    from eventstream_spark.codec import create_response, stream_entry_to_envelope
+
+    with FakeRedisServer() as server:
+        with RedisStreamClient("127.0.0.1", server.port) as c:
+            c.xadd(
+                "EVENTS",
+                {"event": "get_instance", "application_name": "w", "k": "7"},
+            )
+        register_rediswire(spark)
+        df = (
+            spark.read.format("rediswire")
+            .option("host", "127.0.0.1")
+            .option("port", str(server.port))
+            .option("stream", "EVENTS")
+            .load()
+        )
+        env = stream_entry_to_envelope(df)
+        row = env.first()
+        assert row.event == "get_instance" and row.application_name == "w"
+        assert row.props == {"k": "7"}  # envelope keys lifted OUT of props
+        assert row.message_id is not None and row.ts is not None
+        resp = create_response(env, "responder", "i-9").first()
+        assert resp.event == "get_instance_response"
+        assert resp.response_to == row.message_id
