@@ -164,9 +164,77 @@ def q105_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def q115_stream_redis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q90's hourly aggregation ingested through a LIVE Redis-protocol
+    broker: the events fixture is pipeline-XADDed into an in-process RESP2
+    stream server, read back with the ``rediswire`` DataSource as a real
+    Structured Streaming query (ID-range micro-batches over actual
+    sockets), decoded from the string wire (ts as unix-micros field, value
+    re-parsed from its shortest-roundtrip repr — both exact), and
+    aggregated. Complete mode over the drained stream equals the batch
+    computation, so q90's duckdb oracle applies verbatim — the whole
+    A1-over-the-wire path sits under the driver's correctness gate.
+
+    Scale: the feed loop is test scaffolding (a real deployment's
+    producers publish); the read path — replayable exclusive-start XRANGE
+    micro-batches — is the part that must and does scale per
+    ``redis_stream.py``'s offset design."""
+    from ..catalog import load
+    from ..sources.redis_stream import RedisStreamClient, register_rediswire
+    from ..sources.resp_server import FakeRedisServer
+
+    feed = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.unix_micros(col("ts")).alias("us"), "value")
+        .collect()
+    )
+    server = FakeRedisServer()
+    try:
+        with RedisStreamClient("127.0.0.1", server.port) as c:
+            c.xadd_many(
+                "EVENTS",
+                [
+                    {"event": r.event_type, "ts_us": str(r.us), "value": repr(r.value)}
+                    for r in feed
+                ],
+            )
+        register_rediswire(spark)
+        stream = (
+            spark.readStream.format("rediswire")
+            .option("host", "127.0.0.1")
+            .option("port", str(server.port))
+            .option("stream", "EVENTS")
+            .load()
+        )
+        typed = stream.select(
+            F.element_at("fields", "event").alias("event_type"),
+            F.timestamp_micros(
+                F.element_at("fields", "ts_us").cast("long")
+            ).alias("ts"),
+            F.element_at("fields", "value").cast("double").alias("value"),
+        )
+        agg = typed.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count("*").alias("cnt"), F.sum("value").alias("sv")
+        )
+        out = _run_to_table(agg, spark)
+    finally:
+        server.close()
+    return out.select(
+        col("w.start").alias("h"),
+        "event_type",
+        "cnt",
+        F.round("sv", 2).alias("sum_value"),
+    ).orderBy("h", "event_type")
+
+
 ORACLES = {
     # Identical to the batch twins: the streaming run must land on the same
     # answer the oracle computes from the table at rest.
+    "q115_stream_redis": """
+SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "q90_stream_hourly": """
 SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
        ROUND(SUM(value), 2) AS sum_value
@@ -206,4 +274,5 @@ QUERIES = {
     "q92_stream_routing": q92_stream_routing,
     "q104_stream_join": q104_stream_join,
     "q105_stream_session": q105_stream_session,
+    "q115_stream_redis": q115_stream_redis,
 }

@@ -138,6 +138,27 @@ class RedisStreamClient:
         self._sock.sendall(encode_command(*args))
         return self._reader.read_reply()
 
+    def pipeline(self, commands: list[tuple]) -> list[Any]:
+        """RESP pipelining: ship N commands in one write, read N replies —
+        turns N round-trips into one (the standard bulk-XADD feed path)."""
+        self._sock.sendall(b"".join(encode_command(*cmd) for cmd in commands))
+        return [self._reader.read_reply() for _ in commands]
+
+    def xadd_many(
+        self, stream: str, batches: list[dict[str, str]], chunk: int = 1000
+    ) -> list[str]:
+        """Pipelined XADD of many entries; returns their IDs in order."""
+        ids: list[str] = []
+        for i in range(0, len(batches), chunk):
+            cmds = []
+            for fields in batches[i : i + chunk]:
+                flat: list[str] = []
+                for k, v in fields.items():
+                    flat += [str(k), str(v)]
+                cmds.append(("XADD", stream, "*", *flat))
+            ids.extend(self.pipeline(cmds))
+        return ids
+
     # -- stream verbs (reference communication.py surface) ------------------
 
     def ping(self) -> str:
