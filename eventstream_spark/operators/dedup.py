@@ -445,6 +445,43 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(docs).orderBy("doc_id")
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+def contamination_check(
+    docs: DataFrame, bench_pred: Column, min_shared: int = 3
+) -> DataFrame:
+    """Train/test overlap detection (decontamination): flag corpus documents
+    sharing at least ``min_shared`` distinct word n-gram shingles with a
+    benchmark/eval document set — the standard pre-training hygiene pass
+    (n-gram collision decontamination as popularized by the GPT-3/PaLM
+    appendices).
+
+    Scale: benchmark sets are small (eval suites), so their DISTINCT
+    shingle set broadcasts; the corpus side is map-side shingling + a
+    broadcast hash join + one partial-agg shuffle on doc_id. The corpus
+    never shuffles its text."""
+    bench_sh = (
+        docs.where(bench_pred)
+        .select(F.explode(word_shingles("text")).alias("s"))
+        .distinct()
+    )
+    cand_sh = spread(docs.where(~bench_pred)).select(
+        "doc_id", F.explode(word_shingles("text")).alias("s")
+    )
+    return (
+        cand_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(col("n_shared") >= min_shared)
+        .orderBy("doc_id")
+    )
+
+
+def q116_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return contamination_check(docs, col("doc_id") % 50 == 0, min_shared=3)
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
@@ -598,6 +635,14 @@ WHERE ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6) >= 0.5
 ORDER BY 1, 2
 """,
     "q42_minhash_lsh": _minhash_sql(),
+    "q116_contamination": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+c AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+SELECT c.doc_id, COUNT(*) AS n_shared
+FROM c JOIN b ON c.s = b.s
+GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1
+""",
     "q55_dedup_clusters": _clusters_sql(),
     "q58_dedup_keep": _dedup_keep_sql(),
     "q43_simhash": _simhash_sql(),
@@ -616,6 +661,7 @@ QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_ngram_jaccard": q41_ngram_jaccard,
     "q42_minhash_lsh": q42_minhash_lsh,
+    "q116_contamination": q116_contamination,
     "q55_dedup_clusters": q55_dedup_clusters,
     "q58_dedup_keep": q58_dedup_keep,
     "q43_simhash": q43_simhash,
