@@ -56,8 +56,11 @@ HEADLINE = [
     "q42_minhash_lsh",
     "q55_dedup_clusters",
     "q43_simhash",
+    "q44_embedding_neardup",
+    "q116_contamination",
     "q50_knn_exact",
     "q52_lsh_ann",
+    "q114_lsh_multiprobe",
     "q53_ivf_ann",
     "q71_order_priority",
     "q72_volume_shipping",
