@@ -238,6 +238,46 @@ def q36_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = _CHUNK_SIZE, overlap: int = _CHUNK_OVERLAP
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window packing precursor every training pipeline runs (long
+    docs become `ceil((n-size)/step)+1` windows of `chunk_size` tokens
+    stepping by `chunk_size-overlap`; short docs stay one chunk).
+
+    Scale: pure map-side — tokenize once, compute the chunk count
+    arithmetically, explode a 0..k-1 sequence, and slice the token array
+    per chunk (slice start/length are column expressions, no UDF). No
+    shuffle at all; output partitioning follows the input."""
+    step = chunk_size - overlap
+    w = tokens("text")
+    n = F.size(w)
+    k = F.when(n <= chunk_size, lit(1)).otherwise(
+        (F.floor((n - chunk_size + step - 1) / step) + 1).cast("int")
+    )
+    toks = spread(docs).select("doc_id", w.alias("w"), k.alias("k"))
+    exploded = toks.select(
+        "doc_id", "w", F.explode(F.sequence(lit(0), col("k") - 1)).alias("i")
+    )
+    piece = F.slice(col("w"), col("i") * step + 1, lit(chunk_size))
+    return exploded.select(
+        "doc_id",
+        col("i").cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def q117_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs).orderBy("doc_id", "chunk_idx")
+
+
 def q56_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5% corpus sample: hash48(doc_id) mod 100 < 5 — the
     reproducible-sampling primitive for training-data pipelines (same rows
@@ -367,6 +407,21 @@ def q82_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
 ORACLES = {
+    "q117_doc_chunking": f"""
+WITH tok AS (SELECT doc_id, {tokens_sql()} AS w FROM documents),
+c AS (SELECT doc_id, w, len(w) AS n,
+        CASE WHEN len(w) <= {_CHUNK_SIZE} THEN 1
+             ELSE CAST(FLOOR((len(w) - {_CHUNK_SIZE} + {_CHUNK_SIZE - _CHUNK_OVERLAP} - 1)
+                             / {_CHUNK_SIZE - _CHUNK_OVERLAP}) AS INT) + 1 END AS k
+      FROM tok)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(w, i * {_CHUNK_SIZE - _CHUNK_OVERLAP} + 1,
+                                  i * {_CHUNK_SIZE - _CHUNK_OVERLAP} + {_CHUNK_SIZE}), ' ') AS chunk_text,
+       CAST(len(list_slice(w, i * {_CHUNK_SIZE - _CHUNK_OVERLAP} + 1,
+                           i * {_CHUNK_SIZE - _CHUNK_OVERLAP} + {_CHUNK_SIZE})) AS BIGINT) AS n_tokens
+FROM c, UNNEST(range(0, k)) AS t(i)
+ORDER BY doc_id, chunk_idx
+""",
     "q24_lang_stats": """
 SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1 ORDER BY 1
@@ -483,6 +538,7 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 }
 
 QUERIES = {
+    "q117_doc_chunking": q117_doc_chunking,
     "q24_lang_stats": q24_lang_stats,
     "q30_lang_id": q30_lang_id,
     "q31_quality_score": q31_quality_score,
