@@ -77,7 +77,26 @@ def _ts_from_message_id(message_id: str) -> datetime:
     )
 
 
-def _read_wire_file(fpath: str):
+def _read_wire_file(fpath: str, page: int = 2000):
+    """Yield Arrow RecordBatches of wire rows (columnar hand-off per page —
+    the per-row tuple path costs ~0.6 ms/row at the Python-source
+    boundary; see redis_stream._arrow_batch for the measurement)."""
+    import pyarrow as pa
+
+    def batch(rows):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in rows], type=pa.string()),
+                pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                pa.array(
+                    [list(r[2].items()) for r in rows],
+                    type=pa.map_(pa.string(), pa.string()),
+                ),
+            ],
+            names=["message_id", "ts", "fields"],
+        )
+
+    rows = []
     with open(fpath, "r", encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
@@ -86,7 +105,12 @@ def _read_wire_file(fpath: str):
             entry = json.loads(line)
             mid = str(entry["id"])
             fields = {str(k): str(v) for k, v in entry.get("fields", {}).items()}
-            yield (mid, _ts_from_message_id(mid), fields)
+            rows.append((mid, _ts_from_message_id(mid), fields))
+            if len(rows) >= page:
+                yield batch(rows)
+                rows = []
+    if rows:
+        yield batch(rows)
 
 
 class _FilePartition(InputPartition):
