@@ -158,6 +158,26 @@ def test_q114_multiprobe_improves_on_single_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_q116_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast — the corpus side joins it
+    with a hash join, never shuffling corpus text."""
+    from eventstream_spark.operators import dedup as D
+
+    plan = _plan(D.q116_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q117_chunking_is_map_side(spark, sf_dir):
+    """Chunking is tokenize→explode→slice with zero joins; the only
+    exchanges allowed are the spread() fan-out and the final sort."""
+    from eventstream_spark.operators import text as T
+
+    plan = _plan(T.q117_doc_chunking(spark, sf_dir))
+    for op in ("Join", "HashAggregate", "Window"):
+        assert op not in plan, op
+
+
 def test_q94_dimension_hops_broadcast(spark, sf_dir):
     """Q5 shape: supplier/nation/region hops broadcast; the only
     non-broadcast join is the orders↔lineitem fact join."""
