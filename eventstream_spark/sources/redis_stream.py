@@ -6,7 +6,7 @@ are ``(millis-seq id, {field: str})`` pairs). This module closes that gap
 for a live server with two layers:
 
 1. ``RedisStreamClient`` — a minimal synchronous RESP2 client (sockets,
-   stdlib only; the protocol is public: https://redis.io/docs/reference/protocol-spec)
+   stdlib only; RESP2 is Redis's publicly documented wire protocol)
    speaking exactly the stream verbs the reference uses: XADD, XLEN,
    XRANGE/XREVRANGE, XGROUP CREATE, XREADGROUP, XACK, AUTH, PING.
 
