@@ -328,7 +328,40 @@ def q103_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix: per-user adjacent event pairs counted over
+    the whole stream (the Markov-chain view of user behavior — the
+    complement of q46's fixed funnel). One window shuffle on user_id (lag
+    over the (ts, event_id) total order), then a small pair aggregation.
+
+    Scale: per-user state in the lag window is one row; the pair space is
+    #event_types², so the final aggregation is tiny no matter the corpus."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        col("event_type").alias("to_event"),
+        F.lag("event_type").over(w).alias("from_event"),
+    )
+    return (
+        t.where(col("from_event").isNotNull())
+        .groupBy("from_event", "to_event")
+        .agg(F.count("*").alias("cnt"), F.count_distinct("user_id").alias("n_users"))
+        .orderBy("from_event", "to_event")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q118_event_transitions": """
+WITH o AS (
+  SELECT user_id, event_type AS to_event,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_event
+  FROM events)
+SELECT from_event, to_event, COUNT(*) AS cnt,
+       COUNT(DISTINCT user_id) AS n_users
+FROM o WHERE from_event IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "q101_vector_hof_stats": """
 WITH per AS (
   SELECT label,
@@ -479,4 +512,5 @@ QUERIES = {
     "q101_vector_hof_stats": q101_vector_hof_stats,
     "q102_unpivot": q102_unpivot,
     "q103_boilerplate_scrub": q103_boilerplate_scrub,
+    "q118_event_transitions": q118_event_transitions,
 }
