@@ -351,7 +351,41 @@ def q118_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted active
+    per week offset — the standard growth-analytics matrix.
+
+    Scale: two shuffles on user_id (first-seen agg, then the distinct
+    activity join — co-partitioned, so AQE can reuse the exchange) and one
+    small (cohort, offset) aggregation. No window, no skew beyond user
+    activity itself."""
+    ev = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = ev.select("user_id", week.alias("week")).distinct()
+    j = active.join(first, "user_id")
+    return (
+        j.groupBy(
+            "cohort_week",
+            (F.datediff(col("week"), col("cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q119_cohort_retention": """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+SELECT f.cohort_week,
+       CAST(FLOOR(datediff('day', f.cohort_week, a.week) / 7.0) AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "q118_event_transitions": """
 WITH o AS (
   SELECT user_id, event_type AS to_event,
@@ -513,4 +547,5 @@ QUERIES = {
     "q102_unpivot": q102_unpivot,
     "q103_boilerplate_scrub": q103_boilerplate_scrub,
     "q118_event_transitions": q118_event_transitions,
+    "q119_cohort_retention": q119_cohort_retention,
 }
