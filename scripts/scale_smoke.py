@@ -65,6 +65,8 @@ SCALE_QUERIES = [
     "q94_local_supplier_volume",
     "q97_large_volume_customers",
     "q98_late_shipments",
+    "q118_event_transitions",
+    "q119_cohort_retention",
 ]
 
 
