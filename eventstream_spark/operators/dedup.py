@@ -220,9 +220,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from 8 bands × 2 rows banding of the MinHash
-    signature. Shuffle key = (band, band_key): well distributed, small state."""
+def band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — the 8-band × 2-row banding of the MinHash
+    signature, the LSH blocking key for both the self-join (q42) and the
+    incremental existing↔incoming join (q120)."""
     mh = minhash_signatures(docs)
     bands = F.array(
         *[
@@ -235,9 +236,16 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             for k in range(_N_BANDS)
         ]
     )
+    return mh.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", col("b.band").alias("band"), col("b.key").alias("key")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from 8 bands × 2 rows banding of the MinHash
+    signature. Shuffle key = (band, band_key): well distributed, small state."""
     bt = persist_tracked(
-        mh.select("doc_id", F.explode(bands).alias("b"))
-        .select("doc_id", col("b.band").alias("band"), col("b.key").alias("key"))
+        band_table(docs)
         # Both sides of the self-join read this; persist (tracked, freed by
         # cache.release_cached) so the md5 + 16 min-agg pipeline runs once.
     )
@@ -445,6 +453,57 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(docs).orderBy("doc_id")
 
 
+# --- incremental dedup -----------------------------------------------------
+
+def incremental_dedup(docs: DataFrame, incoming_pred: Column) -> DataFrame:
+    """Flag INCOMING documents that duplicate the EXISTING corpus — the
+    incremental form that matters at 100 TB, where re-deduplicating the
+    whole corpus per ingest is the anti-pattern: only the delta is
+    processed against the standing index.
+
+    - exact: md5 fingerprint semi-join against the existing fingerprints.
+    - near: shared MinHash band bucket (same blocking as q42) — the
+      incoming delta's band table BROADCASTS, so the existing corpus's
+      band table streams past it without shuffling.
+
+    Output: one row per incoming doc with is_exact_dup / is_near_dup."""
+    existing = docs.where(~incoming_pred)
+    incoming = docs.where(incoming_pred)
+
+    existing_fp = existing.select(F.md5(col("text")).alias("fp")).distinct()
+    exact_ids = (
+        incoming.select("doc_id", F.md5(col("text")).alias("fp"))
+        .join(existing_fp, "fp", "left_semi")
+        .select("doc_id")
+    )
+
+    incoming_bands = band_table(incoming)
+    near_ids = (
+        band_table(existing)
+        .select("band", "key")
+        .join(F.broadcast(incoming_bands), ["band", "key"])
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        incoming.select("doc_id")
+        .join(exact_ids.withColumn("e", lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("n", lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            col("e").isNotNull().alias("is_exact_dup"),
+            col("n").isNotNull().alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q120_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return incremental_dedup(docs, col("doc_id") % 10 == 9)
+
+
 # --- benchmark decontamination ---------------------------------------------
 
 def contamination_check(
@@ -563,6 +622,42 @@ pairs AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
 
+def _bands_ctes(side: str, pred: str) -> str:
+    """Side-restricted twin of the banding CTEs in ``_lsh_pairs_ctes`` —
+    the q120 oracle needs bands for the existing and incoming splits
+    separately."""
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{j}" for j, (a, b) in enumerate(_MINHASH_PARAMS)
+    )
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, mh{2 * k}::VARCHAR || ',' || mh{2 * k + 1}::VARCHAR AS key FROM mh_{side}"
+        for k in range(_N_BANDS)
+    )
+    sh = _SHINGLES_SQL.replace("FROM documents", f"FROM documents WHERE {pred}")
+    return f"""sh_{side} AS ({sh}),
+h_{side} AS (SELECT doc_id, {hash48_sql('s')} AS h FROM sh_{side}),
+mh_{side} AS (SELECT doc_id, {mins} FROM h_{side} GROUP BY doc_id),
+bands_{side} AS ({bands})"""
+
+
+def _incremental_sql() -> str:
+    return f"""
+WITH {_bands_ctes('ex', 'doc_id % 10 <> 9')},
+{_bands_ctes('inc', 'doc_id % 10 = 9')},
+exact AS (
+  SELECT DISTINCT i.doc_id
+  FROM (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 9) i
+  JOIN (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 9) e USING (fp)),
+near AS (
+  SELECT DISTINCT i.doc_id
+  FROM bands_inc i JOIN bands_ex e ON i.band = e.band AND i.key = e.key)
+SELECT d.doc_id,
+       d.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
+       d.doc_id IN (SELECT doc_id FROM near) AS is_near_dup
+FROM documents d WHERE d.doc_id % 10 = 9 ORDER BY 1
+"""
+
+
 def _minhash_sql() -> str:
     return f"""
 WITH {_lsh_pairs_ctes()}
@@ -635,6 +730,7 @@ WHERE ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6) >= 0.5
 ORDER BY 1, 2
 """,
     "q42_minhash_lsh": _minhash_sql(),
+    "q120_incremental_dedup": _incremental_sql(),
     "q116_contamination": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
@@ -662,6 +758,7 @@ QUERIES = {
     "q41_ngram_jaccard": q41_ngram_jaccard,
     "q42_minhash_lsh": q42_minhash_lsh,
     "q116_contamination": q116_contamination,
+    "q120_incremental_dedup": q120_incremental_dedup,
     "q55_dedup_clusters": q55_dedup_clusters,
     "q58_dedup_keep": q58_dedup_keep,
     "q43_simhash": q43_simhash,
