@@ -455,16 +455,26 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- incremental dedup -----------------------------------------------------
 
-def incremental_dedup(docs: DataFrame, incoming_pred: Column) -> DataFrame:
+def incremental_dedup(
+    docs: DataFrame, incoming_pred: Column, broadcast_delta: bool = False
+) -> DataFrame:
     """Flag INCOMING documents that duplicate the EXISTING corpus — the
     incremental form that matters at 100 TB, where re-deduplicating the
     whole corpus per ingest is the anti-pattern: only the delta is
     processed against the standing index.
 
     - exact: md5 fingerprint semi-join against the existing fingerprints.
-    - near: shared MinHash band bucket (same blocking as q42) — the
-      incoming delta's band table BROADCASTS, so the existing corpus's
-      band table streams past it without shuffling.
+    - near: shared MinHash band bucket (same blocking as q42), joined
+      delta-vs-corpus on (band, key).
+
+    Join strategy: by default AQE picks it from measured sizes — a small
+    ingest batch broadcast-joins, a bulk backfill sort-merge-joins without
+    risking a driver/executor OOM on an oversized broadcast. Pass
+    ``broadcast_delta=True`` only when the caller KNOWS the delta's band
+    table fits the broadcast budget (rule of thumb: delta docs ×
+    n_bands rows well under spark.sql.autoBroadcastJoinThreshold); then
+    the standing corpus's band table streams past the delta with no
+    shuffle at all.
 
     Output: one row per incoming doc with is_exact_dup / is_near_dup."""
     existing = docs.where(~incoming_pred)
@@ -478,10 +488,12 @@ def incremental_dedup(docs: DataFrame, incoming_pred: Column) -> DataFrame:
     )
 
     incoming_bands = band_table(incoming)
+    if broadcast_delta:
+        incoming_bands = F.broadcast(incoming_bands)
     near_ids = (
         band_table(existing)
         .select("band", "key")
-        .join(F.broadcast(incoming_bands), ["band", "key"])
+        .join(incoming_bands, ["band", "key"])
         .select("doc_id")
         .distinct()
     )

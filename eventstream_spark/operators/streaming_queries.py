@@ -164,25 +164,16 @@ def q105_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
-def q115_stream_redis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q90's hourly aggregation ingested through a LIVE Redis-protocol
-    broker: the events fixture is pipeline-XADDed into an in-process RESP2
-    stream server, read back with the ``rediswire`` DataSource as a real
-    Structured Streaming query (ID-range micro-batches over actual
-    sockets), decoded from the string wire (ts as unix-micros field, value
-    re-parsed from its shortest-roundtrip repr — both exact), and
-    aggregated. Complete mode over the drained stream equals the batch
-    computation, so q90's duckdb oracle applies verbatim — the whole
-    A1-over-the-wire path sits under the driver's correctness gate.
-
-    Scale: the feed loop is test scaffolding (a real deployment's
-    producers publish); the read path — replayable exclusive-start XRANGE
-    micro-batches — is the part that must and does scale per
-    ``redis_stream.py``'s offset design."""
+def _redis_hourly(spark: SparkSession, sf_dir: str, n_shards: int) -> DataFrame:
+    """Shared body of q115/q115b: feed the events fixture into ``n_shards``
+    in-process RESP2 streams (round-robin — a stand-in for any producer-side
+    shard key), ingest them back through ONE ``rediswire`` streaming query,
+    and run q90's hourly aggregation on the union."""
     from ..catalog import load
     from ..sources.redis_stream import RedisStreamClient, register_rediswire
     from ..sources.resp_server import FakeRedisServer
 
+    names = [f"EVENTS{i}" for i in range(n_shards)] if n_shards > 1 else ["EVENTS"]
     feed = (
         load(spark, sf_dir, "events")
         .select("event_type", F.unix_micros(col("ts")).alias("us"), "value")
@@ -191,19 +182,20 @@ def q115_stream_redis(spark: SparkSession, sf_dir: str) -> DataFrame:
     server = FakeRedisServer()
     try:
         with RedisStreamClient("127.0.0.1", server.port) as c:
-            c.xadd_many(
-                "EVENTS",
-                [
-                    {"event": r.event_type, "ts_us": str(r.us), "value": repr(r.value)}
-                    for r in feed
-                ],
-            )
+            for i, name in enumerate(names):
+                c.xadd_many(
+                    name,
+                    [
+                        {"event": r.event_type, "ts_us": str(r.us), "value": repr(r.value)}
+                        for r in feed[i::len(names)]
+                    ],
+                )
         register_rediswire(spark)
         stream = (
             spark.readStream.format("rediswire")
             .option("host", "127.0.0.1")
             .option("port", str(server.port))
-            .option("stream", "EVENTS")
+            .option("streams", ",".join(names))
             .load()
         )
         typed = stream.select(
@@ -227,10 +219,44 @@ def q115_stream_redis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("h", "event_type")
 
 
+def q115_stream_redis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q90's hourly aggregation ingested through a LIVE Redis-protocol
+    broker: the events fixture is pipeline-XADDed into an in-process RESP2
+    stream server, read back with the ``rediswire`` DataSource as a real
+    Structured Streaming query (ID-range micro-batches over actual
+    sockets), decoded from the string wire (ts as unix-micros field, value
+    re-parsed from its shortest-roundtrip repr — both exact), and
+    aggregated. Complete mode over the drained stream equals the batch
+    computation, so q90's duckdb oracle applies verbatim — the whole
+    A1-over-the-wire path sits under the driver's correctness gate.
+
+    Scale: the feed loop is test scaffolding (a real deployment's
+    producers publish); the read path — replayable exclusive-start XRANGE
+    micro-batches — is the part that must and does scale per
+    ``redis_stream.py``'s offset design. See q115b for the sharded form."""
+    return _redis_hourly(spark, sf_dir, n_shards=1)
+
+
+def q115b_stream_redis_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q115 with the ingest path SHARDED across 4 live streams read by ONE
+    streaming query (``streams`` option → one InputPartition per stream per
+    micro-batch, composite ``{"last_ids": ...}`` offsets). This is the
+    100 TB ingest posture: a Redis stream is one ordered shard, so
+    parallelism comes from N streams — here the union is ingested 4-ways
+    in parallel and still hash-matches the single-stream/batch oracle
+    because the hourly aggregation is order-insensitive."""
+    return _redis_hourly(spark, sf_dir, n_shards=4)
+
+
 ORACLES = {
     # Identical to the batch twins: the streaming run must land on the same
     # answer the oracle computes from the table at rest.
     "q115_stream_redis": """
+SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "q115b_stream_redis_sharded": """
 SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
        ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
@@ -275,4 +301,5 @@ QUERIES = {
     "q104_stream_join": q104_stream_join,
     "q105_stream_session": q105_stream_session,
     "q115_stream_redis": q115_stream_redis,
+    "q115b_stream_redis_sharded": q115b_stream_redis_sharded,
 }

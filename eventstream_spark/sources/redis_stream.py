@@ -26,11 +26,25 @@ A3's group bookkeeping becomes checkpoint state, upgrading delivery to
 exactly-once with an idempotent sink). The group verbs remain on the client
 for reference-parity admin flows.
 
-Scale notes: one Redis stream is one ordered shard, so the read per
-micro-batch is a single partition (matching the reference, whose reader is
-also one consumer per stream); shard across N streams and union N sources
-for parallel ingest — each keeps its own checkpointed cursor. ``count``
-pages XRANGE so a bursty stream never materializes in one reply.
+Scale notes: one Redis stream is one ordered shard (matching the
+reference, whose reader is also one consumer per stream,
+event_stream/streams/reader.py:151-233) — so for parallel ingest the
+source accepts ``streams`` (comma-separated) and emits ONE InputPartition
+PER STREAM per micro-batch, each with its own cursor in a composite
+offset ``{"last_ids": {stream: id}}``. N streams → N-way parallel reads
+inside a single checkpointed query; per-stream order is preserved,
+cross-stream order (like any sharded bus) is not. ``count`` pages XRANGE
+so a bursty stream never materializes in one reply.
+
+Trigger.AvailableNow caveat: Spark's Python micro-batch stream reader does
+not implement the AvailableNow contract, so ``trigger(availableNow=True)``
+falls back to SINGLE-BATCH execution — one batch covering
+(checkpointed offset, latestOffset-at-start]. With a fresh checkpoint that
+is a full drain (what q115/q115b rely on); when RESTARTING from a
+checkpoint that has an uncommitted batch, the rerun finishes that batch
+only and entries appended after the original offset capture need one more
+run to land. Production continuous triggers are unaffected (offsets
+advance every micro-batch).
 """
 
 from __future__ import annotations
@@ -140,9 +154,26 @@ class RedisStreamClient:
 
     def pipeline(self, commands: list[tuple]) -> list[Any]:
         """RESP pipelining: ship N commands in one write, read N replies —
-        turns N round-trips into one (the standard bulk-XADD feed path)."""
+        turns N round-trips into one (the standard bulk-XADD feed path).
+
+        All N replies are consumed even when some are ``-ERR`` — raising on
+        the first error would leave the remaining replies unread and
+        desynchronize the connection for the next caller. The first error
+        is raised AFTER the buffer is drained, so the connection stays
+        usable."""
         self._sock.sendall(b"".join(encode_command(*cmd) for cmd in commands))
-        return [self._reader.read_reply() for _ in commands]
+        replies: list[Any] = []
+        first_err: RespError | None = None
+        for _ in commands:
+            try:
+                replies.append(self._reader.read_reply())
+            except RespError as e:
+                replies.append(e)
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+        return replies
 
     def xadd_many(
         self, stream: str, batches: list[dict[str, str]], chunk: int = 1000
@@ -281,13 +312,19 @@ class _RangePartition(InputPartition):
         self.end_inclusive = end_inclusive
 
 
-def _conn_options(options) -> tuple[str, int, str, str | None]:
+def _conn_options(options) -> tuple[str, int, list[str], str | None]:
+    """Connection options. ``streams`` (comma-separated, the sharded form)
+    wins over ``stream`` (single, back-compat); each named stream becomes
+    its own InputPartition per (micro-)batch."""
     host = options.get("host", "127.0.0.1")
     port = int(options.get("port", 6379))
-    stream = options.get("stream")
-    if not stream:
-        raise ValueError("rediswire requires a 'stream' option")
-    return host, port, stream, options.get("password")
+    raw = options.get("streams") or options.get("stream")
+    if not raw:
+        raise ValueError("rediswire requires a 'stream' or 'streams' option")
+    streams = [s.strip() for s in raw.split(",") if s.strip()]
+    if not streams:
+        raise ValueError("rediswire 'streams' option parsed to zero names")
+    return host, port, streams, options.get("password")
 
 
 class RedisWireBatchReader(DataSourceReader):
@@ -295,10 +332,13 @@ class RedisWireBatchReader(DataSourceReader):
         self._conn = _conn_options(options)
 
     def partitions(self):
-        host, port, stream, password = self._conn
+        host, port, streams, password = self._conn
         with RedisStreamClient(host, port, password) as client:
-            end = client.last_id(stream)
-        return [_RangePartition(host, port, stream, password, None, end)]
+            ends = {s: client.last_id(s) for s in streams}
+        return [
+            _RangePartition(host, port, s, password, None, ends[s])
+            for s in streams
+        ]
 
     def read(self, partition: _RangePartition):
         yield from _wire_rows(
@@ -308,31 +348,57 @@ class RedisWireBatchReader(DataSourceReader):
 
 
 class RedisWireStreamReader(DataSourceStreamReader):
-    """Offsets are stream IDs; each micro-batch is the replayable range
-    (last_id, server_last_id] via exclusive-start XRANGE — Spark's
-    checkpoint replaces the consumer group (see module docstring)."""
+    """Offsets are per-stream IDs ``{"last_ids": {stream: id}}``; each
+    micro-batch reads the replayable range (last_id, server_last_id] per
+    stream via exclusive-start XRANGE, ONE InputPartition PER STREAM —
+    Spark's checkpoint replaces the consumer group (see module docstring).
+
+    N sharded streams parallelize ingest N-ways inside one query while
+    each shard keeps its own cursor; adding a stream to the option list
+    picks it up from "0-0" on the next micro-batch (its key is absent from
+    the old checkpointed offset)."""
 
     def __init__(self, options):
         self._conn = _conn_options(options)
 
+    @staticmethod
+    def _ids(offset) -> dict[str, str]:
+        """Normalize an offset dict: new composite form, or a legacy
+        single-stream checkpoint ``{"last_id": id}`` (pre-sharding)."""
+        if "last_ids" in offset:
+            return offset["last_ids"]
+        return {"__legacy__": offset.get("last_id", "0-0")}
+
+    def _start_id(self, ids: dict[str, str], stream: str) -> str:
+        if stream in ids:
+            return ids[stream]
+        if "__legacy__" in ids and len(self._conn[2]) == 1:
+            return ids["__legacy__"]
+        return "0-0"
+
     def initialOffset(self):
-        return {"last_id": "0-0"}
+        return {"last_ids": {s: "0-0" for s in self._conn[2]}}
 
     def latestOffset(self):
-        host, port, stream, password = self._conn
+        host, port, streams, password = self._conn
         with RedisStreamClient(host, port, password) as client:
-            end = client.last_id(stream)
-        return {"last_id": end or "0-0"}
+            ends = {s: (client.last_id(s) or "0-0") for s in streams}
+        return {"last_ids": ends}
 
     def partitions(self, start, end):
-        host, port, stream, password = self._conn
-        if end["last_id"] == start["last_id"]:
-            return [_RangePartition(host, port, stream, password, None, None)]
-        return [
+        host, port, streams, password = self._conn
+        start_ids, end_ids = self._ids(start), self._ids(end)
+        parts = [
             _RangePartition(
-                host, port, stream, password, start["last_id"], end["last_id"]
+                host, port, s, password,
+                self._start_id(start_ids, s), end_ids.get(s, "0-0"),
             )
+            for s in streams
+            if end_ids.get(s, "0-0") != self._start_id(start_ids, s)
         ]
+        if not parts:  # Spark requires >=1 partition; emit a no-op range
+            parts = [_RangePartition(host, port, streams[0], password, None, None)]
+        return parts
 
     def read(self, partition: _RangePartition):
         yield from _wire_rows(
@@ -347,7 +413,9 @@ class RedisWireStreamReader(DataSourceStreamReader):
 class RedisWireDataSource(DataSource):
     """``spark.dataSource.register(RedisWireDataSource)`` then
     ``spark.readStream.format("rediswire").option("host", h)
-    .option("port", p).option("stream", name).load()``."""
+    .option("port", p).option("stream", name).load()`` — or
+    ``.option("streams", "shard0,shard1,...")`` for N-way parallel
+    sharded ingest (one InputPartition per stream per micro-batch)."""
 
     @classmethod
     def name(cls):

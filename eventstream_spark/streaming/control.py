@@ -312,7 +312,25 @@ def trim_partitions(
         if entry[len(prefix):] < horizon_s:
             if archive_dir is not None:
                 os.makedirs(archive_dir, exist_ok=True)
-                shutil.move(path, os.path.join(archive_dir, entry))
+                dest = os.path.join(archive_dir, entry)
+                if os.path.exists(dest):
+                    # A partition archived before (re-ingested then trimmed
+                    # again): merge files into the existing directory —
+                    # shutil.move would nest date=X/date=X and double-count
+                    # on read_archive. Colliding file names get a numeric
+                    # suffix so nothing is overwritten.
+                    for f in os.listdir(path):
+                        target = os.path.join(dest, f)
+                        if os.path.exists(target):
+                            stem, ext = os.path.splitext(f)
+                            k = 1
+                            while os.path.exists(target):
+                                target = os.path.join(dest, f"{stem}.retrim{k}{ext}")
+                                k += 1
+                        shutil.move(os.path.join(path, f), target)
+                    shutil.rmtree(path)
+                else:
+                    shutil.move(path, dest)
             else:
                 shutil.rmtree(path)
             dropped += 1

@@ -244,6 +244,37 @@ def test_trim_partitions_drops_old_without_touching_retained(spark, sf_dir, tmp_
     assert remaining.count() == sum(per_date[d] for d in dates[1:])
 
 
+def test_trim_partitions_rearchive_merges_not_nests(spark, sf_dir, tmp_path):
+    """A partition re-ingested and trimmed AGAIN must merge into the
+    existing archive directory — not nest date=X/date=X (which read_archive
+    would double-count) and not overwrite the earlier files."""
+    from pyspark.sql import functions as F
+
+    from eventstream_spark.streaming import read_archive, trim_partitions
+
+    events = load(spark, sf_dir, "events").limit(100)
+    dated = events.withColumn("date", F.to_date("ts"))
+    first_day = dated.agg(F.min("date")).first()[0]
+    one_day = dated.where(F.col("date") == F.lit(first_day))
+    n = one_day.count()
+    archive_dir = str(tmp_path / "archive")
+
+    for _ in range(2):  # ingest + trim the SAME day twice
+        table_dir = str(tmp_path / "t")
+        one_day.write.mode("overwrite").partitionBy("date").parquet(table_dir)
+        stats = trim_partitions(table_dir, "9999-12-31", archive_dir=archive_dir)
+        assert stats["partitions_dropped"] == 1
+
+    part_dir = os.path.join(archive_dir, f"date={first_day.isoformat()}")
+    assert os.path.isdir(part_dir)
+    # No nested date=X/date=X directory.
+    assert not any(
+        e.startswith("date=") for e in os.listdir(part_dir) if os.path.isdir(os.path.join(part_dir, e))
+    )
+    # Both rounds' rows are present: merged, nothing overwritten or doubled.
+    assert read_archive(spark, archive_dir).count() == 2 * n
+
+
 def test_trim_partitions_delete_without_archive(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 

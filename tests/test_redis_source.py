@@ -40,6 +40,23 @@ def test_client_stream_verbs_roundtrip():
         assert c.last_id("EVENTS") == fixed
 
 
+def test_pipeline_error_keeps_connection_aligned():
+    """A mid-pipeline -ERR must not desynchronize the connection: all N
+    replies are drained before the first error is raised, so subsequent
+    commands on the same connection get THEIR replies, not leftovers."""
+    with FakeRedisServer() as server, RedisStreamClient("127.0.0.1", server.port) as c:
+        with pytest.raises(RespError):
+            c.pipeline(
+                [
+                    ("XADD", "EVENTS", "*", "k", "1"),
+                    ("BOGUS",),
+                    ("XADD", "EVENTS", "*", "k", "2"),
+                ]
+            )
+        assert c.ping() == "PONG"  # aligned: PING's reply is PING's reply
+        assert c.xlen("EVENTS") == 2  # both XADDs around the error landed
+
+
 def test_client_auth_required():
     with FakeRedisServer(password="sesame") as server:
         with RedisStreamClient("127.0.0.1", server.port, password="sesame") as c:
@@ -118,6 +135,76 @@ def test_stream_read_is_incremental_and_replay_safe(spark, tmp_path):
         # ...and nothing was double-read across restarts.
         assert got.select("message_id").distinct().count() == 4
         client.close()
+
+
+def test_sharded_reader_one_input_partition_per_stream():
+    """The 100 TB ingest posture: N streams → N InputPartitions in ONE
+    micro-batch, each with its own cursor in the composite offset."""
+    from eventstream_spark.sources.redis_stream import RedisWireStreamReader
+
+    names = [f"S{i}" for i in range(4)]
+    with FakeRedisServer() as server, RedisStreamClient("127.0.0.1", server.port) as c:
+        for i, s in enumerate(names):
+            c.xadd(s, {"v": str(i)})
+        reader = RedisWireStreamReader(
+            {"host": "127.0.0.1", "port": str(server.port), "streams": ",".join(names)}
+        )
+        start, end = reader.initialOffset(), reader.latestOffset()
+        assert set(end["last_ids"]) == set(names)
+        parts = reader.partitions(start, end)
+        assert len(parts) == 4  # >=4 input partitions in one micro-batch
+        assert sorted(p.stream for p in parts) == names
+        rows = sum(b.num_rows for p in parts for b in reader.read(p))
+        assert rows == 4
+        # Only advanced shards produce partitions in the next batch.
+        c.xadd("S2", {"v": "x"})
+        end2 = reader.latestOffset()
+        parts2 = reader.partitions(end, end2)
+        assert [p.stream for p in parts2] == ["S2"]
+        assert sum(b.num_rows for p in parts2 for b in reader.read(p)) == 1
+        # Quiescent bus: one no-op partition (Spark requires >=1), zero rows.
+        idle = reader.partitions(end2, end2)
+        assert len(idle) == 1
+        assert sum(b.num_rows for p in idle for b in reader.read(p)) == 0
+
+
+def test_sharded_reader_legacy_offset_upgrade():
+    """A pre-sharding checkpoint ({"last_id": id}) resumes cleanly on a
+    single-stream reader — no re-read, no gap."""
+    from eventstream_spark.sources.redis_stream import RedisWireStreamReader
+
+    with FakeRedisServer() as server, RedisStreamClient("127.0.0.1", server.port) as c:
+        ids = _fill(c, n=3)
+        reader = RedisWireStreamReader(
+            {"host": "127.0.0.1", "port": str(server.port), "stream": "EVENTS"}
+        )
+        legacy = {"last_id": ids[0]}
+        parts = reader.partitions(legacy, reader.latestOffset())
+        assert len(parts) == 1
+        got = [
+            row
+            for p in parts
+            for b in reader.read(p)
+            for row in b.column(0).to_pylist()
+        ]
+        assert got == ids[1:]  # exclusive of the checkpointed id
+
+
+def test_batch_read_unions_sharded_streams(spark):
+    with FakeRedisServer() as server:
+        with RedisStreamClient("127.0.0.1", server.port) as c:
+            a = c.xadd("SHARD_A", {"v": "1"})
+            b = c.xadd("SHARD_B", {"v": "2"})
+        register_rediswire(spark)
+        df = (
+            spark.read.format("rediswire")
+            .option("host", "127.0.0.1")
+            .option("port", str(server.port))
+            .option("streams", "SHARD_A,SHARD_B")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 2
+        assert sorted(r.message_id for r in df.collect()) == sorted([a, b])
 
 
 def test_rediswire_rows_compose_into_envelopes(spark):
