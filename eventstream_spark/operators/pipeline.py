@@ -13,8 +13,10 @@ checks the composition, not just the parts.
 
 Scale notes (100 TB): stages 2–4 are pure map work riding on the stage-1
 projection; the fingerprint dedup window shuffles on the (uniform) digest;
-packing shuffles on the source stratum. Nothing materializes between
-stages — at cluster scale this runs as a single job with three exchanges.
+packing shuffles on (source, doc_id-range bucket) — two-level per
+text.pack_shards, so a single dominant source stays parallel instead of
+collapsing into one window task. Nothing materializes between stages — at
+cluster scale this runs as a single job with a handful of exchanges.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ from .text import (
     _marker_count,
     _marker_count_sql,
     _normalized_text,
+    pack_shards,
     predicted_lang,
     predicted_lang_sql,
     quality_score,
@@ -77,23 +80,21 @@ def training_pipeline(docs: DataFrame) -> DataFrame:
     )
     mixed = filtered.where(hash48(col("doc_id").cast("string")) % 1000 < rate)
 
-    # 5. token-budget shard packing (same running window as q82).
-    w_pack = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = mixed.select(
-        "source",
-        "n_tok",
-        # Integer milli-units: per-doc quality is already rounded to 4
-        # decimals, so summing 10^4-scaled integers is exact under ANY
-        # partial-aggregation fold order (a double sum of the rounded
-        # values flipped the final ROUND's last digit at sf0.1).
-        F.round(col("quality") * 10000).cast("long").alias("q_i"),
-        ((F.sum("n_tok").over(w_pack) - col("n_tok")) / lit(_PACK_BUDGET))
-        .cast("long")
-        .alias("shard"),
+    # 5. token-budget shard packing (same two-level windows as q82 — see
+    # text.pack_shards: per-(source, doc_id-range-bucket) running sums plus
+    # a bucket-offset join keep one dominant source from serializing into
+    # one task, with shard ids identical to the single-window form).
+    packed = pack_shards(
+        mixed.select(
+            "source",
+            "doc_id",
+            "n_tok",
+            # Integer milli-units: per-doc quality is already rounded to 4
+            # decimals, so summing 10^4-scaled integers is exact under ANY
+            # partial-aggregation fold order (a double sum of the rounded
+            # values flipped the final ROUND's last digit at sf0.1).
+            F.round(col("quality") * 10000).cast("long").alias("q_i"),
+        )
     )
     return (
         packed.groupBy("source", "shard")

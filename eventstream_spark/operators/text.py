@@ -373,32 +373,77 @@ def q84_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 2000  # tokens per shard
+_PACK_BUCKET_DOCS = 4096  # doc_id range width per packing bucket
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int = _PACK_BUDGET,
+    bucket_docs: int = _PACK_BUCKET_DOCS,
+) -> DataFrame:
+    """Assign each doc to a token-budget shard: ``shard = floor(running
+    token count BEFORE the doc / budget)`` within each source, docs ordered
+    by doc_id — TWO-LEVEL so one giant source stratum is not one task.
+
+    Level 1 splits every source into contiguous doc_id ranges
+    (``bucket = doc_id div bucket_docs``) and runs the running-sum window
+    per (source, bucket) — parallelism scales with data, not with the
+    number of sources. Level 2 restores the GLOBAL running sum by adding
+    each bucket's exclusive prefix of token totals, computed by a window
+    over the tiny bucket-summary table (one row per ~``bucket_docs`` docs:
+    at 100 TB / 10^11 docs that is ~25M rows — a fraction of a shuffle
+    partition, and the per-SOURCE ordered window over it is thousands of
+    rows). Because buckets are contiguous in the order column,
+    ``bucket_offset + local_running_sum`` equals the single-window running
+    sum EXACTLY — shard ids are bit-identical to the one-partition form,
+    which is why q82/q89's oracles don't change.
+
+    Requires columns (source, doc_id, n_tok); all other columns pass
+    through. Adds ``shard``; the helper columns are dropped.
+    AQE sizes the bucket-summary join (broadcast at any realistic scale)."""
+    b = df.withColumn("_bucket", (col("doc_id") / lit(bucket_docs)).cast("long"))
+    w_local = (
+        Window.partitionBy("source", "_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_cum_before", F.sum("n_tok").over(w_local) - col("n_tok"))
+    w_bucket = (
+        Window.partitionBy("source")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy("source", "_bucket")
+        .agg(F.sum("n_tok").alias("_btok"))
+        .withColumn("_offset", F.coalesce(F.sum("_btok").over(w_bucket), lit(0)))
+        .drop("_btok")
+    )
+    return (
+        local.join(offsets, ["source", "_bucket"])
+        .withColumn(
+            "shard",
+            ((col("_cum_before") + col("_offset")) / lit(budget)).cast("long"),
+        )
+        .drop("_bucket", "_cum_before", "_offset")
+    )
 
 
 def q82_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: within each source (ordered by doc_id),
     docs are assigned to output shards of ~2000 whitespace tokens by the
     running token count BEFORE each doc — the sequence-packing layout step
-    of a training pipeline. One window shuffle on the stratum key; shard
-    boundaries are deterministic, so the oracle mirrors exactly."""
+    of a training pipeline. Two-level windows (see ``pack_shards``) keep
+    the running sum parallel even when one source dominates the corpus;
+    shard boundaries are deterministic and identical to the single-window
+    form, so the oracle mirrors exactly."""
     docs = spread(load(spark, sf_dir, "documents"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = docs.select(
         "source", "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
     )
-    packed = toks.select(
-        "source",
-        "n_tok",
-        ((F.sum("n_tok").over(w) - col("n_tok")) / lit(_PACK_BUDGET))
-        .cast("long")
-        .alias("shard"),
-    )
     return (
-        packed.groupBy("source", "shard")
+        pack_shards(toks)
+        .groupBy("source", "shard")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
         .orderBy("source", "shard")
     )

@@ -194,3 +194,49 @@ def test_q99_solo_late_filter_is_semi_join(spark, sf_dir):
 
     plan = _plan(T.q99_waiting_suppliers(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_pack_shards_window_is_two_level(spark, sf_dir):
+    """The packing running-sum must partition by (source, doc_id-range
+    bucket), not by source alone — one dominant source stays parallel.
+    Equality with the single-window form is pinned separately below."""
+    from eventstream_spark.operators import text as T
+
+    plan = _plan(T.q82_token_packing(spark, sf_dir))
+    # The big window's spec carries BOTH keys.
+    assert "windowspecdefinition(source" in plan and "_bucket" in plan
+    lines = [l for l in plan.splitlines() if "windowspecdefinition(source#" in l]
+    assert any("_bucket" in l for l in lines)
+
+
+def test_pack_shards_equals_single_window(spark, sf_dir):
+    """Two-level packing must reproduce the single-window shard layout
+    bit-identically (bucket offsets restore the global running sum)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.functions import col, lit
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import tokens
+    from eventstream_spark.operators.text import _PACK_BUDGET, pack_shards
+
+    toks = spread(load(spark, sf_dir, "documents")).select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    single = toks.select(
+        "source",
+        "doc_id",
+        ((F.sum("n_tok").over(w) - col("n_tok")) / lit(_PACK_BUDGET))
+        .cast("long")
+        .alias("shard"),
+    )
+    # Tiny bucket width forces MANY buckets per source, the worst case for
+    # the offset arithmetic.
+    two_level = pack_shards(toks, bucket_docs=64).select("source", "doc_id", "shard")
+    assert two_level.exceptAll(single).isEmpty()
+    assert single.exceptAll(two_level).isEmpty()
