@@ -83,6 +83,165 @@ def q87_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_into_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> dict[str, int]:
+    """Copy-on-write MERGE INTO a hive-partitioned parquet table — the
+    transactional write path q87 computes but (without Delta/Iceberg in
+    the environment) must hand-roll:
+
+    1. affected partitions = source rows' partition values ∪ partitions
+       holding a matched key (the latter found with a column-pruned
+       (key, partition) semi-join scan — the price of no key index; a
+       table format's min/max stats would prune it),
+    2. merge ONLY those partitions' rows with the source (everything else
+       is never read, rewritten, or opened — the trim_partitions
+       property),
+    3. write the merged rows to a STAGING dir partitioned the same way,
+    4. swap each affected ``part=`` directory via atomic rename
+       (old → .bak, staged → live, drop .bak).
+
+    Partition-level atomicity is the parquet-dir bound: a crash between
+    swaps leaves whole partitions at either the old or new snapshot,
+    never half-written files (the staging write completed first). A
+    transactional table format upgrades this to one atomic commit across
+    partitions — the logical spec (merge_upsert) is unchanged.
+
+    Scale: work is proportional to affected partitions + delta size, not
+    table size. The source must carry ``partition_col``; a matched key
+    whose source row lands in a different partition than its target row
+    rewrites both (old row dropped with its partition's rewrite, new row
+    staged into its new home).
+    """
+    import os
+    import shutil
+
+    target = spark.read.parquet(table_dir)
+    src_parts = {
+        r[0] for r in source.select(partition_col).distinct().collect()
+    }
+    matched_parts = {
+        r[0]
+        for r in (
+            target.select(*keys, partition_col)
+            .join(source.select(*keys).distinct(), keys, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        )
+    }
+    affected = sorted(str(p) for p in src_parts | matched_parts)
+    prefix = f"{partition_col}="
+    existing = {
+        e[len(prefix):]
+        for e in os.listdir(table_dir)
+        if e.startswith(prefix) and os.path.isdir(os.path.join(table_dir, e))
+    }
+
+    merged = merge_upsert(
+        target.where(F.col(partition_col).cast("string").isin(affected)),
+        source,
+        keys,
+    )
+    staging = table_dir.rstrip("/") + ".merge_staging"
+    (
+        merged.repartition(col(partition_col))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+
+    swapped = 0
+    staged_parts = set()
+    for e in sorted(os.listdir(staging)):
+        if not e.startswith(prefix):
+            continue
+        staged_parts.add(e[len(prefix):])
+        staged, live = os.path.join(staging, e), os.path.join(table_dir, e)
+        bak = live + ".merge_bak"
+        if os.path.isdir(live):
+            os.rename(live, bak)
+        os.rename(staged, live)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        swapped += 1
+    # An affected partition with NO staged rows rewrote to empty (all its
+    # rows moved to other partitions): the live directory must drop, or
+    # the pre-merge copies would survive the swap.
+    for p in affected:
+        if p in existing and p not in staged_parts:
+            shutil.rmtree(os.path.join(table_dir, prefix + p))
+            swapped += 1
+    shutil.rmtree(staging)
+    return {
+        "partitions_rewritten": swapped,
+        "partitions_untouched": len(existing - set(affected)),
+    }
+
+
+def q87b_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q87's MERGE executed through the copy-on-write WRITE path: orders
+    is materialized as a year-partitioned parquet table in a temp dir, the
+    same delta batch merges into it via staged write + per-partition
+    atomic rename (merge_into_partitioned), and the checksum is computed
+    from the table READ BACK off disk — so the files the swap produced,
+    not an in-memory DataFrame, sit under q87's oracle. Any row lost,
+    doubled, or half-written by the write path breaks the hash match."""
+    import os
+    import shutil
+    import tempfile
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    orders = load(spark, sf_dir, "orders").select(*cols)
+    with_year = lambda df: df.withColumn(  # noqa: E731
+        "o_year", F.year("o_orderdate")
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    table_dir = os.path.join(tempfile.gettempdir(), f"es_merge_cow_{tag}")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    with_year(orders).write.partitionBy("o_year").parquet(table_dir)
+
+    updates = orders.where(col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        lit("X").alias("o_orderstatus"),
+        (col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = orders.where(col("o_orderkey") % 97 == 0).select(
+        (col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merge_into_partitioned(
+        spark,
+        table_dir,
+        with_year(updates.unionAll(inserts)),
+        keys=["o_orderkey"],
+        partition_col="o_year",
+    )
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def latest_per_key(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
     """Change-log compaction: keep each key's latest record by the (total)
     ordering columns — the materialize-current-state step of a CDC
@@ -221,6 +380,31 @@ merged AS (
 SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
 FROM merged GROUP BY 1 ORDER BY 1
 """,
+    # Same relational merge as q87 — here the Spark side additionally went
+    # through the copy-on-write file path (staged write + partition swap)
+    # and read the snapshot back, so the oracle checks the WRITTEN table.
+    "q87b_merge_cow": """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders),
+source AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'I', o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0),
+merged AS (
+  SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+         COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+         COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         COALESCE(s.o_orderdate, t.o_orderdate) AS o_orderdate,
+         COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+  FROM target t FULL OUTER JOIN source s USING (o_orderkey))
+SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM merged GROUP BY 1 ORDER BY 1
+""",
     "q88_latest_per_key": """
 SELECT user_id, event_id, ts, event_type, value FROM (
   SELECT user_id, event_id, ts, event_type, value,
@@ -238,6 +422,7 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 QUERIES = {
     "q87_merge_upsert": q87_merge_upsert,
+    "q87b_merge_cow": q87b_merge_cow,
     "q88_latest_per_key": q88_latest_per_key,
     "q93_salted_join": q93_salted_join,
     "q106_partitioned_export": q106_partitioned_export,

@@ -10,8 +10,27 @@ supplier, part) stay 1x, as dimensions do. This measures engine scaling,
 not artificial key skew: every query's per-key work is unchanged, there
 is just N times more of it.
 
+documents/embeddings (the dedup/ANN family) need more than a key offset —
+verbatim replicas would make every doc an N-way exact+near duplicate and
+every vector an N-way cosine-1 twin, blowing candidate pair counts up
+QUADRATICALLY (artificial skew, not scale). Replicas are therefore made
+mutually disjoint while preserving within-replica structure exactly:
+
+- documents: every whitespace token gets a ``·<rep>`` suffix, so replica
+  vocabularies (hence shingle/MinHash/SimHash spaces) never collide —
+  each replica keeps the base corpus's internal near-dup relationships,
+  and the corpus has N independent "domains" of identical shape.
+- embeddings: each replica applies a deterministic ±1 sign mask (signs
+  from hash(rep, i)). Within a replica the SAME mask multiplies both
+  sides of every dot product, so cosines are preserved BIT-EXACTLY;
+  across replicas the masked dot product is a random-sign sum ≈ 0, so
+  cross-replica pairs stay below any near-dup threshold and out of
+  top-k. Query sets pinned by vec_id predicates stay constant-size
+  (only replica 0 keeps small ids) while the corpus scales.
+
 Usage:
-    python scripts/scale_smoke.py [N]        # default 100
+    python scripts/scale_smoke.py [N] [name_substr...]   # default N=100;
+    # name substrings filter SCALE_QUERIES (iteration/triage aid)
 
 Prints one JSON line: per-query seconds at sf0.1 and at N-times, and the
 time ratio (ideal = N / cores' spare capacity; at this size, ~N/1 for
@@ -42,6 +61,10 @@ OFF_ORDER = 100_000_000
 OFF_CUST = 10_000_000
 OFF_EVENT = 1_000_000_000
 OFF_USER = 1_000_000
+# Divisible by the doc_id mod gates (q116's %50, q120's %10) so every
+# replica keeps the same benchmark/incoming membership pattern.
+OFF_DOC = 10_000_000
+OFF_VEC = 10_000_000
 
 SCALE_QUERIES = [
     "q01_scan_count",
@@ -67,6 +90,17 @@ SCALE_QUERIES = [
     "q98_late_shipments",
     "q118_event_transitions",
     "q119_cohort_retention",
+    # dedup/ANN family (documents/embeddings scale with disjoint replicas)
+    "q41_ngram_jaccard",
+    "q42_minhash_lsh",
+    "q44_embedding_neardup",
+    "q55_dedup_clusters",
+    "q114_lsh_multiprobe",
+    "q116_contamination",
+    "q120_incremental_dedup",
+    # packing (two-level windows must parallelize the dominant strata)
+    "q82_token_packing",
+    "q89_training_pipeline",
 ]
 
 
@@ -80,7 +114,9 @@ def _replicate(df, n, offsets):
 
 def build(spark, n: int) -> str:
     out = f"/tmp/es_scale{n}"
-    marker = os.path.join(out, "_BUILT")
+    # v2: documents/embeddings now scale with disjoint replicas (the v1
+    # dataset kept them 1x); bumping the marker rebuilds in place.
+    marker = os.path.join(out, "_BUILT_v2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -105,7 +141,44 @@ def build(spark, n: int) -> str:
         ),
         "events",
     )
-    for t in ("region", "nation", "supplier", "part", "documents", "embeddings"):
+    # documents: disjoint replica vocabularies (see module docstring).
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    docs = (
+        rd("documents")
+        .select("*", rep)
+        .withColumn("doc_id", col("doc_id") + col("rep").cast("long") * OFF_DOC)
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(col("text"), " "),
+                    lambda t: F.concat(t, F.lit("·"), col("rep").cast("string")),
+                ),
+                " ",
+            ),
+        )
+        .drop("rep")
+    )
+    wr(docs, "documents")
+    # embeddings: per-replica ±1 sign mask preserves within-replica cosine
+    # bit-exactly and decorrelates replicas (see module docstring).
+    emb = (
+        rd("embeddings")
+        .select("*", rep)
+        .withColumn("vec_id", col("vec_id") + col("rep").cast("long") * OFF_VEC)
+        .withColumn(
+            "embedding",
+            F.transform(
+                col("embedding"),
+                lambda x, i: F.when(
+                    F.pmod(F.hash(col("rep"), i), 2) == 0, x
+                ).otherwise(-x),
+            ),
+        )
+        .drop("rep")
+    )
+    wr(emb, "embeddings")
+    for t in ("region", "nation", "supplier", "part"):
         wr(rd(t), t)
     open(marker, "w").close()
     return out
@@ -122,11 +195,15 @@ def _run(queries, name, spark, sf_dir) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    wanted = sys.argv[2:]
     spark = get_spark(app_name="scale-smoke")
     scaled = build(spark, n)
     queries = all_queries()
+    selected = [
+        q for q in SCALE_QUERIES if not wanted or any(w in q for w in wanted)
+    ]
     base_t, scaled_t, ratio = {}, {}, {}
-    for name in SCALE_QUERIES:
+    for name in selected:
         base_t[name] = _run(queries, name, spark, BASE)
         scaled_t[name] = _run(queries, name, spark, scaled)
         ratio[name] = round(scaled_t[name] / max(base_t[name], 1e-9), 1)

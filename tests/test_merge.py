@@ -85,3 +85,64 @@ def test_write_partitioned_layout_and_pruning(spark, tmp_path):
         r[0] for r in back.select(F.input_file_name()).distinct().collect()
     ]
     assert files_read and all("bucket=1" in f for f in files_read), files_read
+
+
+def test_merge_into_partitioned_cow_swaps_only_affected(spark, tmp_path):
+    """Copy-on-write layout contract: a delta touching ONE partition
+    rewrites exactly that partition (plus any brand-new ones); every other
+    partition's files keep their inodes and mtimes — never read, never
+    rewritten. No staging or .bak residue survives the swap."""
+    import os
+
+    from eventstream_spark.operators.merge import merge_into_partitioned
+
+    table_dir = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 2020), (2, "b", 2020), (3, "c", 2021), (4, "d", 2022)],
+        "k int, s string, yr int",
+    ).write.partitionBy("yr").parquet(table_dir)
+
+    def stats(year):
+        d = os.path.join(table_dir, f"yr={year}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_ino,
+                os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {y: stats(y) for y in (2020, 2021, 2022)}
+    # Update k=3 (lives in 2021) and insert k=9 into a NEW partition 2023.
+    source = spark.createDataFrame(
+        [(3, "C", 2021), (9, "z", 2023)], "k int, s string, yr int"
+    )
+    out = merge_into_partitioned(spark, table_dir, source, keys=["k"], partition_col="yr")
+    assert out == {"partitions_rewritten": 2, "partitions_untouched": 2}
+
+    # Untouched partitions: bytes, inodes, mtimes all identical.
+    assert stats(2020) == before[2020]
+    assert stats(2022) == before[2022]
+    # Affected partition was swapped (new files), new partition appeared.
+    assert stats(2021) != before[2021]
+    assert os.path.isdir(os.path.join(table_dir, "yr=2023"))
+    # No residue from staging or swap.
+    assert not os.path.exists(table_dir + ".merge_staging")
+    assert not any("merge_bak" in e for e in os.listdir(table_dir))
+    # And the snapshot is the merged table.
+    got = {tuple(r) for r in spark.read.parquet(table_dir).select("k", "s", "yr").collect()}
+    assert got == {(1, "a", 2020), (2, "b", 2020), (3, "C", 2021), (4, "d", 2022), (9, "z", 2023)}
+
+
+def test_merge_into_partitioned_key_moves_partition(spark, tmp_path):
+    """A matched key whose source row lands in a different partition must
+    leave exactly one copy — in the new partition."""
+    from eventstream_spark.operators.merge import merge_into_partitioned
+
+    table_dir = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 2020), (2, "b", 2021)], "k int, s string, yr int"
+    ).write.partitionBy("yr").parquet(table_dir)
+    source = spark.createDataFrame([(1, "A", 2021)], "k int, s string, yr int")
+    merge_into_partitioned(spark, table_dir, source, keys=["k"], partition_col="yr")
+    got = {tuple(r) for r in spark.read.parquet(table_dir).select("k", "s", "yr").collect()}
+    assert got == {(1, "A", 2021), (2, "b", 2021)}
