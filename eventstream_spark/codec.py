@@ -230,19 +230,64 @@ def normalize_envelope(
     )
 
 
+def capture_stack(limit: int = 16) -> list[dict]:
+    """Driver-side stack capture for header provenance (reference
+    StackInfo.create_full_stack, messages/base.py:407-444: file, function,
+    line number, code line per frame). Captured once at plan-construction
+    time — the Spark analog of the reference capturing at message-creation
+    time — and embedded in the header as a literal, so executors pay
+    nothing."""
+    import traceback
+
+    frames = traceback.extract_stack()[:-1]  # drop capture_stack itself
+    return [
+        {
+            "file": f.filename,
+            "function": f.name,
+            "line_number": int(f.lineno or 0),
+            "code": (f.line or ""),
+        }
+        for f in frames[-limit:]
+    ]
+
+
 def make_header(
     caller_application: str | None = None,
     caller_function: str | None = None,
     host: str | None = None,
+    include_stack: bool = False,
 ) -> Column:
-    """Provenance header struct (reference HeaderInfo, base.py:447-487)."""
-    return F.struct(
+    """Provenance header struct (reference HeaderInfo, base.py:447-487).
+
+    ``include_stack=True`` appends a ``trace`` field — the reference's
+    optional debug-mode stack trace (base.py:465-487 attaches
+    StackInfo.create_full_stack() when ``settings.debug``): an array of
+    (file, function, line_number, code) frames captured driver-side at
+    plan-construction time. Off by default so the header schema stays at
+    HEADER_SCHEMA for the wire/oracle paths."""
+    fields = [
         lit(caller_application).cast("string").alias("caller_application"),
         lit(caller_function).cast("string").alias("caller_function"),
         lit(None).cast("string").alias("caller"),
         F.current_timestamp().alias("date"),
         lit(host).cast("string").alias("host"),
-    )
+    ]
+    if include_stack:
+        frames = capture_stack()
+        fields.append(
+            F.array(
+                *[
+                    F.struct(
+                        lit(fr["file"]).alias("file"),
+                        lit(fr["function"]).alias("function"),
+                        lit(fr["line_number"]).alias("line_number"),
+                        lit(fr["code"]).alias("code"),
+                    )
+                    for fr in frames
+                ]
+            ).alias("trace")
+        )
+    return F.struct(*fields)
 
 
 def create_response(
@@ -289,13 +334,28 @@ def stream_entry_to_envelope(df: DataFrame) -> DataFrame:
     )
 
 
-def envelope_to_wire(df: DataFrame) -> DataFrame:
+def envelope_to_wire(df: DataFrame, datetime_format: str | None = None) -> DataFrame:
     """Wire encoding (A7 Message.send, reference messages/base.py:636-711):
     the whole row — envelope, props map, any promoted extras — serialized to
     one JSON string column ``wire``. Matches the reference's send rules:
     nested values become embedded JSON, and null fields are never sent
-    (to_json drops nulls by default, mirroring base.py:688-690)."""
-    return df.select(F.to_json(F.struct(*df.columns)).alias("wire"))
+    (to_json drops nulls by default, mirroring base.py:688-690).
+
+    ``datetime_format`` applies the reference's configurable datetime
+    serialization (system/system.py:19 DEFAULT_DATETIME_FORMAT, strftime
+    ``%Y-%m-%d %H:%M:%S%z``; HeaderInfo.create stamps ``date`` with it) to
+    the header's ``date`` at send time. Spark patterns differ from
+    strftime — pass the java.time form, e.g. ``yyyy-MM-dd HH:mm:ssxx`` for
+    the reference default."""
+    out = df
+    if datetime_format is not None and "header" in df.columns:
+        out = out.withColumn(
+            "header",
+            col("header").withField(
+                "date", F.date_format(col("header.date"), datetime_format)
+            ),
+        )
+    return out.select(F.to_json(F.struct(*out.columns)).alias("wire"))
 
 
 def wire_to_envelope(df: DataFrame, schema, wire_col: str = "wire") -> DataFrame:

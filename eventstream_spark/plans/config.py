@@ -295,6 +295,87 @@ class EngineConfig:
             return cls.from_dict(json.load(f))
 
 
+def config_json_schema() -> dict:
+    """JSON Schema for the raw EngineConfig document — the reference ships
+    this for editor/CI tooling via pydantic's ``.schema()`` export
+    (generate_schema.py:71-92 dumps ``EventBusConfigurations.schema()``).
+    The dataclass model has no pydantic, so the schema is declared
+    explicitly and kept honest by tests that validate it against
+    ``from_dict``'s actual acceptance/rejection behavior.
+
+    Secret-typed connection fields are marked ``writeOnly`` (the JSON
+    Schema marker for write-only credentials): tooling may accept them in
+    a config document but must never echo them back."""
+    connection_props: dict[str, Any] = {
+        name: {"type": "string"} for name in _PLAIN_CONN_FIELDS
+    }
+    connection_props["port"] = {"type": "integer"}
+    for name in _SECRET_CONN_FIELDS:
+        connection_props[name] = {"type": "string", "writeOnly": True}
+    return {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "title": "EngineConfig",
+        "type": "object",
+        "required": ["application_name", "application_instance"],
+        "additionalProperties": False,
+        "properties": {
+            "application_name": {"type": "string", "minLength": 1},
+            "application_instance": {"type": "string", "minLength": 1},
+            "busses": {"type": "array", "items": {"$ref": "#/$defs/bus"}},
+        },
+        "$defs": {
+            "bus": {
+                "type": "object",
+                "anyOf": [
+                    {"required": ["source_table"]},
+                    {"required": ["source_path"]},
+                ],
+                "properties": {
+                    "name": {"type": "string"},
+                    "source_table": {"type": "string"},
+                    "source_path": {"type": "string"},
+                    "routes": {"type": "array", "items": {"$ref": "#/$defs/route"}},
+                    "connection": {"$ref": "#/$defs/connection"},
+                },
+            },
+            "route": {
+                "type": "object",
+                "required": ["event"],
+                "properties": {
+                    "name": {"type": "string"},
+                    "event": {"type": "string", "minLength": 1},
+                    "aliases": {"type": "array", "items": {"type": "string"}},
+                    "transform": {"$ref": "#/$defs/transform"},
+                    "kwargs": {"type": "object"},
+                    "sink": {"$ref": "#/$defs/sink"},
+                },
+            },
+            "transform": {
+                "type": "object",
+                "required": ["module_name", "name"],
+                "properties": {
+                    "module_name": {"type": "string"},
+                    "name": {"type": "string"},
+                },
+            },
+            "sink": {
+                "type": "object",
+                "required": ["kind"],
+                "properties": {
+                    "kind": {"enum": list(_SINK_KINDS)},
+                    "target": {"type": "string"},
+                    "mode": {"type": "string"},
+                },
+            },
+            "connection": {
+                "type": "object",
+                "additionalProperties": False,
+                "properties": connection_props,
+            },
+        },
+    }
+
+
 def discover_routes(
     module_name: str,
     sink_kind: str = "noop",

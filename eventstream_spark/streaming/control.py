@@ -137,6 +137,79 @@ class QueryManager:
             else:
                 q.awaitTermination(int(timeout_sec * 1000))
 
+    def idle_seconds(self, name: str) -> float | None:
+        """Seconds since the query last made progress; ``None`` while an
+        active query hasn't produced its first progress event yet (it is
+        starting up, not idle)."""
+        q = self._queries[name]
+        progress = q.lastProgress
+        if progress is None:
+            return None if q.isActive else float("inf")
+        stamp = dt.datetime.fromisoformat(
+            str(progress["timestamp"]).replace("Z", "+00:00")
+        )
+        return (dt.datetime.now(dt.timezone.utc) - stamp).total_seconds()
+
+    def clear_idle(
+        self,
+        idle_seconds: float,
+        checkpoint_root: str | None = None,
+        ignore_pending: bool = False,
+    ) -> dict[str, list[str]]:
+        """Idle-group GC sweep (reference clear_groups.py:85-128 destroys
+        consumer groups whose only consumer has been idle past a
+        threshold, and clean_handler_records.py:74-101 deletes stale
+        per-handler records): purge every registered query that is
+        terminated, or active but without progress for ``idle_seconds``,
+        dropping its checkpoint — the consumer-group state analog.
+
+        ``ignore_pending=False`` (the reference default) skips an idle
+        query that still reports available data, exactly as the reference
+        skips groups with pending entries.
+
+        ``checkpoint_root`` additionally sweeps ORPHANED checkpoint
+        directories under that root — dirs no registered query owns whose
+        newest file is older than the threshold (crashed runs from dead
+        processes; the clean_handler_records analog). Work is
+        proportional to the number of queries + orphan dirs."""
+        purged: list[str] = []
+        for name in self.names():
+            idle = self.idle_seconds(name)
+            if idle is None or idle < idle_seconds:
+                continue
+            q = self._queries[name]
+            if (
+                not ignore_pending
+                and q.isActive
+                and q.status.get("isDataAvailable")
+            ):
+                continue
+            self.purge(name, drop_checkpoint=True)
+            purged.append(name)
+
+        orphans: list[str] = []
+        if checkpoint_root and os.path.isdir(checkpoint_root):
+            owned = {
+                os.path.realpath(p) for p in self._checkpoints.values()
+            }
+            now = dt.datetime.now().timestamp()
+            for entry in sorted(os.listdir(checkpoint_root)):
+                path = os.path.join(checkpoint_root, entry)
+                if not os.path.isdir(path) or os.path.realpath(path) in owned:
+                    continue
+                newest = max(
+                    (
+                        os.path.getmtime(os.path.join(root, f))
+                        for root, _, files in os.walk(path)
+                        for f in files
+                    ),
+                    default=os.path.getmtime(path),
+                )
+                if now - newest >= idle_seconds:
+                    shutil.rmtree(path)
+                    orphans.append(entry)
+        return {"purged": purged, "orphaned_checkpoints": orphans}
+
 
 def publish_event(
     spark: SparkSession,

@@ -13,10 +13,16 @@ the library:
   python scripts/admin.py close-local <config.json> <source_dir> [app] [inst]
       # reference close_local.py: bring up the config's per-route streams,
       # publish get_instance, await the correlated response, stop matched
+  python scripts/admin.py schema [out.json]
+      # reference generate_schema.py: dump the EngineConfig JSON Schema
+      # to the file (or stdout when omitted) for editor/CI tooling
+  python scripts/admin.py clear-groups <checkpoint_root> <idle_min>
+      # reference clear_groups.py/clean_handler_records.py: sweep orphaned
+      # checkpoint dirs idle past the threshold (the consumer-group GC
+      # analog; in-process queries sweep via QueryManager.clear_idle)
 
-The reference's lock sweeper (unlock.py) and group GC (clear_groups.py) have
-no analog: Spark owns executor coordination and checkpoint state
-(QueryManager.purge drops a query's checkpoint when explicitly asked).
+The reference's lock sweeper (unlock.py) has no analog: Spark owns
+executor coordination.
 """
 
 from __future__ import annotations
@@ -139,8 +145,41 @@ def cmd_close_local(
     return 0 if result["closed"] else 1
 
 
+def cmd_schema(out_path: str | None = None) -> int:
+    """Reference generate_schema.py:71-92 (EventBusConfigurations.schema()
+    → schema.json or stdout with --pipe): export the EngineConfig JSON
+    Schema. No Spark session needed."""
+    from eventstream_spark.plans.config import config_json_schema
+
+    payload = json.dumps(config_json_schema(), indent=4)
+    if out_path is None:
+        print(payload)
+    else:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+        print(f"An updated schema was written to:\n{os.path.abspath(out_path)}")
+    return 0
+
+
+def cmd_clear_groups(checkpoint_root: str, idle_min: str) -> int:
+    """Standalone orphan sweep: a fresh admin process has no registered
+    queries, so every checkpoint dir under the root idle past the
+    threshold is a dead run's state (reference clear_groups.py:85-128)."""
+    from eventstream_spark.streaming import QueryManager
+
+    spark = get_spark(app_name="admin-clear-groups")
+    manager = QueryManager(spark)
+    stats = manager.clear_idle(
+        idle_seconds=float(idle_min) * 60, checkpoint_root=checkpoint_root
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 COMMANDS = {
     "validate": cmd_validate,
+    "schema": cmd_schema,
+    "clear-groups": cmd_clear_groups,
     "close-local": cmd_close_local,
     "trim-partitions": cmd_trim_partitions,
     "trim": cmd_trim,

@@ -103,3 +103,21 @@ def test_trim_partitions_cli(tmp_path):
     assert out == {"partitions_dropped": 1, "partitions_kept": 2}
     assert (archive / "date=2024-01-01" / "part-0.parquet").exists()
     assert not (table / "date=2024-01-01").exists()
+
+
+def test_schema_export_stdout_and_file(tmp_path):
+    """Reference generate_schema.py parity: schema to stdout or a file."""
+    r = _run(["schema"])
+    assert r.returncode == 0
+    schema = json.loads(r.stdout)
+    assert schema["title"] == "EngineConfig"
+    assert schema["required"] == ["application_name", "application_instance"]
+    # Secrets are write-only: tooling may accept, must never echo.
+    conn = schema["$defs"]["connection"]["properties"]
+    assert conn["password"]["writeOnly"] is True
+    assert conn["ssl_key_password"]["writeOnly"] is True
+
+    out = tmp_path / "schema.json"
+    r2 = _run(["schema", str(out)])
+    assert r2.returncode == 0 and str(out) in r2.stdout
+    assert json.loads(out.read_text()) == schema

@@ -178,3 +178,44 @@ def test_interpret_nested_recursive_promotion(spark):
         .v
     )
     assert row3.meta is None and row3.scores == []
+
+
+def test_header_stack_trace_roundtrip(spark):
+    """Reference HeaderInfo debug-mode parity (messages/base.py:447-487):
+    include_stack embeds (file, function, line_number, code) frames; the
+    capture site (this test) appears in the trace."""
+    from eventstream_spark.codec import make_header
+
+    header = spark.range(1).select(make_header(include_stack=True).alias("h")).first().h
+    assert header.trace, "trace must be non-empty"
+    frame = header.trace[-1]
+    assert set(frame.asDict()) == {"file", "function", "line_number", "code"}
+    assert isinstance(frame.line_number, int)
+    assert any(f.file.endswith("test_codec.py") for f in header.trace)
+    # Default headers stay trace-free (HEADER_SCHEMA unchanged on the wire).
+    plain = spark.range(1).select(make_header().alias("h")).first().h
+    assert "trace" not in plain.asDict()
+
+
+def test_wire_datetime_format(spark):
+    """Reference configurable datetime serialization (system/system.py:19
+    DEFAULT_DATETIME_FORMAT stamps HeaderInfo.date at send time): the wire
+    encoding formats header.date with the given pattern; without one the
+    date serializes as Spark's default JSON timestamp."""
+    import json as _json
+    import re
+
+    from eventstream_spark.codec import envelope_to_wire, make_header
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit("get_instance").alias("event"), make_header().alias("header")
+    )
+    formatted = _json.loads(
+        envelope_to_wire(df, datetime_format="yyyy-MM-dd HH:mm:ssxx").first().wire
+    )
+    assert re.fullmatch(
+        r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\+\d{4}", formatted["header"]["date"]
+    )
+    plain = _json.loads(envelope_to_wire(df).first().wire)
+    assert "T" in plain["header"]["date"]  # ISO default untouched

@@ -316,3 +316,68 @@ def test_compact_table_reduces_files(spark, sf_dir, tmp_path):
     # Already-compact directory is a no-op.
     again = compact_table(spark, table_dir, target_file_bytes=10 << 20)
     assert again["files_after"] == stats["files_after"]
+
+
+def test_clear_idle_purges_idle_keeps_active(spark, tmp_path):
+    """Idle-group GC (reference clear_groups.py): a terminated query is
+    swept (checkpoint dropped) while an actively progressing one is kept;
+    orphaned checkpoint dirs older than the threshold are removed, owned
+    and recent ones retained."""
+    import time
+
+    from eventstream_spark.streaming import QueryManager
+
+    root = tmp_path / "ckpts"
+    root.mkdir()
+    mgr = QueryManager(spark)
+
+    def start(name):
+        ck = str(root / name)
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "5")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .queryName(name)
+            .start()
+        )
+        return mgr.register(name, q, checkpoint_dir=ck)
+
+    alive, dead = start("alive"), start("dead")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and alive.lastProgress is None:
+            time.sleep(0.3)
+        assert alive.lastProgress is not None
+        dead.stop()
+        dead.awaitTermination()
+        # Age the dead query past the GC threshold; the alive query keeps
+        # progressing (rate source, continuous micro-batches) so its idle
+        # time stays near zero.
+        time.sleep(4.5)
+
+        # Orphans: one stale (old mtimes), one fresh.
+        for name, old in (("orphan_old", True), ("orphan_new", False)):
+            d = root / name
+            d.mkdir()
+            f = d / "offsets"
+            f.write_text("x")
+            if old:
+                past = time.time() - 3600
+                import os as _os
+
+                _os.utime(d, (past, past))
+                _os.utime(f, (past, past))
+
+        out = mgr.clear_idle(idle_seconds=4, checkpoint_root=str(root))
+        assert out == {"purged": ["dead"], "orphaned_checkpoints": ["orphan_old"]}
+        assert mgr.names() == ["alive"]
+        assert not (root / "dead").exists()  # purge dropped its checkpoint
+        assert (root / "alive").exists()
+        assert (root / "orphan_new").exists()
+        assert not (root / "orphan_old").exists()
+    finally:
+        for q in (alive, dead):
+            if q.isActive:
+                q.stop()

@@ -289,3 +289,27 @@ def test_per_route_streaming_equals_batch(spark, sf_dir, tmp_path):
     assert mgr.info("ev:clicks").query_id != mgr.info("ev:views").query_id
     for name in list(mgr.names()):
         mgr.purge(name, drop_checkpoint=True)
+
+
+def test_config_json_schema_matches_validator():
+    """The exported schema's constraints mirror what from_dict actually
+    enforces: required identity fields, route.event, bus source choice,
+    sink kinds, and secret-typed connection fields marked writeOnly."""
+    from eventstream_spark.plans.config import (
+        _SECRET_CONN_FIELDS,
+        _SINK_KINDS,
+        config_json_schema,
+    )
+
+    s = config_json_schema()
+    assert s["required"] == ["application_name", "application_instance"]
+    assert "event" in s["$defs"]["route"]["required"]
+    assert {"required": ["source_table"]} in s["$defs"]["bus"]["anyOf"]
+    assert s["$defs"]["sink"]["properties"]["kind"]["enum"] == list(_SINK_KINDS)
+    conn = s["$defs"]["connection"]["properties"]
+    for name in _SECRET_CONN_FIELDS:
+        assert conn[name] == {"type": "string", "writeOnly": True}
+    # every declared connection property is a field the parser knows
+    from eventstream_spark.plans.config import _PLAIN_CONN_FIELDS
+
+    assert set(conn) == set(_PLAIN_CONN_FIELDS) | set(_SECRET_CONN_FIELDS) | {"port"}
