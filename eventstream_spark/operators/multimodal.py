@@ -2,11 +2,14 @@
 
 Convention: image/audio/video payloads are opaque ``binary`` columns plus a
 typed metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signatures, partition sizing — is real and tested; the actual
-media decode is STUBBED (image/audio libs are not in this container) behind
-``decode_stub`` which raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it derives metadata purely from
-the bytes (so tests and oracles are exact).
+``mapInPandas`` signatures, partition sizing — is real and tested, and so
+is the decode rung for the formats stdlib can carry (see
+``media_codec.py``): PNG payloads really decode (zlib inflate + scanline
+unfilter) and really resize (nearest-neighbor resample + re-encode); WAV
+payloads really decode via ``wave``. Formats needing external codecs
+(JPEG, video containers) fail loudly with ``NotImplementedError`` unless
+``deterministic_fake=True``, which derives metadata purely from the bytes
+(so the text-payload oracles stay exact).
 
 Scale notes (100 TB of media): binary payloads ride in parquet with the
 metadata columns; filters on metadata prune row groups WITHOUT reading the
@@ -54,10 +57,27 @@ META_SCHEMA = StructType(
 )
 
 
-def decode_stub(payload: bytes, deterministic_fake: bool = False) -> tuple[int, int]:
-    """Media decode stub. Real implementation would dispatch on magic bytes
-    to an image/audio decoder; here we either fail loudly or derive fake
-    dimensions deterministically from the payload."""
+def decode_media(payload: bytes, deterministic_fake: bool = False) -> tuple[int, int]:
+    """Magic-byte dispatch to a real decoder where stdlib suffices:
+
+    - PNG → (width, height) from a full decode (``media_codec.decode_png``
+      inflates and unfilters, so a truncated/corrupt file raises rather
+      than reporting header values the pixel data can't back),
+    - WAV → (n_frames, frame_rate) packed into the fixed (width, height)
+      metadata slots — documented convention for the shared META_SCHEMA,
+    - anything else → ``deterministic_fake`` metadata derived from the
+      bytes, or a loud ``NotImplementedError`` (JPEG/video need codec
+      libraries this environment doesn't ship).
+    """
+    from .media_codec import PNG_MAGIC, decode_png, decode_wav, is_wav
+
+    payload = bytes(payload)
+    if payload[:8] == PNG_MAGIC:
+        width, height, _channels, _pixels = decode_png(payload)
+        return (width, height)
+    if is_wav(payload):
+        _ch, _sw, rate, n_frames = decode_wav(payload)
+        return (n_frames, rate)
     if not deterministic_fake:
         raise NotImplementedError(
             "media decoding requires image/audio libraries not present in this environment"
@@ -66,13 +86,18 @@ def decode_stub(payload: bytes, deterministic_fake: bool = False) -> tuple[int, 
     return (n % 640 + 1, n % 480 + 1)
 
 
+def decode_stub(payload: bytes, deterministic_fake: bool = False) -> tuple[int, int]:
+    """Back-compat alias of :func:`decode_media`."""
+    return decode_media(payload, deterministic_fake)
+
+
 def extract_metadata(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Arrow-batched metadata extraction over binary payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [decode_stub(p, deterministic_fake) for p in payloads]
+            dims = [decode_media(p, deterministic_fake) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -153,27 +178,34 @@ RESIZED_SCHEMA = StructType(
 def resize_media(
     media: DataFrame, width: int, height: int, deterministic_fake: bool = True
 ) -> DataFrame:
-    """Resize stub with real Spark plumbing: binary in, binary out, typed
-    dimensions attached. A real implementation decodes, resamples, and
-    re-encodes per payload inside the same mapInPandas batch loop; the
-    container has no image libs, so the fake produces a deterministic
-    payload of exactly ``width*height`` bytes (cycled from the source) —
-    enough to test schema, batch shape, and byte accounting end-to-end."""
-
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "media resize requires image libraries not present in this environment"
-        )
+    """Resize with real Spark plumbing: binary in, binary out, typed
+    dimensions attached. PNG payloads take the REAL path — decode,
+    nearest-neighbor resample, re-encode (``media_codec.resize_png``) —
+    inside the mapInPandas batch loop. Other payloads use the
+    deterministic fake (exactly ``width*height`` bytes cycled from the
+    source) when allowed, else fail loudly; swapping in a full image
+    library changes only the per-payload call."""
     n_out = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codec import PNG_MAGIC, resize_png
+
         for pdf in it:
             out = []
             for doc_id, modality, payload in zip(
                 pdf["doc_id"], pdf["modality"], pdf["payload"]
             ):
-                src = bytes(payload) or b"\x00"
-                resized = (src * (n_out // len(src) + 1))[:n_out]
+                src = bytes(payload)
+                if src[:8] == PNG_MAGIC:
+                    resized = resize_png(src, width, height)
+                elif deterministic_fake:
+                    src = src or b"\x00"
+                    resized = (src * (n_out // len(src) + 1))[:n_out]
+                else:
+                    raise NotImplementedError(
+                        "media resize requires image libraries not present"
+                        " in this environment"
+                    )
                 out.append((doc_id, modality, resized, width, height))
             yield pd.DataFrame(
                 out, columns=["doc_id", "modality", "payload", "width", "height"]
@@ -204,7 +236,51 @@ def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_W = 32
+_PNG_MAX_H = 24
+
+
+def q60b_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codec rung under the driver's gate: each document's bytes
+    become a genuine grayscale PNG (stdlib encoder — deflate + scanlines),
+    which ``extract_metadata`` then REALLY decodes (inflate + unfilter,
+    ``deterministic_fake=False``). The reported dimensions must match the
+    arithmetic the oracle computes from ``n_chars`` alone — if the decoder
+    read headers without backing pixel data, or the roundtrip corrupted a
+    scanline, sizes (or the decode itself) would break."""
+    docs = load(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codec import encode_png
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                b = text.encode("utf-8")
+                h = max(1, min(_PNG_MAX_H, -(-len(b) // _PNG_W)))
+                buf = (b + bytes(_PNG_W * h))[: _PNG_W * h]
+                payloads.append(encode_png(buf, _PNG_W, h, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "image",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    meta = extract_metadata(media, deterministic_fake=False)
+    return meta.select("doc_id", "width", "height").orderBy("doc_id")
+
+
 ORACLES = {
+    "q60b_png_decode": f"""
+SELECT doc_id,
+       CAST({_PNG_W} AS BIGINT) AS width,
+       CAST(GREATEST(1, LEAST({_PNG_MAX_H},
+            CAST(CEIL(strlen(text) / {_PNG_W}.0) AS BIGINT))) AS BIGINT) AS height
+FROM documents ORDER BY doc_id
+""",
     "q60_multimodal_meta": """
 WITH m AS (SELECT doc_id, strlen(text) AS n_bytes FROM documents)
 SELECT 'text' AS modality, COUNT(*) AS n_docs,
@@ -235,5 +311,6 @@ FROM f ORDER BY doc_id
 
 QUERIES = {
     "q60_multimodal_meta": q60_multimodal_meta,
+    "q60b_png_decode": q60b_png_decode,
     "q61_frame_sample": q61_frame_sample,
 }
