@@ -267,14 +267,17 @@ def ivf_ann(
     """IVF-style ANN: coarse-quantize the corpus into inverted cells, probe
     the ``n_probe`` nearest cells per query, exact re-rank inside them.
 
-    The coarse centroids are the embeddings of the first ``n_cells``
+    The coarse centroids are the embeddings of the ``n_cells`` LOWEST
     vec_ids — a deterministic seeding (no k-means iterations) so the duckdb
-    oracle reproduces the exact same cells; swapping in trained centroids
+    oracle reproduces the exact same cells; an ordered LIMIT rather than a
+    ``vec_id < n`` predicate, so it holds on any id set (sparse, offset,
+    resharded), not just dense ids from 0. Swapping in trained centroids
     changes recall, not the plan shape. Collecting them is n_cells × dim
     doubles — driver-trivial at any corpus size.
     """
     seeds = (
-        emb.where(col("vec_id") < n_cells)
+        emb.orderBy("vec_id")
+        .limit(n_cells)
         .select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
         .collect()
     )
@@ -328,12 +331,14 @@ _PQ_K = 16  # codes per subspace
 
 
 def pq_seed_codebooks(emb: DataFrame) -> list[list[list[float]]]:
-    """codebooks[m][k] = subvector m of seed vector k. Seeds are the first
-    ``_PQ_K`` vec_ids — deterministic (no k-means training) so the duckdb
-    oracle reproduces the exact codebooks; training better codebooks changes
-    recall, not the plan. Collecting them is K × dim doubles — trivial."""
+    """codebooks[m][k] = subvector m of seed vector k. Seeds are the
+    ``_PQ_K`` lowest vec_ids (ordered LIMIT — no dense-id assumption) —
+    deterministic (no k-means training) so the duckdb oracle reproduces the
+    exact codebooks; training better codebooks changes recall, not the
+    plan. Collecting them is K × dim doubles — trivial."""
     seeds = (
-        emb.where(col("vec_id") < _PQ_K)
+        emb.orderBy("vec_id")
+        .limit(_PQ_K)
         .select("vec_id", as_double_array(col("embedding")).alias("v"))
         .collect()
     )
@@ -481,7 +486,8 @@ def q69_doc_vec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q54_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     seeds = (
-        emb.where(col("vec_id") < _IVF_CELLS)
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
         .select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
         .collect()
     )
@@ -580,7 +586,7 @@ def _pq_sql(k: int = 5) -> str:
     )
     return f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-seeds AS (SELECT vec_id AS k, v FROM e WHERE vec_id < {_PQ_K}),
+seeds AS (SELECT vec_id AS k, v FROM e ORDER BY vec_id LIMIT {_PQ_K}),
 codes AS (
   SELECT e.vec_id,
          {code_aggs}
@@ -634,7 +640,7 @@ FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
     # array_min/array_sort over structs.
     "q53_ivf_ann": f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+c AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}),
 a AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,
@@ -675,7 +681,7 @@ GROUP BY 1 ORDER BY 1
 """,
     "q54_kmeans_step": f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+c AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}),
 a AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,

@@ -240,3 +240,29 @@ def test_pack_shards_equals_single_window(spark, sf_dir):
     two_level = pack_shards(toks, bucket_docs=64).select("source", "doc_id", "shard")
     assert two_level.exceptAll(single).isEmpty()
     assert single.exceptAll(two_level).isEmpty()
+
+
+def test_ivf_seeding_needs_no_dense_ids(spark, sf_dir):
+    """Centroid/codebook seeds are an ordered LIMIT, not a `vec_id < n`
+    predicate: a corpus whose ids start at 10_000_000 (e.g. a resharded or
+    offset shard) must seed identically to the same data with dense ids —
+    with the old predicate its seed set was EMPTY."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.similarity import ivf_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    base = ivf_ann(emb, F.col("vec_id").isin(100, 101, 102), k=5)
+    moved = ivf_ann(
+        shifted,
+        F.col("vec_id").isin(10_000_100, 10_000_101, 10_000_102),
+        k=5,
+    )
+    got = [
+        (r.q_id - 10_000_000, r.neighbor_id - 10_000_000, r.rank, r.dist)
+        for r in moved.collect()
+    ]
+    want = [(r.q_id, r.neighbor_id, r.rank, r.dist) for r in base.collect()]
+    assert got == want
