@@ -39,7 +39,7 @@ from ..functions import (
     tokens,
     tokens_sql,
 )
-from .similarity import lsh_bucket_bits_sql, lsh_bucketed
+from .similarity import lsh_bucket_bits_sql, lsh_bucketed, plane_weights
 
 # Fixed MinHash permutation parameters: h' = (a*h + b) mod P over the 48-bit
 # shingle hash. a < 2^14 keeps a*h inside int64. 16 hashes → 8 bands of 2.
@@ -578,11 +578,13 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def embedding_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
+def embedding_neardup_bucketed(
+    emb: DataFrame, threshold: float, n_planes: int | None = None
+) -> DataFrame:
     """Scale path: hyperplane-LSH bucketing (``similarity.lsh_bucketed``)
     then the exact cosine check within buckets.
 
-    Each vector lands in exactly ONE 64-way bucket, so the self-join is a
+    Each vector lands in exactly ONE bucket, so the self-join is a
     hash/SMJ shuffle on the bucket key — never a BroadcastNestedLoopJoin —
     and a qualifying pair appears at most once (no DISTINCT needed).
     Bucket-then-verify is exact for pairs sharing a bucket; pairs the planes
@@ -591,8 +593,18 @@ def embedding_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
     the precomputed per-vector norms (dot / sqrt(nsq_a * nsq_b)) — the same
     multiply-then-sqrt tree as ``functions.cosine``, so values stay
     bit-identical to the oracle's ``cosine_sql``.
+
+    ``n_planes`` is the scale knob: with B buckets (2^n_planes) and N
+    vectors the verify stage compares ~N²/(2B) pairs, so bucket occupancy —
+    and with it the pair count per vector — stays constant only if bits
+    grow with log2(N). The default 6 (64 buckets) is the small-corpus
+    oracle-parity form (q44); q44b pins the grown-bits form (12 planes =
+    4096 buckets) that a 100× corpus actually needs — measured in the
+    100× scale smoke, where the 6-plane form's pair count grows ~100×
+    per bucket (the pigeonhole, not a plan defect).
     """
-    b = persist_tracked(lsh_bucketed(emb))
+    planes = None if n_planes is None else plane_weights(n_planes)
+    b = persist_tracked(lsh_bucketed(emb, planes))
     a = b.alias("a")
     c = b.alias("c")
     cos = dot(col("a.v"), col("c.v")) / F.sqrt(col("a.nsq") * col("c.nsq"))
@@ -610,6 +622,23 @@ def embedding_neardup_bucketed(emb: DataFrame, threshold: float) -> DataFrame:
 def q44_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return embedding_neardup_bucketed(emb, 0.4).orderBy("d1", "d2")
+
+
+_SCALED_PLANES = 12  # 4096 buckets: the 100×-corpus occupancy point
+
+
+def q44b_embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q44 with the LSH bits GROWN for a large corpus (12 planes = 4096
+    buckets): the form whose verify-stage pair count stays ~linear when the
+    corpus scales 100×, because bucket occupancy is held near-constant by
+    spending log2(scale) more bits. On the small fixture most buckets are
+    singletons — recall drops (the standard bits-vs-recall trade), which
+    the oracle mirrors exactly; the scale smoke measures this form beside
+    the fixed-64-bucket q44 to document the pigeonhole."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_bucketed(emb, 0.4, n_planes=_SCALED_PLANES).orderBy(
+        "d1", "d2"
+    )
 
 
 # --- oracles ---------------------------------------------------------------
@@ -763,6 +792,15 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ROUND({cosine_sql('a.v', 'c.v')}, 4) >= 0.4
 ORDER BY 1, 2
 """,
+    "q44b_embedding_neardup_scaled": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+b AS (SELECT vec_id, v, CAST({lsh_bucket_bits_sql('v', 12)} AS BIGINT) AS bucket FROM e)
+SELECT a.vec_id AS d1, c.vec_id AS d2,
+       ROUND({cosine_sql('a.v', 'c.v')}, 4) AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND({cosine_sql('a.v', 'c.v')}, 4) >= 0.4
+ORDER BY 1, 2
+""",
 }
 
 QUERIES = {
@@ -775,4 +813,5 @@ QUERIES = {
     "q58_dedup_keep": q58_dedup_keep,
     "q43_simhash": q43_simhash,
     "q44_embedding_neardup": q44_embedding_neardup,
+    "q44b_embedding_neardup_scaled": q44b_embedding_neardup_scaled,
 }

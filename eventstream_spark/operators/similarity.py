@@ -497,11 +497,12 @@ def q54_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracles ---------------------------------------------------------------
 
-def lsh_bucket_bits_sql(vec_expr: str = "v") -> str:
+def lsh_bucket_bits_sql(vec_expr: str = "v", n_planes: int = _N_PLANES) -> str:
     """duckdb spelling of the hyperplane-LSH bucket id over ``vec_expr`` —
     the exact mirror of ``lsh_bucketed``'s signature column, shared by the
-    q52 oracle here and the q44 bucketed near-dup oracle in dedup.py."""
-    planes = plane_weights()
+    q52 oracle here and the q44/q44b bucketed near-dup oracles in
+    dedup.py."""
+    planes = plane_weights(n_planes)
     return " + ".join(
         f"(CASE WHEN {dot_sql(vec_expr, _plane_sql_literal(w))} >= 0 THEN {1 << j} ELSE 0 END)"
         for j, w in enumerate(planes)

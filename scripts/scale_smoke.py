@@ -94,6 +94,7 @@ SCALE_QUERIES = [
     "q41_ngram_jaccard",
     "q42_minhash_lsh",
     "q44_embedding_neardup",
+    "q44b_embedding_neardup_scaled",
     "q55_dedup_clusters",
     "q114_lsh_multiprobe",
     "q116_contamination",
