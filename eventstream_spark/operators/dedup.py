@@ -754,7 +754,94 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM s ORDER BY doc_id
 """
 
 
+# --- cross-doc n-gram span coverage (q122) ---------------------------------
+
+_SPAN_N = 5  # span width: wide enough that sharing is evidence of copying
+
+
+def span_positions(text_col: str = "text", n: int = _SPAN_N) -> Column:
+    """ALL word n-gram occurrences in order (POSITIONAL, unlike
+    ``word_shingles`` which deduplicates) — one array entry per token
+    position, built from n shifted slices (same CSE-safe shape)."""
+    w = tokens(text_col)
+    m = F.greatest(F.size(w) - (n - 1), lit(0))
+    z = F.slice(w, 1, m)
+    for j in range(1, n):
+        z = F.zip_with(z, F.slice(w, j + 1, m), lambda x, y: F.concat_ws(" ", x, y))
+    return z
+
+
+def span_coverage(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
+    """Per-document cross-duplication coverage at fixed span width — the
+    flagging form of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22): a position is
+    duplicated if its n-token span also occurs in ANY other document.
+
+    Scale (100 TB): spans explode map-side; the only shuffles are the
+    groupBy((doc, span)) count, the groupBy(span) document-frequency
+    aggregate, and one equi-join back on the span key — all on
+    well-distributed text keys, with map-side partial aggregation
+    absorbing within-partition repeats. No suffix array needed for the
+    flagging/statistics form; a full substring-removal pass would seed
+    from exactly these positions.
+
+    Returns (doc_id, source, n_spans, dup_spans) for docs with >= 1 span.
+    """
+    spans = docs.select("doc_id", "source", F.explode(span_positions("text", n)).alias("s"))
+    per = spans.groupBy("doc_id", "source", "s").agg(F.count("*").alias("c"))
+    freq = per.groupBy("s").agg(F.count("*").alias("nd"))
+    return (
+        per.join(freq, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(col("nd") >= 2, col("c")).otherwise(0)).alias("dup_spans"),
+        )
+    )
+
+
+def q122_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of cross-document span duplication: total span
+    positions, duplicated positions, mean per-doc coverage, and the count
+    of heavily-copied documents (> 50% covered)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    doc = span_coverage(docs)
+    return (
+        doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum("dup_spans").alias("dup_spans"),
+            F.round(F.avg(col("dup_spans") / col("n_spans")), 4).alias("avg_coverage"),
+            F.sum((col("dup_spans") / col("n_spans") > 0.5).cast("long")).alias("n_copied"),
+        )
+        .orderBy("source")
+    )
+
+
+_SPANS_SQL = (
+    "SELECT doc_id, source, "
+    + " || ' ' || ".join(f"w[i + {j}]" for j in range(_SPAN_N))
+    + f" AS s FROM (SELECT doc_id, source, {tokens_sql()} AS w FROM documents) tok, "
+    + f"UNNEST(range(1, len(w) - {_SPAN_N - 2})) AS t(i)"
+)
+
 ORACLES = {
+    "q122_span_coverage": f"""
+WITH spans AS ({_SPANS_SQL}),
+per AS (SELECT doc_id, source, s, COUNT(*) AS c FROM spans GROUP BY 1, 2, 3),
+freq AS (SELECT s, COUNT(*) AS nd FROM per GROUP BY 1),
+doc AS (
+  SELECT doc_id, source, SUM(c) AS n_spans,
+         SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS dup_spans
+  FROM per JOIN freq USING (s) GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+       CAST(SUM(dup_spans) AS BIGINT) AS dup_spans,
+       ROUND(AVG(dup_spans / CAST(n_spans AS DOUBLE)), 4) AS avg_coverage,
+       CAST(SUM(CASE WHEN dup_spans / CAST(n_spans AS DOUBLE) > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_copied
+FROM doc GROUP BY 1 ORDER BY 1
+""",
     "q40_dedup_exact": (
         "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents"
     ),
@@ -814,4 +901,5 @@ QUERIES = {
     "q43_simhash": q43_simhash,
     "q44_embedding_neardup": q44_embedding_neardup,
     "q44b_embedding_neardup_scaled": q44b_embedding_neardup_scaled,
+    "q122_span_coverage": q122_span_coverage,
 }

@@ -495,6 +495,135 @@ def q54_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(emb, centroids)
 
 
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+
+_SEM_T = 0.4  # same cosine regime as q44's near-dup threshold
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = _SEM_T,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster embeddings with a
+    coarse quantizer, then within each cluster mark a vector as a duplicate
+    if its cosine to ANY lower-id cluster member reaches the threshold —
+    the greedy keep-lowest-id policy, applied cluster-locally so the
+    pairwise check never crosses cluster boundaries.
+
+    Scale (100 TB): assignment is map-side (centroid literals, zero
+    shuffle); the pairwise check shuffles once on the cell key and compares
+    ~N²/(2K) pairs, so K grows with N exactly like q44b's LSH bits — the
+    cluster count is the bucket-occupancy knob. The dup marker dedups
+    per-vector (a vector beaten by several earlier members counts once).
+
+    Returns per-cell rows: (cell, n_members, n_dups, keep_rate)."""
+    a = persist_tracked(
+        ivf_assign(spread(emb), centroids).withColumn("nsq", dot(col("v"), col("v")))
+    )
+    x = a.alias("x")
+    y = a.alias("y")
+    cos = dot(col("x.v"), col("y.v")) / F.sqrt(col("x.nsq") * col("y.nsq"))
+    dups = (
+        x.join(y, (col("x.cell") == col("y.cell")) & (col("x.vec_id") < col("y.vec_id")))
+        .where(F.round(cos, 4) >= threshold)
+        .select(col("y.cell").alias("cell"), col("y.vec_id").alias("dup_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_dups"))
+    )
+    members = a.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(dups, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce(col("n_dups"), lit(0)).alias("n_dups"),
+            F.round(
+                lit(1.0) - F.coalesce(col("n_dups"), lit(0)) / col("n_members"), 4
+            ).alias("keep_rate"),
+        )
+        .orderBy("cell")
+    )
+
+
+def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+    return semantic_dedup(emb, centroids)
+
+
+# --- BLAS-path exact kNN (mapInPandas + matmul) ----------------------------
+
+def matmul_topk_per_query(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
+    """q51's semantics on the vectorized Arrow path: each corpus partition
+    streams through mapInPandas as Arrow batches, one float64 matmul scores
+    the whole batch against the broadcast query matrix, and only the
+    per-partition top-k survive to the (tiny) global re-rank window.
+
+    This is the physical strategy that wins when per-pair column folds
+    become the bottleneck: one BLAS GEMM per batch replaces n×m expression
+    evaluations, and the shuffle carries at most partitions×queries×k rows
+    instead of the full n×m score matrix. The query side is collected
+    driver-side (queries are few — same bound as the IVF centroid seeds)
+    and ships inside the serialized closure.
+
+    Numeric note: BLAS accumulates dot products in a different order than
+    a sequential fold, so raw cos values can differ from q51's by ~1 ulp;
+    the published cos rounds to 4 decimals, and rank ties break by
+    neighbor_id — pinned equal to q51's oracle on the fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    qrows = sorted(e.where(query_pred).collect(), key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r.v) for r in qrows], dtype=np.float64)
+    qn = (qmat * qmat).sum(axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vn = (vmat * vmat).sum(axis=1)
+            cos = (vmat @ qmat.T) / np.sqrt(vn[:, None] * qn[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                keep = np.nonzero(ids != qids[j])[0]
+                # lexsort: primary -cos desc, secondary vec_id asc
+                order = keep[np.lexsort((ids[keep], -cos[keep, j]))][:k]
+                out_q.extend([qids[j]] * len(order))
+                out_n.extend(ids[order])
+                out_c.extend(cos[order, j])
+            yield pd.DataFrame(
+                {"q_id": out_q, "neighbor_id": out_n, "cos_raw": out_c}
+            )
+
+    local = e.mapInPandas(score, schema="q_id long, neighbor_id long, cos_raw double")
+    w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc(), col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def q51b_matmul_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51's top-k per query on the BLAS path — same oracle, different
+    physical plan (GEMM instead of per-pair folds)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return matmul_topk_per_query(emb, col("vec_id") < 10, k=5)
+
+
 # --- oracles ---------------------------------------------------------------
 
 def lsh_bucket_bits_sql(vec_expr: str = "v", n_planes: int = _N_PLANES) -> str:
@@ -665,6 +794,27 @@ ranked AS (
 SELECT q_id, neighbor_id, rank, ROUND(dist_raw, 4) AS dist
 FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """,
+    # SemDeDup mirror: same e/c/a assignment CTEs as the IVF oracles, then
+    # the within-cell greedy-by-id pair check.
+    "q123_semantic_dedup": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}),
+a AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq_l2_sql('e.v', 'c.cv')}, c.cell) AS rn
+    FROM e, c) t WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT y.cell, y.vec_id
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE ROUND({cosine_sql('x.v', 'y.v')}, 4) >= {_SEM_T}),
+d AS (SELECT cell, COUNT(*) AS n_dups FROM dups GROUP BY 1),
+m AS (SELECT cell, COUNT(*) AS n_members FROM a GROUP BY 1)
+SELECT m.cell, m.n_members, COALESCE(d.n_dups, 0) AS n_dups,
+       ROUND(1.0 - COALESCE(d.n_dups, 0) / CAST(m.n_members AS DOUBLE), 4) AS keep_rate
+FROM m LEFT JOIN d USING (cell) ORDER BY cell
+""",
     "q59_label_centroids": f"""
 WITH e AS (SELECT label, {as_double_array_sql('embedding')} AS v FROM embeddings)
 SELECT label, i, COUNT(*) AS n_members, ROUND(AVG(v[i]), 4) AS mean_x
@@ -705,4 +855,9 @@ QUERIES = {
     "q85_pq_ann": q85_pq_ann,
     "q59_label_centroids": q59_label_centroids,
     "q69_doc_vec_join": q69_doc_vec_join,
+    "q123_semantic_dedup": q123_semantic_dedup,
+    "q51b_matmul_knn": q51b_matmul_knn,
 }
+
+# q51b shares q51's oracle verbatim: same semantics, different physical plan.
+ORACLES["q51b_matmul_knn"] = ORACLES["q51_topk_per_query"]

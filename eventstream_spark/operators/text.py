@@ -449,9 +449,282 @@ def q82_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PII scrub (q121) ------------------------------------------------------
+# C4-style cleanup pass: per-class PII detection (regexes shared verbatim
+# with the RE2 oracle — no lookahead, no alternation between classes so both
+# engines match identically), redaction via SEQUENTIAL per-class replace
+# (alternation order semantics differ subtly between regex engines; a fixed
+# replace chain is engine-independent), plus a badword blocklist flag.
+# The fixture corpus is PII-free, so the detection classes prove out in unit
+# tests with injected payloads (tests/test_text_ops.py); the blocklist and
+# char-accounting paths are non-trivial on the fixture itself.
+
+_PII_PATTERNS: dict[str, str] = {
+    # class name -> RE2/Java-compatible pattern, applied in this order.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+_BLOCKLIST = ("slow", "deprecated")  # one in-vocab word, one absent
+
+
+def pii_hits(text_col: str = "text") -> dict[str, Column]:
+    """Per-class PII match counts (map-side regexp_extract_all)."""
+    return {
+        name: F.size(F.regexp_extract_all(col(text_col), lit(pat), 0)).cast("long")
+        for name, pat in _PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text_col: str = "text") -> Column:
+    """Text with every PII class removed, one class at a time in the fixed
+    _PII_PATTERNS order (engine-independent, unlike one big alternation)."""
+    out = col(text_col)
+    for pat in _PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, "")
+    return out
+
+
+def q121_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII + blocklist scrub accounting per source: per-class hit counts,
+    characters a redaction pass would remove, and C4-style badword flags.
+
+    Scale: pure map-side column expressions over the scan (regex + token
+    filter), one tiny final aggregate — embarrassingly parallel at 100 TB.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    hits = pii_hits("text")
+    toks = tokens("text")
+    blocked = F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST))).cast("long")
+    per_doc = docs.select(
+        "source",
+        *[h.alias(f"n_{name}") for name, h in hits.items()],
+        (F.length("text") - F.length(redact_pii("text"))).cast("long").alias("pii_chars"),
+        blocked.alias("n_blocked"),
+    )
+    total_hits = sum(col(f"n_{name}") for name in _PII_PATTERNS)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_email").alias("email_hits"),
+            F.sum("n_ssn").alias("ssn_hits"),
+            F.sum("n_phone").alias("phone_hits"),
+            F.sum("n_ipv4").alias("ipv4_hits"),
+            F.sum("pii_chars").alias("pii_chars"),
+            F.sum((total_hits > 0).cast("long")).alias("docs_with_pii"),
+            F.sum((col("n_blocked") > 0).cast("long")).alias("flagged_docs"),
+            F.sum("n_blocked").alias("blocked_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- unigram LM log-prob scoring (q125) ------------------------------------
+
+_LL_FLAG = -3.6  # docs with mean log-prob below this are "surprising"
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability (the cheap perplexity
+    proxy every corpus-quality pipeline runs): token frequencies over the
+    corpus give p(term) = tf_corpus / total; each doc scores
+    mean(ln p(term)) over its tokens.
+
+    Determinism: ln(p) is quantized to integer MICRO-units per TERM
+    (round(ln(p) * 1e6) as bigint), so the per-doc accumulation is an
+    integer sum — bit-identical under any partitioning or fold order in
+    both engines; floats only reappear in the final per-doc division.
+
+    Scale: one groupBy(term) for the frequency table, one groupBy(doc)
+    for the score; the vocab->token join shuffles on term (well
+    distributed). The vocab side is NOT force-broadcast: whitespace vocab
+    on web-scale data is itself huge (100M+ terms), so AQE picks the
+    strategy; for bounded vocabularies it lands on broadcast by size.
+
+    Returns (doc_id, source, n_tok, doc_logp)."""
+    tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "source", "term").agg(F.count("*").alias("c"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("tc"))
+    total = vocab.agg(F.sum("tc").cast("double").alias("total"))
+    ll = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(col("tc") / col("total")) * 1e6).cast("long").alias("llmicro"),
+    )
+    return (
+        tf.join(ll, "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            (F.sum(col("c") * col("llmicro")) / F.sum("c") / lit(1e6)).alias("doc_logp"),
+        )
+    )
+
+
+def q125_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-LM quality rollup: mean doc log-prob + count of
+    surprising (low-likelihood) documents."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    scored = unigram_logprob(docs)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("doc_logp"), 4).alias("avg_logprob"),
+            F.round(F.min("doc_logp"), 4).alias("min_logprob"),
+            F.sum((col("doc_logp") < _LL_FLAG).cast("long")).alias("n_surprising"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- vocabulary / Zipf statistics (q126) -----------------------------------
+
+def q126_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: token volume, vocab size,
+    type-token ratio, and the Zipf head (top term + its share). All ratios
+    derive from integer counts (order-independent), ties on the top term
+    break lexicographically.
+
+    Scale: one groupBy(source, term) absorbs the volume with map-side
+    partial aggregation; everything after runs on the tiny per-term table.
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(col("c").desc(), "term")
+    ranked = tf.withColumn("r", F.row_number().over(w))
+    per_src = tf.groupBy("source").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    top = ranked.where(col("r") == 1).select(
+        "source", col("term").alias("top_term"), col("c").alias("top_c")
+    )
+    return (
+        per_src.join(top, "source")
+        .select(
+            "source",
+            "total_tokens",
+            "vocab_size",
+            F.round(col("vocab_size") / col("total_tokens"), 4).alias("type_token_ratio"),
+            "top_term",
+            F.round(col("top_c") / col("total_tokens"), 4).alias("top_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- document length histogram (q127) --------------------------------------
+
+_HIST_WIDTH = 100  # chars per bucket
+_HIST_MAX_BUCKET = 9  # everything >= 900 chars lands in the last bucket
+
+
+def q127_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document length in chars (bucket = 100
+    chars, clamped at bucket 9) — the distribution snapshot a pipeline
+    takes before setting length filters. Map-side bucketing + one tiny
+    aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(col("n_chars") / _HIST_WIDTH), lit(_HIST_MAX_BUCKET)).cast(
+        "long"
+    )
+    return (
+        docs.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
+
+def _pii_redact_sql(expr: str = "text") -> str:
+    out = expr
+    for pat in _PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '', 'g')"
+    return out
+
+
+_PII_HITS_SQL = {
+    name: f"len(regexp_extract_all(text, '{pat}'))"
+    for name, pat in _PII_PATTERNS.items()
+}
+_BLOCKED_SQL = (
+    f"len(list_filter({tokens_sql()}, t -> t IN ("
+    + ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    + ")))"
+)
+
 ORACLES = {
+    "q121_pii_scrub": f"""
+WITH per_doc AS (
+  SELECT source,
+         {_PII_HITS_SQL['email']} AS n_email,
+         {_PII_HITS_SQL['ssn']} AS n_ssn,
+         {_PII_HITS_SQL['phone']} AS n_phone,
+         {_PII_HITS_SQL['ipv4']} AS n_ipv4,
+         len(text) - len({_pii_redact_sql()}) AS pii_chars,
+         {_BLOCKED_SQL} AS n_blocked
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS email_hits,
+       CAST(SUM(n_ssn) AS BIGINT) AS ssn_hits,
+       CAST(SUM(n_phone) AS BIGINT) AS phone_hits,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ipv4_hits,
+       CAST(SUM(pii_chars) AS BIGINT) AS pii_chars,
+       CAST(SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+       CAST(SUM(n_blocked) AS BIGINT) AS blocked_tokens
+FROM per_doc GROUP BY 1 ORDER BY 1
+""",
+    "q125_unigram_logprob": f"""
+WITH tok AS (SELECT doc_id, source, unnest({tokens_sql()}) AS term FROM documents),
+tf AS (SELECT doc_id, source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+vocab AS (SELECT term, COUNT(*) AS tc FROM tok GROUP BY 1),
+total AS (SELECT CAST(SUM(tc) AS DOUBLE) AS total FROM vocab),
+ll AS (SELECT term, CAST(ROUND(ln(tc / total) * 1e6) AS BIGINT) AS llmicro
+       FROM vocab, total),
+doc AS (
+  SELECT doc_id, source, SUM(c) AS n_tok,
+         SUM(c * llmicro) / SUM(c) / 1e6 AS doc_logp
+  FROM tf JOIN ll USING (term) GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(doc_logp), 4) AS avg_logprob,
+       ROUND(MIN(doc_logp), 4) AS min_logprob,
+       CAST(SUM(CASE WHEN doc_logp < {_LL_FLAG} THEN 1 ELSE 0 END) AS BIGINT) AS n_surprising
+FROM doc GROUP BY 1 ORDER BY 1
+""",
+    "q126_vocab_stats": f"""
+WITH tok AS (SELECT source, unnest({tokens_sql()}) AS term FROM documents),
+tf AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+ranked AS (SELECT source, term, c,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, term) AS r
+           FROM tf),
+per_src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS vocab_size
+            FROM tf GROUP BY 1)
+SELECT s.source, s.total_tokens, s.vocab_size,
+       ROUND(s.vocab_size / CAST(s.total_tokens AS DOUBLE), 4) AS type_token_ratio,
+       t.term AS top_term,
+       ROUND(t.c / CAST(s.total_tokens AS DOUBLE), 4) AS top_share
+FROM per_src s JOIN ranked t ON s.source = t.source AND t.r = 1
+ORDER BY s.source
+""",
+    "q127_length_histogram": f"""
+SELECT CAST(LEAST(FLOOR(n_chars / {_HIST_WIDTH}), {_HIST_MAX_BUCKET}) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY 1 ORDER BY 1
+""",
     "q117_doc_chunking": f"""
 WITH tok AS (SELECT doc_id, {tokens_sql()} AS w FROM documents),
 c AS (SELECT doc_id, w, len(w) AS n,
@@ -597,4 +870,8 @@ QUERIES = {
     "q81_corpus_mix": q81_corpus_mix,
     "q82_token_packing": q82_token_packing,
     "q84_repetition_stats": q84_repetition_stats,
+    "q121_pii_scrub": q121_pii_scrub,
+    "q125_unigram_logprob": q125_unigram_logprob,
+    "q126_vocab_stats": q126_vocab_stats,
+    "q127_length_histogram": q127_length_histogram,
 }

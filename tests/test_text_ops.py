@@ -1,0 +1,87 @@
+"""Unit tests for the round-4 text/dedup/similarity additions that the
+oracle gate can't exercise: PII detection fires only on injected payloads
+(the fixture corpus is PII-free by construction), and the BLAS kNN path is
+pinned equal to the fold path row-for-row."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from eventstream_spark.operators.dedup import span_coverage
+from eventstream_spark.operators.similarity import (
+    q51_topk_per_query,
+    q51b_matmul_knn,
+    q123_semantic_dedup,
+)
+from eventstream_spark.operators.text import pii_hits, redact_pii
+
+
+def test_pii_detection_on_injected_payloads(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="contact alice@example.com or bob.smith@mail.co today"),
+            Row(doc_id=2, text="ssn 123-45-6789 phone 555-867-5309 ip 10.0.0.1"),
+            Row(doc_id=3, text="nothing sensitive here at all"),
+        ]
+    )
+    hits = pii_hits("text")
+    row = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[h.alias(name) for name, h in hits.items()]
+        ).collect()
+    }
+    assert row[1]["email"] == 2
+    assert row[1]["ssn"] == row[1]["phone"] == row[1]["ipv4"] == 0
+    assert row[2]["ssn"] == 1
+    assert row[2]["phone"] == 1
+    assert row[2]["ipv4"] == 1
+    assert all(row[3][k] == 0 for k in ("email", "ssn", "phone", "ipv4"))
+
+
+def test_pii_redaction_removes_matches(spark):
+    df = spark.createDataFrame(
+        [Row(text="mail a@b.io, ssn 123-45-6789, ip 192.168.0.1 end")]
+    )
+    out = df.select(redact_pii("text").alias("clean")).first().clean
+    assert "a@b.io" not in out
+    assert "123-45-6789" not in out
+    assert "192.168.0.1" not in out
+    assert out.startswith("mail ") and out.endswith(" end")
+
+
+def test_matmul_knn_equals_fold_knn(spark, sf_dir):
+    """The BLAS physical plan returns exactly the fold plan's rows."""
+    fold = q51_topk_per_query(spark, sf_dir).collect()
+    blas = q51b_matmul_knn(spark, sf_dir).collect()
+    assert fold == blas
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    rows = q123_semantic_dedup(spark, sf_dir).collect()
+    assert rows, "no cells produced"
+    from eventstream_spark.catalog import load
+
+    n_total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r.n_dups < r.n_members
+        assert 0.0 < r.keep_rate <= 1.0
+
+
+def test_span_coverage_counts_positions(spark):
+    """Two docs sharing one 5-gram: the shared span's positions count as
+    duplicated in BOTH docs; unique spans do not."""
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s", text=shared + " zeta eta"),
+            Row(doc_id=2, source="s", text="one two three " + shared),
+        ]
+    )
+    got = {r.doc_id: r for r in span_coverage(df).collect()}
+    # doc 1: 3 span positions, positions starting at token 1 only is shared
+    assert got[1].n_spans == 3 and got[1].dup_spans == 1
+    # doc 2: 8 tokens -> 4 span positions, the final one is the shared span
+    assert got[2].n_spans == 4 and got[2].dup_spans == 1
