@@ -495,6 +495,47 @@ def q54_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(emb, centroids)
 
 
+def kmeans_iterate(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int,
+) -> list[tuple[int, list[float]]]:
+    """Driver-coordinated Lloyd iterations: each round runs ``kmeans_step``
+    (one shuffle), collects the new centroid table (n_cells × dim doubles —
+    driver-trivial, same bound as the seed fetch), and re-literalizes it for
+    the next map-side assignment. Centroid components are rounded to 4
+    decimals INSIDE kmeans_step, so the handoff values are reproducible
+    across engines and partitionings — the property that lets an iterative
+    algorithm carry an exact differential oracle. Cells that lose all
+    members drop out (standard Lloyd behavior)."""
+    for _ in range(iters):
+        rows = kmeans_step(emb, centroids).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r.cell), {})[int(r.i)] = float(r.mean_x)
+        centroids = [
+            (cell, [dims[i] for i in sorted(dims)])
+            for cell, dims in sorted(by_cell.items())
+        ]
+    return centroids
+
+
+def q54b_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Lloyd rounds (q54 is one): seeds → assign+mean → re-literalize →
+    assign+mean again. The unrolled-CTE oracle mirrors both rounds; the
+    rounded centroid handoff keeps every float either engine sees
+    bit-identical."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+    return kmeans_step(emb, kmeans_iterate(emb, centroids, iters=1))
+
+
 # --- semantic dedup (SemDeDup) ---------------------------------------------
 
 _SEM_T = 0.4  # same cosine regime as q44's near-dup threshold
@@ -830,6 +871,32 @@ SELECT source, COUNT(*) AS n, ROUND(AVG(nrm), 4) AS avg_norm,
 FROM documents d JOIN n ON d.doc_id = n.vec_id
 GROUP BY 1 ORDER BY 1
 """,
+    # Two unrolled Lloyd rounds; the rounded means of round 1 are the exact
+    # centroid values round 2 assigns against in both engines.
+    "q54b_kmeans_iter2": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c0.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq_l2_sql('e.v', 'c0.cv')}, c0.cell) AS rn
+    FROM e, c0) t WHERE rn = 1),
+c1 AS (
+  SELECT cell, i, ROUND(AVG(v[i]), 4) AS mean_x
+  FROM a1, UNNEST(range(1, {_DIM + 1})) AS t(i)
+  GROUP BY cell, i),
+c1v AS (SELECT cell, list(mean_x ORDER BY i) AS cv FROM c1 GROUP BY cell),
+a2 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c1v.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq_l2_sql('e.v', 'c1v.cv')}, c1v.cell) AS rn
+    FROM e, c1v) t WHERE rn = 1)
+SELECT cell, i, COUNT(*) AS n_members, ROUND(AVG(v[i]), 4) AS mean_x
+FROM a2, UNNEST(range(1, {_DIM + 1})) AS t(i)
+GROUP BY cell, i ORDER BY cell, i
+""",
     "q54_kmeans_step": f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
 c AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}),
@@ -852,6 +919,7 @@ QUERIES = {
     "q114_lsh_multiprobe": q114_lsh_multiprobe,
     "q53_ivf_ann": q53_ivf_ann,
     "q54_kmeans_step": q54_kmeans_step,
+    "q54b_kmeans_iter2": q54b_kmeans_iter2,
     "q85_pq_ann": q85_pq_ann,
     "q59_label_centroids": q59_label_centroids,
     "q69_doc_vec_join": q69_doc_vec_join,

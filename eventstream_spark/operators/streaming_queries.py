@@ -72,6 +72,58 @@ def _run_to_table(agg: DataFrame, spark: SparkSession, mode: str = "complete") -
     return spark.table(name)
 
 
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file stream (same symlink-landing-zone trick
+    as the events stream)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"es_docstream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return file_stream(spark, d, schema)
+
+
+def q128_stream_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning front door as a REAL streaming pipeline:
+    documents land as files, each micro-batch scores quality (q31's exact
+    expression) and flags blocklist tokens map-side, and only clean docs
+    reach the per-source rollup. This is how a training-data pipeline
+    ingests a crawl at 100 TB — filter-at-ingest so the lake only stores
+    survivors; all per-doc work is stateless (no watermark needed), the
+    only stateful op is the final aggregation. Complete mode over the
+    drained source equals the batch computation, so the duckdb oracle of
+    the batch twin applies verbatim."""
+    from .text import _BLOCKLIST, quality_score
+    from ..functions import tokens
+
+    docs = _documents_stream(spark, sf_dir)
+    nb = F.size(F.filter(tokens("text"), lambda t: t.isin(*_BLOCKLIST)))
+    scored = docs.select(
+        "source", "n_chars", quality_score().alias("q"), nb.alias("nb")
+    )
+    kept = scored.where((col("q") >= 0.5) & (col("nb") == 0))
+    agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+    out = _run_to_table(agg, spark)
+    return out.orderBy("source")
+
+
 def q90_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q21's tumbling-window aggregation as a genuine streaming query."""
     ev = _events_stream(spark, sf_dir)
@@ -248,9 +300,30 @@ def q115b_stream_redis_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _redis_hourly(spark, sf_dir, n_shards=4)
 
 
+def _scrub_oracle_sql() -> str:
+    from ..functions import tokens_sql
+    from .text import _BLOCKLIST, quality_score_sql
+
+    blocked = (
+        f"len(list_filter(w, t -> t IN ("
+        + ", ".join(f"'{b}'" for b in _BLOCKLIST)
+        + ")))"
+    )
+    return f"""
+WITH tok AS (SELECT source, n_chars, text, {tokens_sql()} AS w FROM documents),
+scored AS (SELECT source, n_chars, {quality_score_sql()} AS q, {blocked} AS nb
+           FROM tok)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       ROUND(AVG(q), 4) AS avg_quality
+FROM scored WHERE q >= 0.5 AND nb = 0 GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLES = {
     # Identical to the batch twins: the streaming run must land on the same
     # answer the oracle computes from the table at rest.
+    "q128_stream_scrub": _scrub_oracle_sql(),
     "q115_stream_redis": """
 SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
        ROUND(SUM(value), 2) AS sum_value
@@ -302,4 +375,5 @@ QUERIES = {
     "q105_stream_session": q105_stream_session,
     "q115_stream_redis": q115_stream_redis,
     "q115b_stream_redis_sharded": q115b_stream_redis_sharded,
+    "q128_stream_scrub": q128_stream_scrub,
 }
