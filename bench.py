@@ -78,6 +78,13 @@ HEADLINE = [
     "q101_vector_hof_stats",
     "q102_unpivot",
     "q103_boilerplate_scrub",
+    # round 4: corpus-pipeline additions
+    "q121_pii_scrub",
+    "q122_span_coverage",
+    "q123_semantic_dedup",
+    "q125_unigram_logprob",
+    "q126_vocab_stats",
+    "q51b_matmul_knn",
 ]
 
 

@@ -374,7 +374,106 @@ def q119_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_COLS = ("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q129_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the Deequ/expectations pattern): one pass over
+    the table computes per-column null counts, distinct counts, and a
+    uniqueness verdict, emitted in long form — the pre-ingest validation
+    report every pipeline runs before trusting a new drop.
+
+    Scale: ONE aggregation over the scan (multi-distinct plans as Expand +
+    partial aggregation — still a single shuffle family); the long-form
+    explode happens on the single result row."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.isnull(c).cast("long")).alias(f"nn_{c}") for c in _QUALITY_COLS],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in _QUALITY_COLS],
+    )
+    metrics = F.array(
+        *[
+            F.struct(
+                lit(c).alias("col_name"),
+                col(f"nn_{c}").alias("n_nulls"),
+                col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in _QUALITY_COLS
+        ]
+    )
+    return (
+        agg.select(col("n").alias("n_rows"), F.explode(metrics).alias("m"))
+        .select(
+            "m.col_name",
+            "n_rows",
+            "m.n_nulls",
+            "m.n_distinct",
+            (col("m.n_distinct") == col("n_rows")).cast("long").alias("is_unique"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def q130_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging per event type: group stats (mean,
+    population stddev — ROUNDED to 6 decimals so both engines flag against
+    bit-identical thresholds), then count events beyond 3 sigma. Two
+    passes over events: the stats aggregate, then a broadcast join back —
+    the standard two-pass anomaly scan (stats are per-GROUP scalars and
+    always broadcastable)."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sd"),
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.abs(col("value") - col("mu")) / col("sd") > 3).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return (
+        stats.join(flagged, "event_type")
+        .select("event_type", "n_events", "mu", "sd", "n_outliers")
+        .orderBy("event_type")
+    )
+
+
+def _quality_report_sql() -> str:
+    m = ["COUNT(*) AS n"]
+    for c in _QUALITY_COLS:
+        m.append(f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c}")
+        m.append(f"COUNT(DISTINCT {c}) AS nd_{c}")
+    parts = [
+        f"""SELECT '{c}' AS col_name, n AS n_rows, CAST(nn_{c} AS BIGINT) AS n_nulls,
+       nd_{c} AS n_distinct,
+       CAST(CASE WHEN nd_{c} = n THEN 1 ELSE 0 END AS BIGINT) AS is_unique FROM m"""
+        for c in _QUALITY_COLS
+    ]
+    return (
+        "WITH m AS (SELECT " + ", ".join(m) + " FROM orders)\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY col_name"
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q129_quality_report": _quality_report_sql(),
+    "q130_value_outliers": """
+WITH s AS (SELECT event_type, ROUND(AVG(value), 6) AS mu,
+                  ROUND(stddev_pop(value), 6) AS sd
+           FROM events GROUP BY 1),
+f AS (SELECT e.event_type, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN ABS(value - mu) / sd > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM events e JOIN s USING (event_type) GROUP BY 1)
+SELECT s.event_type, f.n_events, s.mu, s.sd, f.n_outliers
+FROM s JOIN f USING (event_type) ORDER BY 1
+""",
     "q119_cohort_retention": """
 WITH f AS (
   SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
@@ -532,6 +631,8 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 }
 
 QUERIES = {
+    "q129_quality_report": q129_quality_report,
+    "q130_value_outliers": q130_value_outliers,
     "q62_exists_subquery": q62_exists_subquery,
     "q63_not_exists_anti": q63_not_exists_anti,
     "q64_range_frame": q64_range_frame,

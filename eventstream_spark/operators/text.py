@@ -643,7 +643,149 @@ def q127_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distributed BPE vocabulary learning (q131) ----------------------------
+# Tokenizer TRAINING, not just application (q34 applies a pre-tokenizer):
+# the classic byte-pair-encoding loop (Sennrich et al., ACL'16) — count
+# adjacent symbol pairs over the word-frequency table, merge the most
+# frequent pair everywhere, repeat. Each round is two shuffles (pair count;
+# word rebuild); the argmax pair is a driver scalar (like the k-means
+# centroid handoff). Greedy left-to-right merge semantics are expressed
+# POSITIONALLY (qualifying position runs + odd-rank parity), which is the
+# formulation both engines can evaluate identically: when pa != pb
+# qualifying positions are never adjacent and every one merges; when
+# pa == pb a run of k overlapping candidates merges at ranks 1,3,5,… —
+# exactly the left-to-right scan.
+
+_BPE_LEARN_ITERS = 2
+
+
+def _bpe_words(docs: DataFrame) -> DataFrame:
+    """(word, freq, syms): corpus word frequencies with char-split symbols."""
+    w = docs.select(F.explode(tokens("text")).alias("word")).groupBy("word").agg(
+        F.count("*").alias("freq")
+    )
+    syms = F.filter(F.split(col("word"), ""), lambda x: x != "")
+    return w.withColumn("syms", syms)
+
+
+def _bpe_pair_freqs(words: DataFrame) -> DataFrame:
+    """(pair, pf): adjacent-symbol pair frequencies weighted by word freq."""
+    n = F.size(col("syms"))
+    pairs = F.zip_with(
+        F.slice(col("syms"), F.lit(1), n - 1),
+        F.slice(col("syms"), F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pf"))
+    )
+
+
+def _bpe_merge(words: DataFrame, pa: str, pb: str, merged: str) -> DataFrame:
+    """Apply one merge greedily left-to-right in every word (positional
+    parity form; see module comment)."""
+    wj = Window.partitionBy("word").orderBy("j")
+    pos = words.select(
+        "word", "freq", F.posexplode("syms").alias("j", "sym")
+    ).withColumn("nxt", F.lead("sym").over(wj))
+    qual = pos.where((col("sym") == pa) & (col("nxt") == pb)).select(
+        "word", "j", (col("j") - F.row_number().over(wj)).alias("run")
+    )
+    keep = qual.select(
+        "word",
+        "j",
+        F.row_number().over(Window.partitionBy("word", "run").orderBy("j")).alias("rr"),
+    ).where(col("rr") % 2 == 1)
+    marked = (
+        pos.join(keep.select("word", "j", lit(1).alias("m")), ["word", "j"], "left")
+        .withColumn("pm", F.lag("m").over(wj))
+        .where(col("pm").isNull())
+        .select(
+            "word",
+            "freq",
+            "j",
+            F.when(col("m") == 1, lit(merged)).otherwise(col("sym")).alias("sym_out"),
+        )
+    )
+    return marked.groupBy("word", "freq").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(col("j"), col("sym_out")))),
+            lambda s: s["sym_out"],
+        ).alias("syms")
+    )
+
+
+def bpe_learn(docs: DataFrame, iters: int = _BPE_LEARN_ITERS) -> list[tuple[int, str, str, int]]:
+    """Learn ``iters`` BPE merges; returns [(iteration, pair, merged, pair_freq)]."""
+    words = _bpe_words(docs)
+    learned: list[tuple[int, str, str, int]] = []
+    for it in range(1, iters + 1):
+        best = (
+            _bpe_pair_freqs(words)
+            .orderBy(col("pf").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pa, pb = best.pair.split(" ")
+        merged = pa + pb
+        learned.append((it, best.pair, merged, int(best.pf)))
+        if it < iters:
+            words = _bpe_merge(words, pa, pb, merged)
+    return learned
+
+
+def q131_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two learned BPE merges over the corpus (tokenizer training)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    rows = bpe_learn(docs)
+    return spark.createDataFrame(
+        rows, schema="it long, pair string, merged string, pair_freq long"
+    ).orderBy("it")
+
+
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
+
+_BPE_SYMS_SQL = "list_filter(regexp_split_to_array(word, ''), x -> x <> '')"
+
+
+def _bpe_learn_sql() -> str:
+    """Unrolled two-round BPE mirror: pair count -> argmax -> greedy
+    positional merge -> pair count -> argmax."""
+    return f"""
+WITH tok AS (SELECT unnest({tokens_sql()}) AS word FROM documents),
+w0 AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1),
+s0 AS (SELECT word, freq, {_BPE_SYMS_SQL} AS syms FROM w0),
+p1 AS (SELECT syms[i] || ' ' || syms[i + 1] AS pair, SUM(freq) AS pf
+       FROM s0, UNNEST(range(1, len(syms))) t(i) GROUP BY 1),
+b1 AS (SELECT pair, pf FROM p1 ORDER BY pf DESC, pair LIMIT 1),
+pos1 AS (SELECT word, freq, i, syms[i] AS sym, syms[i + 1] AS nxt
+         FROM s0, UNNEST(range(1, len(syms) + 1)) t(i)),
+q1 AS (SELECT pos1.word, pos1.i,
+              i - ROW_NUMBER() OVER (PARTITION BY pos1.word ORDER BY i) AS run
+       FROM pos1, b1
+       WHERE sym = split_part(b1.pair, ' ', 1) AND nxt = split_part(b1.pair, ' ', 2)),
+keep1 AS (SELECT word, i FROM (
+            SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, run ORDER BY i) AS rr
+            FROM q1) WHERE rr % 2 = 1),
+m1 AS (SELECT p.word, p.freq, p.i,
+              CASE WHEN k.i IS NOT NULL THEN replace(b1.pair, ' ', '') ELSE p.sym END AS sym_out
+       FROM pos1 p CROSS JOIN b1
+       LEFT JOIN keep1 k ON p.word = k.word AND p.i = k.i
+       LEFT JOIN keep1 kp ON p.word = kp.word AND p.i = kp.i + 1
+       WHERE kp.i IS NULL),
+s1 AS (SELECT word, freq, list(sym_out ORDER BY i) AS syms FROM m1 GROUP BY word, freq),
+p2 AS (SELECT syms[i] || ' ' || syms[i + 1] AS pair, SUM(freq) AS pf
+       FROM s1, UNNEST(range(1, len(syms))) t(i) GROUP BY 1),
+b2 AS (SELECT pair, pf FROM p2 ORDER BY pf DESC, pair LIMIT 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS it, pair, replace(pair, ' ', '') AS merged,
+         CAST(pf AS BIGINT) AS pair_freq FROM b1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), CAST(pf AS BIGINT) FROM b2)
+ORDER BY it
+"""
 
 
 def _pii_redact_sql(expr: str = "text") -> str:
@@ -664,6 +806,7 @@ _BLOCKED_SQL = (
 )
 
 ORACLES = {
+    "q131_bpe_learn": _bpe_learn_sql(),
     "q121_pii_scrub": f"""
 WITH per_doc AS (
   SELECT source,
@@ -874,4 +1017,5 @@ QUERIES = {
     "q125_unigram_logprob": q125_unigram_logprob,
     "q126_vocab_stats": q126_vocab_stats,
     "q127_length_histogram": q127_length_histogram,
+    "q131_bpe_learn": q131_bpe_learn,
 }

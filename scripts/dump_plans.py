@@ -32,6 +32,10 @@ PICKS = {
     "q94_local_supplier_volume": "Q5 shape: every dimension hop broadcast; one fact-fact shuffle, one agg shuffle",
     "q99_waiting_suppliers": "Q21 shape: EXISTS/NOT-EXISTS fused into one grouped pass; order set applies as LeftSemi",
     "q102_unpivot": "unpivot is a zero-shuffle Expand; the only exchange is the final groupBy",
+    "q121_pii_scrub": "PII/blocklist scrub: pure per-row regex + token filters, one rollup exchange — no joins, no windows",
+    "q122_span_coverage": "span coverage: two aggregations + one equi-join on the span key, all hash-partitioned text keys",
+    "q123_semantic_dedup": "SemDeDup: map-side centroid assignment, pairwise check shuffles once on the cell key",
+    "q51b_matmul_knn": "BLAS kNN: MapInPandas (Arrow) scoring, per-partition top-k, tiny global re-rank window",
 }
 
 

@@ -102,6 +102,16 @@ SCALE_QUERIES = [
     # packing (two-level windows must parallelize the dominant strata)
     "q82_token_packing",
     "q89_training_pipeline",
+    # round 4: corpus-pipeline additions. q123 (SemDeDup) is deliberately
+    # absent: with a FIXED cell count, within-cell candidate pairs grow
+    # quadratically at 100x by pigeonhole — the knob is cluster count
+    # (grow K with N), the same argument measured for q44 vs q44b; see
+    # SCALING.md.
+    "q121_pii_scrub",
+    "q122_span_coverage",
+    "q125_unigram_logprob",
+    "q126_vocab_stats",
+    "q51b_matmul_knn",
 ]
 
 

@@ -266,3 +266,54 @@ def test_ivf_seeding_needs_no_dense_ids(spark, sf_dir):
     ]
     want = [(r.q_id, r.neighbor_id, r.rank, r.dist) for r in base.collect()]
     assert got == want
+
+
+def test_q121_scrub_is_map_side(spark, sf_dir):
+    """PII/blocklist scrub is pure per-row column work + one rollup: no
+    joins, no windows — the embarrassingly-parallel shape that scales by
+    adding executors."""
+    from eventstream_spark.operators import text as T
+
+    plan = _plan(T.q121_pii_scrub(spark, sf_dir))
+    for op in ("Join", "Window"):
+        assert op not in plan, op
+
+
+def test_q127_histogram_is_map_side(spark, sf_dir):
+    from eventstream_spark.operators import text as T
+
+    plan = _plan(T.q127_length_histogram(spark, sf_dir))
+    for op in ("Join", "Window"):
+        assert op not in plan, op
+
+
+def test_q122_span_join_is_never_nested_loop(spark, sf_dir):
+    """The span-frequency join-back must be an equi-join on the span key
+    (hash or sort-merge) — a nested-loop here would compare every position
+    against every span."""
+    from eventstream_spark.operators import dedup as D
+
+    plan = _plan(D.q122_span_coverage(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q123_semantic_dedup_joins_on_cell(spark, sf_dir):
+    """SemDeDup's pairwise check must shuffle on the cell key, never plan a
+    nested loop; assignment is map-side (centroid literals), so the only
+    scan of embeddings feeds the persisted assignment table."""
+    from eventstream_spark.operators import similarity as S
+
+    plan = _plan(S.q123_semantic_dedup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q51b_uses_arrow_python_path(spark, sf_dir):
+    """The BLAS kNN runs its scoring inside mapInPandas (Arrow batches),
+    not a row-at-a-time PythonUDF."""
+    from eventstream_spark.operators import similarity as S
+
+    plan = _plan(S.q51b_matmul_knn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # the pickled row-at-a-time path

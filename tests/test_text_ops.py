@@ -85,3 +85,35 @@ def test_span_coverage_counts_positions(spark):
     assert got[1].n_spans == 3 and got[1].dup_spans == 1
     # doc 2: 8 tokens -> 4 span positions, the final one is the shared span
     assert got[2].n_spans == 4 and got[2].dup_spans == 1
+
+
+def test_bpe_merge_greedy_overlap(spark):
+    """The positional-parity merge must reproduce the left-to-right BPE
+    scan on overlapping candidates: 'aaaa' -> [aa, aa], 'aaa' -> [aa, a]."""
+    from pyspark.sql import functions as F
+
+    from eventstream_spark.operators.text import _bpe_merge
+
+    words = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 2), ("baaab", 3), ("ab", 4)], "word string, freq long"
+    ).withColumn("syms", F.filter(F.split("word", ""), lambda x: x != ""))
+    out = {r.word: r.syms for r in _bpe_merge(words, "a", "a", "aa").collect()}
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["baaab"] == ["b", "aa", "a", "b"]
+    assert out["ab"] == ["a", "b"]
+
+
+def test_bpe_learn_two_rounds(spark):
+    """Round 2 counts pairs over the MERGED corpus: with 'abab' dominating,
+    round 1 learns (a,b) and round 2 learns (ab,ab)."""
+    from pyspark.sql import Row
+
+    from eventstream_spark.operators.text import bpe_learn
+
+    docs = spark.createDataFrame(
+        [Row(text="abab abab abab xy"), Row(text="abab xy")]
+    )
+    learned = bpe_learn(docs)
+    assert learned[0][1:3] == ("a b", "ab")
+    assert learned[1][1:3] == ("ab ab", "abab")
