@@ -167,7 +167,7 @@ def q52_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann(load(spark, sf_dir, "embeddings"), k=3)
 
 
-def lsh_multiprobe_ann(emb: DataFrame, k: int = 3) -> DataFrame:
+def lsh_multiprobe_ann(emb: DataFrame, k: int = 3, n_planes: int | None = None) -> DataFrame:
     """Multi-probe hyperplane LSH (Lv et al., VLDB'07): each query vector
     probes its own bucket PLUS the bucket with its lowest-|margin| sign bit
     flipped — the most likely neighbor-holding bucket — roughly doubling
@@ -176,8 +176,12 @@ def lsh_multiprobe_ann(emb: DataFrame, k: int = 3) -> DataFrame:
     Scale: the corpus is still stored/bucketed ONCE; only the probe side
     expands ×2 map-side (explode), and the join stays an equi-shuffle on
     the bucket key. A corpus vector owns one bucket, so the two probes can
-    never both match it — no duplicate candidates, no DISTINCT."""
-    planes = plane_weights()
+    never both match it — no duplicate candidates, no DISTINCT.
+
+    ``n_planes`` is the same bucket-occupancy knob as q44/q44b: bits must
+    grow with log2(N) for constant per-bucket pair counts; the default 6 is
+    the small-corpus oracle-parity form, q114b pins the grown-bits form."""
+    planes = plane_weights(n_planes) if n_planes is not None else plane_weights()
     n = len(planes)
     e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
     pmat = matrix_literal(planes)
@@ -225,6 +229,20 @@ def lsh_multiprobe_ann(emb: DataFrame, k: int = 3) -> DataFrame:
 
 def q114_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_multiprobe_ann(load(spark, sf_dir, "embeddings"), k=3)
+
+
+_GROWN_PLANES = 12  # 4096 buckets — the 100x-corpus occupancy (same as q44b)
+
+
+def q114b_multiprobe_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q114's plan at 12 planes (4096 buckets): the grown-bits form a 100x
+    corpus runs — bucket occupancy, hence per-query candidate count, stays
+    constant when bits grow with log2(N). This is the variant the 100x
+    scale smoke measures (the 6-plane form is quadratic by pigeonhole at
+    fixed bucket count, like q44 vs q44b)."""
+    return lsh_multiprobe_ann(
+        load(spark, sf_dir, "embeddings"), k=3, n_planes=_GROWN_PLANES
+    )
 
 
 # --- IVF ANN ---------------------------------------------------------------
@@ -679,13 +697,13 @@ def lsh_bucket_bits_sql(vec_expr: str = "v", n_planes: int = _N_PLANES) -> str:
     )
 
 
-def _lsh_multiprobe_sql(k: int = 3) -> str:
+def _lsh_multiprobe_sql(k: int = 3, n_planes: int | None = None) -> str:
     """q114 mirror: same plane projections spelled per-column so the flip
     bit (argmin |margin|, first index on ties) matches the Spark
     struct-array_min rule exactly."""
-    planes = plane_weights()
+    planes = plane_weights(n_planes) if n_planes is not None else plane_weights()
     n = len(planes)
-    bits = lsh_bucket_bits_sql("v")
+    bits = lsh_bucket_bits_sql("v", n)
     d_cols = ",\n       ".join(
         f"{dot_sql('v', _plane_sql_literal(w))} AS d{j}" for j, w in enumerate(planes)
     )
@@ -806,6 +824,7 @@ FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """,
     "q52_lsh_ann": _lsh_sql(),
     "q114_lsh_multiprobe": _lsh_multiprobe_sql(),
+    "q114b_multiprobe_scaled": _lsh_multiprobe_sql(n_planes=_GROWN_PLANES),
     # IVF mirror: assignment/probing argmins use ROW_NUMBER ordered by
     # (dist, cell) — the same (d, c) lexicographic order as Spark's
     # array_min/array_sort over structs.
@@ -917,6 +936,7 @@ QUERIES = {
     "q51_topk_per_query": q51_topk_per_query,
     "q52_lsh_ann": q52_lsh_ann,
     "q114_lsh_multiprobe": q114_lsh_multiprobe,
+    "q114b_multiprobe_scaled": q114b_multiprobe_scaled,
     "q53_ivf_ann": q53_ivf_ann,
     "q54_kmeans_step": q54_kmeans_step,
     "q54b_kmeans_iter2": q54b_kmeans_iter2,

@@ -93,10 +93,16 @@ SCALE_QUERIES = [
     # dedup/ANN family (documents/embeddings scale with disjoint replicas)
     "q41_ngram_jaccard",
     "q42_minhash_lsh",
-    "q44_embedding_neardup",
+    # q44 (6-plane LSH) is deliberately absent: at a FIXED 64 buckets the
+    # within-bucket pair count grows quadratically at 100x by pigeonhole —
+    # measured >1 h wall on local[32], which is the documented reason the
+    # grown-bits form exists. q44b (12 planes = 4096 buckets) is the form
+    # a 100x corpus actually runs, and is what the smoke measures.
     "q44b_embedding_neardup_scaled",
     "q55_dedup_clusters",
-    "q114_lsh_multiprobe",
+    # q114 (6-plane multi-probe) excluded for the same pigeonhole reason
+    # as q44; q114b is the grown-bits (12-plane) form the smoke measures.
+    "q114b_multiprobe_scaled",
     "q116_contamination",
     "q120_incremental_dedup",
     # packing (two-level windows must parallelize the dominant strata)
