@@ -777,25 +777,30 @@ def span_coverage(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
     Training Data Makes Language Models Better", ACL'22): a position is
     duplicated if its n-token span also occurs in ANY other document.
 
-    Scale (100 TB): spans explode map-side; the only shuffles are the
-    groupBy((doc, span)) count, the groupBy(span) document-frequency
-    aggregate, and one equi-join back on the span key — all on
-    well-distributed text keys, with map-side partial aggregation
-    absorbing within-partition repeats. No suffix array needed for the
-    flagging/statistics form; a full substring-removal pass would seed
-    from exactly these positions.
+    Scale (100 TB): spans explode map-side; TWO shuffles total — the
+    groupBy(span) document-frequency aggregate (fed by per-doc DISTINCT
+    spans, which is an array_distinct computed map-side, so each doc
+    contributes each span once without a (doc, span) pre-aggregation
+    shuffle) and the positional-occurrences ⋈ frequency equi-join feeding
+    the per-doc rollup — all on well-distributed text keys. No suffix
+    array needed for the flagging/statistics form; a full
+    substring-removal pass would seed from exactly these positions.
 
     Returns (doc_id, source, n_spans, dup_spans) for docs with >= 1 span.
     """
-    spans = docs.select("doc_id", "source", F.explode(span_positions("text", n)).alias("s"))
-    per = spans.groupBy("doc_id", "source", "s").agg(F.count("*").alias("c"))
-    freq = per.groupBy("s").agg(F.count("*").alias("nd"))
+    pos = span_positions("text", n)
+    spans = docs.select("doc_id", "source", F.explode(pos).alias("s"))
+    freq = (
+        docs.select(F.explode(F.array_distinct(pos)).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("nd"))
+    )
     return (
-        per.join(freq, "s")
+        spans.join(freq, "s")
         .groupBy("doc_id", "source")
         .agg(
-            F.sum("c").alias("n_spans"),
-            F.sum(F.when(col("nd") >= 2, col("c")).otherwise(0)).alias("dup_spans"),
+            F.count("*").alias("n_spans"),
+            F.sum((col("nd") >= 2).cast("long")).alias("dup_spans"),
         )
     )
 
@@ -829,12 +834,11 @@ _SPANS_SQL = (
 ORACLES = {
     "q122_span_coverage": f"""
 WITH spans AS ({_SPANS_SQL}),
-per AS (SELECT doc_id, source, s, COUNT(*) AS c FROM spans GROUP BY 1, 2, 3),
-freq AS (SELECT s, COUNT(*) AS nd FROM per GROUP BY 1),
+freq AS (SELECT s, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, s FROM spans) GROUP BY 1),
 doc AS (
-  SELECT doc_id, source, SUM(c) AS n_spans,
-         SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS dup_spans
-  FROM per JOIN freq USING (s) GROUP BY 1, 2)
+  SELECT doc_id, source, COUNT(*) AS n_spans,
+         SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM spans JOIN freq USING (s) GROUP BY 1, 2)
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_spans) AS BIGINT) AS total_spans,
        CAST(SUM(dup_spans) AS BIGINT) AS dup_spans,

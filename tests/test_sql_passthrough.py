@@ -39,6 +39,9 @@ PORTABLE = [
     "q63_not_exists_anti",
     "q65_first_last_value",
     "q67_conditional_agg",
+    "q127_length_histogram",
+    "q129_quality_report",
+    "q130_value_outliers",
 ]
 
 
