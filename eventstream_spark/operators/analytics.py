@@ -444,6 +444,57 @@ def q130_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_MIN_COOC = 3  # co-occurrences required before two users share an edge
+
+
+def q133_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the event log: build the user co-occurrence
+    graph (an edge when two users act in the same (event_type, hour)
+    window at least ``_TRI_MIN_COOC`` times) and count triangles — the
+    clustering-structure primitive behind community/cohesion metrics.
+
+    Scale: co-occurrence pairs block on the (event_type, hour) key — the
+    standard blocking join, never all-pairs over users; the triangle pass
+    is the canonical edge-edge equi-join on the shared vertex, with edges
+    oriented u < v so each triangle counts exactly once (u < v < w). At
+    real scale the refinement is degree-ordered orientation (point edges
+    from low- to high-degree vertices) to bound the join fan-out on hub
+    vertices; the fixture graph is hub-free so the id orientation is the
+    same plan."""
+    from ..cache import persist_tracked
+
+    ev = load(spark, sf_dir, "events")
+    occ = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", col("ts")).alias("h")
+    ).distinct()
+    a = occ.alias("a")
+    b = occ.alias("b")
+    edges = persist_tracked(
+        a.join(
+            b,
+            (col("a.event_type") == col("b.event_type"))
+            & (col("a.h") == col("b.h"))
+            & (col("a.user_id") < col("b.user_id")),
+        )
+        .groupBy(col("a.user_id").alias("u"), col("b.user_id").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .where(col("c") >= _TRI_MIN_COOC)
+        .select("u", "v")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = e1.join(e2, col("e1.v") == col("e2.u")).join(
+        e3, (col("e3.u") == col("e1.u")) & (col("e3.v") == col("e2.v"))
+    )
+    verts = edges.select(col("u").alias("x")).union(edges.select("v")).distinct()
+    return (
+        verts.agg(F.count("*").alias("n_vertices"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )
+
+
 def _quality_report_sql() -> str:
     m = ["COUNT(*) AS n"]
     for c in _QUALITY_COLS:
@@ -464,6 +515,18 @@ def _quality_report_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "q129_quality_report": _quality_report_sql(),
+    "q133_triangle_count": f"""
+WITH occ AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+e AS (SELECT a.user_id AS u, b.user_id AS v FROM occ a JOIN occ b
+      ON a.event_type = b.event_type AND a.h = b.h AND a.user_id < b.user_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_COOC}),
+verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+tri AS (SELECT COUNT(*) AS n FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT (SELECT COUNT(*) FROM verts) AS n_vertices,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT n FROM tri) AS n_triangles
+""",
     "q130_value_outliers": """
 WITH s AS (SELECT event_type, ROUND(AVG(value), 6) AS mu,
                   ROUND(stddev_pop(value), 6) AS sd
@@ -633,6 +696,7 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES = {
     "q129_quality_report": q129_quality_report,
     "q130_value_outliers": q130_value_outliers,
+    "q133_triangle_count": q133_triangle_count,
     "q62_exists_subquery": q62_exists_subquery,
     "q63_not_exists_anti": q63_not_exists_anti,
     "q64_range_frame": q64_range_frame,

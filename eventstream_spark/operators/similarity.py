@@ -56,6 +56,21 @@ def plane_weights(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float
     ]
 
 
+def auto_planes(n_rows: int, target_occupancy: int = 8) -> int:
+    """The bits-grow-with-log2(N) rule as code: the plane count that holds
+    expected bucket occupancy at ``target_occupancy`` vectors — the knob a
+    100 TB deployment sets from the corpus count at plan build. Measured
+    consequence of NOT growing bits: the fixed-6-plane forms (q44/q114)
+    run >1 h at 100× on local[32] while the grown-bits twins finish in
+    seconds (SCALING.md, SCALE_SMOKE.json). Clamped to [1, 48] (the
+    bucket key is a 64-bit long; 48 planes ≫ any realistic corpus)."""
+    import math
+
+    if n_rows <= target_occupancy:
+        return 1
+    return min(48, max(1, math.ceil(math.log2(n_rows / target_occupancy))))
+
+
 def _plane_sql_literal(w: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in w) + "]"
 

@@ -124,6 +124,60 @@ def q128_stream_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("source")
 
 
+def q132_stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index ingest as a streaming pipeline: embeddings land as
+    files, each micro-batch computes the hyperplane-LSH bucket signature
+    MAP-SIDE (plane literals — the same stateless expression q52's batch
+    index build uses), and the running per-bucket occupancy histogram is
+    the only stateful op. This is how an ANN index absorbs a 100 TB
+    corpus: bucketing is embarrassingly parallel at ingest, so index
+    build cost rides the write path instead of a later global job.
+    Complete mode over the drained source ≡ the batch computation."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions import as_double_array, dot, matrix_literal
+    from .similarity import plane_weights
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"es_vecstream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = file_stream(spark, d, schema)
+
+    planes = plane_weights()
+    v = as_double_array(col("embedding"))
+    pmat = matrix_literal(planes)
+    powers = F.array(*[F.lit(1 << j) for j in range(len(planes))])
+    projections = F.transform(pmat, lambda w: dot(v, w))
+    bucket = F.aggregate(
+        F.zip_with(projections, powers, lambda x, p: F.when(x >= 0, p).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    agg = emb.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_vectors")
+    )
+    out = _run_to_table(agg, spark)
+    return out.orderBy("bucket")
+
+
 def q90_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q21's tumbling-window aggregation as a genuine streaming query."""
     ev = _events_stream(spark, sf_dir)
@@ -320,10 +374,23 @@ FROM scored WHERE q >= 0.5 AND nb = 0 GROUP BY 1 ORDER BY 1
 """
 
 
+def _vector_ingest_oracle_sql() -> str:
+    from ..functions import as_double_array_sql
+    from .similarity import lsh_bucket_bits_sql
+
+    return f"""
+WITH e AS (SELECT {as_double_array_sql('embedding')} AS v FROM embeddings)
+SELECT CAST({lsh_bucket_bits_sql('v')} AS BIGINT) AS bucket,
+       COUNT(*) AS n_vectors
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLES = {
     # Identical to the batch twins: the streaming run must land on the same
     # answer the oracle computes from the table at rest.
     "q128_stream_scrub": _scrub_oracle_sql(),
+    "q132_stream_vector_ingest": _vector_ingest_oracle_sql(),
     "q115_stream_redis": """
 SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
        ROUND(SUM(value), 2) AS sum_value
@@ -376,4 +443,5 @@ QUERIES = {
     "q115_stream_redis": q115_stream_redis,
     "q115b_stream_redis_sharded": q115b_stream_redis_sharded,
     "q128_stream_scrub": q128_stream_scrub,
+    "q132_stream_vector_ingest": q132_stream_vector_ingest,
 }

@@ -117,3 +117,15 @@ def test_bpe_learn_two_rounds(spark):
     learned = bpe_learn(docs)
     assert learned[0][1:3] == ("a b", "ab")
     assert learned[1][1:3] == ("ab ab", "abab")
+
+
+def test_auto_planes_tracks_log2():
+    """The LSH bit-count rule: occupancy-8 planes for common corpus sizes,
+    clamped to the 64-bit bucket key."""
+    from eventstream_spark.operators.similarity import auto_planes
+
+    assert auto_planes(8) == 1
+    assert auto_planes(5_000) == 10        # ~sf0.1
+    assert auto_planes(500_000) == 16      # the 100x smoke corpus
+    assert auto_planes(10**12) == 37       # 100 TB-scale row count
+    assert auto_planes(10**30) == 48       # clamp
