@@ -444,6 +444,34 @@ def q130_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates per event type: the trend of event
+    value over time via the built-in ordinary-least-squares family
+    (regr_slope / regr_intercept / regr_r2 — single-pass co-moment
+    aggregation, partial+final like any hash agg). The x axis is hours
+    since epoch computed as ONE division from integer microseconds, so
+    both engines see bit-identical inputs; outputs round to 4.
+
+    Scale: one aggregation over the scan — the co-moments combine
+    map-side, so this is the cheapest possible per-group model fit. The
+    applyInPandas twin (per-group np.polyfit) is pinned approximately
+    equal in tests/test_grouped_map.py — the escape hatch for model fits
+    the built-in aggregate family can't express."""
+    ev = load(spark, sf_dir, "events")
+    x = (F.unix_micros(col("ts")) / lit(3600000000.0)).alias("x")
+    return (
+        ev.select("event_type", x, col("value").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _TRI_MIN_COOC = 3  # co-occurrences required before two users share an edge
 
 
@@ -515,6 +543,14 @@ def _quality_report_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "q129_quality_report": _quality_report_sql(),
+    "q134_trend_per_type": """
+WITH d AS (SELECT event_type, epoch_us(ts) / 3600000000.0 AS x, value AS y FROM events)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(regr_slope(y, x), 4) AS slope,
+       ROUND(regr_intercept(y, x), 4) AS intercept,
+       ROUND(regr_r2(y, x), 4) AS r2
+FROM d GROUP BY 1 ORDER BY 1
+""",
     "q133_triangle_count": f"""
 WITH occ AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
 e AS (SELECT a.user_id AS u, b.user_id AS v FROM occ a JOIN occ b
@@ -697,6 +733,7 @@ QUERIES = {
     "q129_quality_report": q129_quality_report,
     "q130_value_outliers": q130_value_outliers,
     "q133_triangle_count": q133_triangle_count,
+    "q134_trend_per_type": q134_trend_per_type,
     "q62_exists_subquery": q62_exists_subquery,
     "q63_not_exists_anti": q63_not_exists_anti,
     "q64_range_frame": q64_range_frame,
