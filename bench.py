@@ -85,6 +85,11 @@ HEADLINE = [
     "q125_unigram_logprob",
     "q126_vocab_stats",
     "q51b_matmul_knn",
+    "q129_quality_report",
+    "q130_value_outliers",
+    "q131_bpe_learn",
+    "q133_triangle_count",
+    "q134_trend_per_type",
 ]
 
 

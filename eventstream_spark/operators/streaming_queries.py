@@ -124,6 +124,33 @@ def q128_stream_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("source")
 
 
+def q135_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q120's split as a STREAM-STATIC join — the incremental-dedup shape a
+    live ingest actually runs: the delta (doc_id % 10 == 9, same split as
+    q120) arrives as a stream, the standing corpus is a static DataFrame,
+    and each micro-batch left-anti joins its fingerprints against the
+    corpus — novel docs pass, exact re-ingests drop. Stream-static joins
+    are stateless on the stream side (the static side is re-planned per
+    batch and AQE-sized — broadcast here, shuffle at 100 TB with the
+    corpus bucketed on the fingerprint), so no watermark is needed; the
+    only stateful op is the final per-source rollup."""
+    from ..catalog import load
+
+    docs_static = load(spark, sf_dir, "documents")
+    corpus = docs_static.where(~(col("doc_id") % 10 == 9)).select(
+        F.md5("text").alias("fp")
+    ).distinct()
+    stream = _documents_stream(spark, sf_dir).where(col("doc_id") % 10 == 9)
+    delta = stream.select("source", "n_chars", F.md5("text").alias("fp"))
+    novel = delta.join(corpus, "fp", "left_anti")
+    agg = novel.groupBy("source").agg(
+        F.count("*").alias("n_novel"),
+        F.sum("n_chars").alias("novel_chars"),
+    )
+    out = _run_to_table(agg, spark)
+    return out.orderBy("source")
+
+
 def q132_stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-index ingest as a streaming pipeline: embeddings land as
     files, each micro-batch computes the hyperplane-LSH bucket signature
@@ -391,6 +418,14 @@ ORACLES = {
     # answer the oracle computes from the table at rest.
     "q128_stream_scrub": _scrub_oracle_sql(),
     "q132_stream_vector_ingest": _vector_ingest_oracle_sql(),
+    "q135_stream_incremental_dedup": """
+WITH corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 9),
+delta AS (SELECT source, n_chars, md5(text) AS fp FROM documents WHERE doc_id % 10 = 9)
+SELECT source, COUNT(*) AS n_novel,
+       CAST(SUM(n_chars) AS BIGINT) AS novel_chars
+FROM delta WHERE fp NOT IN (SELECT fp FROM corpus)
+GROUP BY 1 ORDER BY 1
+""",
     "q115_stream_redis": """
 SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt,
        ROUND(SUM(value), 2) AS sum_value
@@ -444,4 +479,5 @@ QUERIES = {
     "q115b_stream_redis_sharded": q115b_stream_redis_sharded,
     "q128_stream_scrub": q128_stream_scrub,
     "q132_stream_vector_ingest": q132_stream_vector_ingest,
+    "q135_stream_incremental_dedup": q135_stream_incremental_dedup,
 }

@@ -118,6 +118,13 @@ SCALE_QUERIES = [
     "q125_unigram_logprob",
     "q126_vocab_stats",
     "q51b_matmul_knn",
+    "q129_quality_report",
+    "q130_value_outliers",
+    "q134_trend_per_type",
+    # q133 (triangle count) is excluded: the replica construction puts 100x
+    # more users into the SAME (event_type, hour) blocks, so co-occurrence
+    # pairs grow quadratically — a property of this synthetic scaling (real
+    # growth spreads across time), not of the blocked-join plan.
 ]
 
 
