@@ -22,6 +22,7 @@ def _modules():
         pipeline,
         relational,
         similarity,
+        sketch,
         streaming_queries,
         text,
         tpch,
@@ -34,6 +35,7 @@ def _modules():
         text,
         dedup,
         similarity,
+        sketch,
         multimodal,
         tpch,
         merge,

@@ -1,0 +1,221 @@
+"""Sketch-accelerated operators: explicit Bloom-filter join pruning and
+Misra-Gries heavy hitters.
+
+Both operators follow the same scale discipline as the dedup/ANN family:
+the sketch phase bounds what crosses the wire, and an EXACT finishing pass
+makes the final answer independent of the sketch (so the duckdb oracle is
+the plain exact query — the sketch can only prune, never change results).
+
+- Bloom semi-join (q136): the build side aggregates to at most ``_BLOOM_M``
+  distinct bit positions (a driver-trivial collect, same budget class as the
+  IVF centroid seed in similarity.py), and the probe side is filtered
+  MAP-SIDE in its scan stage before the exact semi-join shuffles anything.
+  This is the explicit form of Spark's runtime row-level bloom filtering
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``), written out so the
+  pruning applies regardless of join strategy and is visible in the plan.
+  At 100 TB: the probe scan emits only candidate rows — the shuffle (or
+  broadcast probe) carries ~|matches| + FP rows instead of the full table.
+
+- Misra-Gries heavy hitters (q137): each input partition keeps at most
+  ``_MG_COUNTERS`` candidate counters (classic MG: any item with local
+  frequency > n_p/(k+1) survives; with k >= 1/phi the union of partition
+  survivors is a SUPERSET of every global phi-heavy item — pigeonhole: an
+  item below phi*n_p in every partition is below phi*N globally). The exact
+  recount then touches only candidate tokens: shuffle volume is
+  O(partitions x k), never O(distinct terms). At 100 TB the full
+  term-frequency groupBy this replaces is the dominant shuffle of any
+  vocabulary pass; MG bounds it by a constant per partition.
+
+Reference parity note: the reference engine has no sketch operators — these
+are north-star extensions for the training-data-pipeline surface (frequency
+capping, stop-list mining, join pruning at ingest).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col, lit
+
+from ..catalog import load, spread
+from ..functions import hash48, hash48_sql
+
+# --- Bloom filter ----------------------------------------------------------
+
+_BLOOM_M = 8192  # bits; 1 KiB bitmap, broadcast as a 2 KiB hex literal
+_BLOOM_K = 3  # independent md5-derived hash positions per key
+_BLOOM_PRICE = 495000.0  # build side: customers with a jumbo order
+
+
+def _bloom_positions(key: F.Column, seed: int) -> F.Column:
+    """Bit position for one hash function: md5-derived 48-bit hash of the
+    seeded key, mod m. Portable bit-for-bit (hash48 == duckdb md5 prefix),
+    though the oracle never needs it — the finishing join is exact."""
+    return F.pmod(hash48(F.concat(lit(f"b{seed}:"), key.cast("string"))), lit(_BLOOM_M))
+
+
+def build_bloom_hex(keys: DataFrame, key_col: str) -> str:
+    """Aggregate the build side to its distinct bit positions (<= m rows
+    cross the wire — partial-agg'd map-side) and fold them into a hex
+    bitmap on the driver. The collect is bounded by m (8192 ints), the same
+    driver budget class as the IVF centroid seed fetch."""
+    pos_cols = [_bloom_positions(col(key_col), s).alias(f"p{s}") for s in range(_BLOOM_K)]
+    positions = (
+        keys.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct().collect()
+    )
+    bits = bytearray(_BLOOM_M // 8)
+    for row in positions:
+        p = int(row.pos)
+        bits[p // 8] |= 1 << (p % 8)
+    return bits.hex()
+
+
+def bloom_might_contain(bloom_hex: str, key: F.Column) -> F.Column:
+    """Map-side membership test: all k bits set. Pure column expressions on
+    a hex-string literal (substring + base-16 conv + shiftright), so the
+    test runs inside whole-stage codegen in the probe's scan stage."""
+    checks = []
+    for s in range(_BLOOM_K):
+        pos = _bloom_positions(key, s)
+        byte = F.conv(
+            F.substring(lit(bloom_hex), (F.floor(pos / 8) * 2 + 1).cast("int"), 2),
+            16,
+            10,
+        ).cast("int")
+        # bit r of byte, via arithmetic (F.shiftright needs a literal count):
+        # floor(byte / 2^r) % 2
+        bit = F.pmod(
+            F.floor(byte / F.pow(lit(2.0), F.pmod(pos, lit(8)).cast("double"))), lit(2)
+        )
+        checks.append(bit == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def q136_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one jumbo order (o_totalprice > 495000),
+    rolled up per market segment — with an explicit Bloom pre-filter on the
+    probe side.
+
+    Plan shape: build keys -> distinct bit positions (one tiny aggregate)
+    -> hex bitmap literal; probe scan filters on the bitmap MAP-SIDE, then
+    an exact left-semi join removes false positives. The oracle is the
+    plain semi-join: the bloom can only prune, never alter the result.
+    """
+    build = (
+        load(spark, sf_dir, "orders")
+        .where(col("o_totalprice") > _BLOOM_PRICE)
+        .select("o_custkey")
+    )
+    bloom_hex = build_bloom_hex(build, "o_custkey")
+    cust = load(spark, sf_dir, "customer")
+    candidates = cust.where(bloom_might_contain(bloom_hex, col("c_custkey")))
+    return (
+        candidates.join(build, candidates.c_custkey == build.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- Misra-Gries heavy hitters --------------------------------------------
+
+_MG_COUNTERS = 1500  # k >= 1/phi (phi = 0.0014 -> 1/phi ~ 715); 2x margin
+_HH_PHI = 0.0014  # report bigrams with frequency >= phi * total
+
+
+def _mg_candidates(batches: Iterator) -> Iterator:
+    """Classic Misra-Gries over one partition (state spans every Arrow
+    batch the iterator yields — mapInPandas hands us the whole partition).
+    Emits the surviving candidate set; exactness comes from the recount."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for t in pdf["bigram"]:
+            if t in counters:
+                counters[t] += 1
+            elif len(counters) < _MG_COUNTERS:
+                counters[t] = 1
+            else:
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+    yield pd.DataFrame({"bigram": list(counters.keys())})
+
+
+def bigram_stream(docs: DataFrame) -> DataFrame:
+    """Every bigram occurrence (NOT per-doc distinct — q36 counts document
+    frequency; heavy hitters need raw term frequency)."""
+    w = F.split(col("text"), " ")
+    m = F.greatest(F.size(w) - 1, lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, 1, m), F.slice(w, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    return docs.select(F.explode(bigrams).alias("bigram"))
+
+
+def q137_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigrams with frequency >= phi of the corpus total (the frequency-cap
+    / stop-list mining pass), computed as MG candidate pruning + exact
+    recount of candidates only.
+
+    Scale: the naive form shuffles every distinct term; this form shuffles
+    <= k candidates per partition plus the per-partition partials of the
+    candidate recount. The total-count scalar is a map-side sum of per-doc
+    bigram counts (no token explode on that pass).
+    """
+    docs = spread(load(spark, sf_dir, "documents"))
+    grams = bigram_stream(docs)
+    candidates = grams.mapInPandas(_mg_candidates, "bigram string").distinct()
+    total = docs.select(
+        F.sum(F.greatest(F.size(F.split(col("text"), " ")) - 1, lit(0))).alias("n")
+    )
+    return (
+        grams.join(F.broadcast(candidates), "bigram", "left_semi")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(col("cnt").cast("double") >= lit(_HH_PHI) * col("n"))
+        .select("bigram", "cnt")
+        .orderBy(col("cnt").desc(), "bigram")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q136_bloom_semi_join": f"""
+SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    "q137_heavy_hitters": f"""
+WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+n AS (SELECT SUM(greatest(len(a) - 1, 0)) AS n FROM toks),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                               i -> a[i] || ' ' || a[i + 1])) AS bigram
+  FROM toks
+),
+c AS (SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram)
+SELECT bigram, cnt FROM c, n
+WHERE CAST(cnt AS DOUBLE) >= {_HH_PHI} * n
+ORDER BY cnt DESC, bigram
+""",
+}
+
+QUERIES = {
+    "q136_bloom_semi_join": q136_bloom_semi_join,
+    "q137_heavy_hitters": q137_heavy_hitters,
+}
