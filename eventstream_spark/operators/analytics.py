@@ -475,6 +475,31 @@ def q134_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MIN_COOC = 3  # co-occurrences required before two users share an edge
 
 
+def cooccurrence_edges(ev: DataFrame) -> DataFrame:
+    """Undirected user co-occurrence edges (u < v): two users share an edge
+    when they act in the same (event_type, hour) window at least
+    ``_TRI_MIN_COOC`` times. Blocking join on the (event_type, hour) key —
+    never all-pairs over users. Shared by q133 (triangles) and q139
+    (PageRank)."""
+    occ = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", col("ts")).alias("h")
+    ).distinct()
+    a = occ.alias("a")
+    b = occ.alias("b")
+    return (
+        a.join(
+            b,
+            (col("a.event_type") == col("b.event_type"))
+            & (col("a.h") == col("b.h"))
+            & (col("a.user_id") < col("b.user_id")),
+        )
+        .groupBy(col("a.user_id").alias("u"), col("b.user_id").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .where(col("c") >= _TRI_MIN_COOC)
+        .select("u", "v")
+    )
+
+
 def q133_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the event log: build the user co-occurrence
     graph (an edge when two users act in the same (event_type, hour)
@@ -492,23 +517,7 @@ def q133_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import persist_tracked
 
     ev = load(spark, sf_dir, "events")
-    occ = ev.select(
-        "user_id", "event_type", F.date_trunc("hour", col("ts")).alias("h")
-    ).distinct()
-    a = occ.alias("a")
-    b = occ.alias("b")
-    edges = persist_tracked(
-        a.join(
-            b,
-            (col("a.event_type") == col("b.event_type"))
-            & (col("a.h") == col("b.h"))
-            & (col("a.user_id") < col("b.user_id")),
-        )
-        .groupBy(col("a.user_id").alias("u"), col("b.user_id").alias("v"))
-        .agg(F.count("*").alias("c"))
-        .where(col("c") >= _TRI_MIN_COOC)
-        .select("u", "v")
-    )
+    edges = persist_tracked(cooccurrence_edges(ev))
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -521,6 +530,107 @@ def q133_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(edges.agg(F.count("*").alias("n_edges")))
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
     )
+
+
+def q138_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging per event type: median / MAD instead of
+    mean / stddev (q130's z-score breaks down when the outliers themselves
+    inflate sigma; MAD has a 50% breakdown point). Flags events where
+    |value - median| > 3 * 1.4826 * MAD (1.4826 scales MAD to sigma for
+    normal data).
+
+    Determinism: median and MAD round to 6 decimals before the threshold
+    (the q130 pattern — both engines flag against bit-identical numbers);
+    Spark percentile == duckdb quantile_cont (linear interpolation).
+
+    Scale: three passes over events (median, MAD, flag count), each a
+    per-group aggregate; the per-group stats are scalars and broadcast
+    back. Exact medians need a full sort per group — at 100 TB swap in
+    approx_percentile (tolerance-tested in test_queries_vs_oracle.py) for
+    one-pass sketched medians."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            # literal 4.4478 (= 3 * 1.4826) spelled the same in both engines
+            # so the parsed double is bit-identical
+            F.sum(
+                (F.abs(col("value") - col("med")) > lit(4.4478) * col("mad")).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n_events", "med", "mad", "n_outliers")
+        .orderBy("event_type")
+    )
+
+
+_PR_MASS = 1_000_000_000_000  # total rank mass in integer units (1e12)
+
+
+def q139_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations over the user co-occurrence graph
+    (damping 0.85), computed ENTIRELY in integer arithmetic: ranks carry
+    1e12 units of mass, every division is floor-division, so partial-sum
+    order cannot perturb a single bit on either engine — no float folds,
+    no rounding coupling.
+
+    r0 = M div n;  contrib(u->v) = r(u) div deg(u)
+    r'(v) = (3M div 20n) + (17 * sum(contrib)) div 20      [0.15/0.85 damping]
+
+    Scale: each iteration is one join of the edge list against the rank
+    vector (shuffle on vertex id) plus one aggregation — the standard
+    sparse-matvec plan; the symmetric co-occurrence graph has no dangling
+    vertices so no mass-redistribution term. At a trillion edges the same
+    plan holds with the edge list bucketed by src so the rank join
+    co-locates; more iterations = a driver loop over the same two-shuffle
+    step (the q54b iterative pattern)."""
+    from ..cache import persist_tracked
+
+    ev = load(spark, sf_dir, "events")
+    # persist the UNDIRECTED set (the expensive blocking join) so the
+    # symmetrized union below reads the cache twice instead of running the
+    # co-occurrence join twice
+    und = persist_tracked(cooccurrence_edges(ev))
+    edges = und.select(col("u").alias("s"), col("v").alias("d")).union(
+        und.select(col("v").alias("s"), col("u").alias("d"))
+    )
+    verts = edges.select(col("s").alias("x")).distinct()
+    n = verts.count()  # scalar graph size (drives the integer base rank)
+    if n == 0:
+        return spark.createDataFrame([], "user_id long, rank_e12 long")
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+    ranks = verts.select("x", lit(_PR_MASS // n).alias("r"))
+    base = (3 * _PR_MASS) // (20 * n)
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges.s == ranks.x)
+            .join(deg, "s")
+            .select(col("d"), F.expr("r div deg").alias("c"))
+        )
+        summed = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
+        ranks = verts.join(summed, verts.x == summed.d, "left").select(
+            "x",
+            (lit(base) + F.expr("(17 * coalesce(sc, 0)) div 20")).alias("r"),
+        )
+    return ranks.select(
+        col("x").alias("user_id"), col("r").alias("rank_e12")
+    ).orderBy(col("rank_e12").desc(), "user_id")
 
 
 def _quality_report_sql() -> str:
@@ -543,6 +653,42 @@ def _quality_report_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "q129_quality_report": _quality_report_sql(),
+    "q138_mad_outliers": """
+WITH med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1),
+s AS (SELECT med.event_type, med.med, mad.mad FROM med JOIN mad USING (event_type))
+SELECT s.event_type, COUNT(*) AS n_events, s.med, s.mad,
+       CAST(SUM(CASE WHEN abs(e.value - s.med) > 4.4478 * s.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN s USING (event_type)
+GROUP BY s.event_type, s.med, s.mad
+ORDER BY s.event_type
+""",
+    "q139_pagerank": f"""
+WITH occ AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+e0 AS (SELECT a.user_id AS u, b.user_id AS v FROM occ a JOIN occ b
+       ON a.event_type = b.event_type AND a.h = b.h AND a.user_id < b.user_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_COOC}),
+e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+verts AS (SELECT DISTINCT s AS x FROM e),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT x, {_PR_MASS} // n AS r FROM verts CROSS JOIN nn),
+c1 AS (SELECT e.d, SUM(r0.r // deg.deg) AS sc FROM e
+       JOIN r0 ON e.s = r0.x JOIN deg ON e.s = deg.s GROUP BY 1),
+r1 AS (SELECT v.x, ((3 * {_PR_MASS}) // (20 * nn.n)) + (17 * COALESCE(c1.sc, 0)) // 20 AS r
+       FROM verts v CROSS JOIN nn LEFT JOIN c1 ON v.x = c1.d),
+c2 AS (SELECT e.d, SUM(r1.r // deg.deg) AS sc FROM e
+       JOIN r1 ON e.s = r1.x JOIN deg ON e.s = deg.s GROUP BY 1),
+r2 AS (SELECT v.x, ((3 * {_PR_MASS}) // (20 * nn.n)) + (17 * COALESCE(c2.sc, 0)) // 20 AS r
+       FROM verts v CROSS JOIN nn LEFT JOIN c2 ON v.x = c2.d)
+SELECT x AS user_id, CAST(r AS BIGINT) AS rank_e12 FROM r2
+ORDER BY rank_e12 DESC, user_id
+""",
     "q134_trend_per_type": """
 WITH d AS (SELECT event_type, epoch_us(ts) / 3600000000.0 AS x, value AS y FROM events)
 SELECT event_type, COUNT(*) AS n,
@@ -732,6 +878,8 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES = {
     "q129_quality_report": q129_quality_report,
     "q130_value_outliers": q130_value_outliers,
+    "q138_mad_outliers": q138_mad_outliers,
+    "q139_pagerank": q139_pagerank,
     "q133_triangle_count": q133_triangle_count,
     "q134_trend_per_type": q134_trend_per_type,
     "q62_exists_subquery": q62_exists_subquery,
