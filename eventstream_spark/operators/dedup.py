@@ -831,7 +831,107 @@ _SPANS_SQL = (
     + f"UNNEST(range(1, len(w) - {_SPAN_N - 2})) AS t(i)"
 )
 
+# --- content-defined chunking (q141) ---------------------------------------
+
+_CDC_MOD = 11  # boundary when the 3-gram hash ≡ 0 (mod 11) → ~11-token chunks
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking over tokens: cut BEFORE token i when the
+    hash of the 3-gram ending at token i-1 hits 0 mod ``_CDC_MOD``.
+    Boundaries depend only on local content, so an insertion early in a
+    document shifts at most one chunk — the property that makes chunk-level
+    dedup robust to edits where fixed-width chunking (q117) resynchronizes
+    never and whole-doc hashing (q40) resynchronizes only on exact equality.
+    (Gear/Rabin CDC over bytes is the same scheme with a rolling window;
+    over word tokens a plain 3-gram hash is already O(1) per position.)
+
+    Returns (doc_id, chunk, chash, n_toks): one row per chunk. One shuffle
+    (hash-partition by doc_id for the lag/prefix-sum windows) + one partial
+    agg for the chunk reassembly — per-doc state only, no cross-doc work.
+    """
+    t = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    gram = F.concat_ws(
+        " ", F.lag("tok", 3).over(w), F.lag("tok", 2).over(w), F.lag("tok", 1).over(w)
+    )
+    flag = F.when(
+        (col("i") >= 3) & (F.pmod(hash48(gram), lit(_CDC_MOD)) == 0), 1
+    ).otherwise(0)
+    chunked = t.select(
+        "doc_id",
+        "i",
+        "tok",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("chunk"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda x: x.tok,
+                ),
+            ).alias("chunk_text"),
+            F.count("*").alias("n_toks"),
+        )
+        .select("doc_id", "chunk", hash48(col("chunk_text")).alias("chash"), "n_toks")
+    )
+
+
+def q141_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication histogram under content-defined chunking:
+    how many distinct chunks occur 1×, 2×, … across the corpus, and how
+    many tokens each class holds — the measurement pass before a
+    chunk-level dedup decides what to drop.
+
+    Scale: chunking is per-doc windowed work (one shuffle on doc_id); the
+    occurrence count is a hash agg on the 48-bit chunk hash; the histogram
+    is an agg over distinct chunks. Nothing is quadratic and no chunk text
+    crosses the wire after the hash — at 100 TB the chash agg is the only
+    corpus-wide shuffle."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    ch = cdc_chunks(docs)
+    occ = ch.groupBy("chash").agg(
+        F.count("*").alias("occurrences"), F.sum("n_toks").alias("n_toks")
+    )
+    return (
+        occ.groupBy("occurrences")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("occurrences")
+    )
+
+
 ORACLES = {
+    "q141_cdc_chunk_dedup": f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS a FROM documents),
+t AS (SELECT doc_id, i, a[i] AS tok
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i)),
+f AS (SELECT doc_id, i, tok,
+        CASE WHEN i >= 4 AND ({hash48_sql(
+            "lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w || ' ' || lag(tok, 1) OVER w"
+        )} % {_CDC_MOD}) = 0 THEN 1 ELSE 0 END AS flag
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+c AS (SELECT doc_id, i, tok,
+        SUM(flag) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS chunk
+      FROM f),
+ch AS (SELECT doc_id, chunk,
+         {hash48_sql("string_agg(tok, ' ' ORDER BY i)")} AS chash,
+         COUNT(*) AS n_toks
+       FROM c GROUP BY 1, 2),
+occ AS (SELECT chash, COUNT(*) AS occurrences, SUM(n_toks) AS n_toks
+        FROM ch GROUP BY 1)
+SELECT occurrences, COUNT(*) AS n_chunks,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM occ GROUP BY 1 ORDER BY 1
+""",
     "q122_span_coverage": f"""
 WITH spans AS ({_SPANS_SQL}),
 freq AS (SELECT s, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, s FROM spans) GROUP BY 1),
@@ -895,6 +995,7 @@ ORDER BY 1, 2
 }
 
 QUERIES = {
+    "q141_cdc_chunk_dedup": q141_cdc_chunk_dedup,
     "q40_dedup_exact": q40_dedup_exact,
     "q41_ngram_jaccard": q41_ngram_jaccard,
     "q42_minhash_lsh": q42_minhash_lsh,

@@ -704,7 +704,79 @@ def q112_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, anchored
+    at the corpus max order date), frequency (order count), monetary
+    (lifetime spend), each quartiled with ntile(4) and composed into the
+    classic 3-digit RFM code — the marketing-analytics staple.
+
+    Determinism: ntile assignment depends on total row order, so every
+    ORDER BY carries c_custkey as the tie-break — both engines quartile
+    identically. Scale: one groupBy over orders (partial-agg'd), the
+    anchor is a scalar crossJoin, and the three ntile windows are global
+    single-partition orderings over ONE ROW PER CUSTOMER — fine to ~100M
+    customers; beyond that, swap ntile for a percent_rank over a
+    range-partitioned sort (same output, no single-task window)."""
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("f_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("m_sum"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            col("o_custkey").alias("c_custkey"),
+            F.datediff(F.to_date("anchor"), F.to_date("last_order")).alias("r_days"),
+            "f_cnt",
+            "m_sum",
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(col("r_days").asc(), col("c_custkey").asc())
+    wf = Window.orderBy(col("f_cnt").desc(), col("c_custkey").asc())
+    wm = Window.orderBy(col("m_sum").desc(), col("c_custkey").asc())
+    return (
+        per_cust.select(
+            "c_custkey",
+            "r_days",
+            "f_cnt",
+            "m_sum",
+            F.ntile(4).over(wr).alias("r_tile"),
+            F.ntile(4).over(wf).alias("f_tile"),
+            F.ntile(4).over(wm).alias("m_tile"),
+        )
+        .withColumn(
+            "rfm",
+            (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile")).cast("long"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 ORACLES = {
+    "q140_rfm_segments": """
+WITH anchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+pc AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE), CAST(ANY_VALUE(a.anchor) AS DATE)) AS r_days,
+         COUNT(*) AS f_cnt,
+         ROUND(SUM(o_totalprice), 2) AS m_sum
+  FROM orders CROSS JOIN anchor a
+  GROUP BY o_custkey),
+t AS (
+  SELECT c_custkey, r_days, f_cnt, m_sum,
+         NTILE(4) OVER (ORDER BY r_days ASC, c_custkey ASC) AS r_tile,
+         NTILE(4) OVER (ORDER BY f_cnt DESC, c_custkey ASC) AS f_tile,
+         NTILE(4) OVER (ORDER BY m_sum DESC, c_custkey ASC) AS m_tile
+  FROM pc)
+SELECT c_custkey, r_days, f_cnt, m_sum, r_tile, f_tile, m_tile,
+       CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm
+FROM t ORDER BY c_custkey
+""",
     "q71_order_priority": """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders o
@@ -959,6 +1031,7 @@ ORDER BY s_name
 }
 
 QUERIES = {
+    "q140_rfm_segments": q140_rfm_segments,
     "q71_order_priority": q71_order_priority,
     "q72_volume_shipping": q72_volume_shipping,
     "q73_promo_revenue": q73_promo_revenue,

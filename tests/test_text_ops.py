@@ -129,3 +129,29 @@ def test_auto_planes_tracks_log2():
     assert auto_planes(500_000) == 16      # the 100x smoke corpus
     assert auto_planes(10**12) == 37       # 100 TB-scale row count
     assert auto_planes(10**30) == 48       # clamp
+
+
+def test_cdc_chunking_shift_robust(spark):
+    """An insertion near the front of a document perturbs only the chunks
+    up to the next content-defined boundary — every later chunk hash
+    survives verbatim. This is THE property that makes chunk-level dedup
+    robust to edits (fixed-width chunking loses every downstream chunk)."""
+    import random
+
+    from eventstream_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(1000)}" for _ in range(400)]
+    orig = " ".join(words)
+    edited = " ".join(words[:5] + ["INSERTED"] + words[5:])
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=orig), Row(doc_id=2, text=edited)]
+    )
+    ch = cdc_chunks(df).collect()
+    h1 = [r.chash for r in sorted(ch, key=lambda r: r.chunk) if r.doc_id == 1]
+    h2 = [r.chash for r in sorted(ch, key=lambda r: r.chunk) if r.doc_id == 2]
+    shared = set(h1) & set(h2)
+    # all but the first few chunks resynchronize
+    assert len(shared) >= len(h1) - 3
+    # and the tail is identical in order, not just as a set
+    assert h1[-3:] == h2[-3:]
