@@ -90,6 +90,12 @@ HEADLINE = [
     "q131_bpe_learn",
     "q133_triangle_count",
     "q134_trend_per_type",
+    # round 4 (cont.): sketch, graph, robust-stats, CDC additions
+    "q136_bloom_semi_join",
+    "q137_heavy_hitters",
+    "q138_mad_outliers",
+    "q139_pagerank",
+    "q141_cdc_chunk_dedup",
 ]
 
 

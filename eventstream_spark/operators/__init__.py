@@ -23,6 +23,7 @@ def _modules():
         relational,
         similarity,
         sketch,
+        skew,
         streaming_queries,
         text,
         tpch,
@@ -36,6 +37,7 @@ def _modules():
         dedup,
         similarity,
         sketch,
+        skew,
         multimodal,
         tpch,
         merge,

@@ -66,3 +66,51 @@ def key_skew_stats(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         .orderBy(col("cnt").desc(), key)
         .limit(top_n)
     )
+
+
+def q144_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for lineitem.l_suppkey: the hottest keys with
+    their share of rows, plus the hot/median ratio — the diagnostic a user
+    runs BEFORE choosing between a plain shuffle join, AQE skew splitting,
+    and salted_join (q93). One groupBy on the key + one tiny aggregate over
+    the per-key counts; the per-key count table is the same partial-agg'd
+    shuffle the join itself would do, so the report costs one pass."""
+    from ..catalog import load
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 2).alias("median_cnt"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.round(col("cnt") / col("total"), 6).alias("share"),
+            F.round(col("max_cnt") / col("median_cnt"), 2).alias("skew_ratio"),
+        )
+        .orderBy(col("cnt").desc(), "l_suppkey")
+        .limit(10)
+    )
+
+
+ORACLES = {
+    "q144_skew_report": """
+WITH counts AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+stats AS (SELECT SUM(cnt) AS total, MAX(cnt) AS max_cnt,
+                 ROUND(quantile_cont(cnt, 0.5), 2) AS median_cnt
+          FROM counts)
+SELECT l_suppkey, cnt,
+       ROUND(cnt / CAST(total AS DOUBLE), 6) AS share,
+       ROUND(max_cnt / median_cnt, 2) AS skew_ratio
+FROM counts CROSS JOIN stats
+ORDER BY cnt DESC, l_suppkey LIMIT 10
+""",
+}
+
+QUERIES = {
+    "q144_skew_report": q144_skew_report,
+}

@@ -805,7 +805,86 @@ _BLOCKED_SQL = (
     + ")))"
 )
 
+def q142_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the first 10 postings (sorted doc_ids) — the retrieval /
+    BM25 precursor every search-over-corpus pipeline materializes.
+
+    Scale: two hash aggregations (term×doc partials absorb the token
+    explode map-side, then per-term merge). The postings list is CAPPED at
+    10 ids here so a stop-word's posting list cannot blow up one reducer —
+    the full-index form writes postings bucketed by term instead of
+    collecting them into a single row (same plan, sink swapped)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    per = t.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        per.groupBy("term")
+        .agg(
+            F.count("*").alias("df_docs"),
+            F.sum("tf").alias("tf_total"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+_WS_TOP_K = 100  # weighted sample size
+
+
+def q143_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: priority = hash48(doc_id) / weight
+    (weight = n_chars, favoring long documents), keep the k lowest
+    priorities. Inclusion odds scale with weight, yet the pick is a pure
+    function of the data — reproducible across engines, runs, and
+    partitionings (the seedless twin of A-ES weighted reservoir sampling;
+    IEEE double division is exact-identical on both engines).
+
+    Scale: the priority is map-side; the global top-k is a
+    TakeOrderedAndProject (per-partition heaps, no full sort). Summary
+    rolls the picked docs up per source."""
+    docs = load(spark, sf_dir, "documents")
+    pri = (
+        hash48(col("doc_id").cast("string")).cast("double")
+        / col("n_chars").cast("double")
+    ).alias("pri")
+    picked = (
+        docs.select("doc_id", "source", "n_chars", pri)
+        .orderBy("pri", "doc_id")
+        .limit(_WS_TOP_K)
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES = {
+    "q142_inverted_index": f"""
+WITH t AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+per AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2)
+SELECT term, COUNT(*) AS df_docs, CAST(SUM(tf) AS BIGINT) AS tf_total,
+       (list_sort(list(doc_id)))[1:10] AS postings
+FROM per GROUP BY term ORDER BY term
+""",
+    "q143_weighted_sample": f"""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         CAST({hash48_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS pri
+  FROM documents
+  ORDER BY pri, doc_id LIMIT {_WS_TOP_K})
+SELECT source, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       MIN(doc_id) AS first_doc
+FROM p GROUP BY source ORDER BY source
+""",
     "q131_bpe_learn": _bpe_learn_sql(),
     "q121_pii_scrub": f"""
 WITH per_doc AS (
@@ -1010,6 +1089,8 @@ QUERIES = {
     "q36_bigram_counts": q36_bigram_counts,
     "q56_hash_sample": q56_hash_sample,
     "q57_stratified_sample": q57_stratified_sample,
+    "q142_inverted_index": q142_inverted_index,
+    "q143_weighted_sample": q143_weighted_sample,
     "q81_corpus_mix": q81_corpus_mix,
     "q82_token_packing": q82_token_packing,
     "q84_repetition_stats": q84_repetition_stats,
