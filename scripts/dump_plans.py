@@ -36,6 +36,11 @@ PICKS = {
     "q122_span_coverage": "span coverage: two aggregations + one equi-join on the span key, all hash-partitioned text keys",
     "q123_semantic_dedup": "SemDeDup: map-side centroid assignment, pairwise check shuffles once on the cell key",
     "q51b_matmul_knn": "BLAS kNN: MapInPandas (Arrow) scoring, per-partition top-k, tiny global re-rank window",
+    "q136_bloom_semi_join": "bloom pre-filter: all 3 bitmap probes run in the probe scan's Filter (codegen), before the exact semi-join",
+    "q137_heavy_hitters": "Misra-Gries: MapInPandas candidate pruning, broadcast semi-join recount — shuffle bounded by partitions x k",
+    "q139_pagerank": "integer PageRank: both iterations read the persisted edge set (InMemoryTableScan), one join + one agg per iteration",
+    "q142_inverted_index": "inverted index: both agg levels partial (map-side) — the explode never crosses a shuffle raw",
+    "q143_weighted_sample": "weighted top-k: TakeOrderedAndProject, no global sort",
 }
 
 

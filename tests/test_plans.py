@@ -317,3 +317,33 @@ def test_q51b_uses_arrow_python_path(spark, sf_dir):
     plan = _plan(S.q51b_matmul_knn(spark, sf_dir))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # the pickled row-at-a-time path
+
+
+def test_q143_weighted_sample_is_take_ordered(spark, sf_dir):
+    """The weighted top-k must plan as TakeOrderedAndProject (per-partition
+    heaps) — a global Sort before the limit would be the 100 TB killer."""
+    from eventstream_spark.operators.text import q143_weighted_sample
+
+    plan = _plan(q143_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the only Sort allowed is the trivial one on the <=100-row summary
+    assert plan.count("Sort ") <= 1
+
+
+def test_q142_inverted_index_partial_aggregates(spark, sf_dir):
+    """Both aggregation levels must run partial (map-side) aggregation so
+    the token explode is absorbed before either shuffle."""
+    from eventstream_spark.operators.text import q142_inverted_index
+
+    plan = _plan(q142_inverted_index(spark, sf_dir))
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
+
+
+def test_q139_pagerank_reuses_persisted_edges(spark, sf_dir):
+    """Both PageRank iterations must read the persisted co-occurrence edge
+    set from cache — re-running the blocking join per iteration would
+    multiply the dominant cost by the iteration count."""
+    from eventstream_spark.operators.analytics import q139_pagerank
+
+    plan = _plan(q139_pagerank(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 4  # 2 union arms x 2 iterations
