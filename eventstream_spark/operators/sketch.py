@@ -44,41 +44,58 @@ from ..functions import hash48, hash48_sql
 
 # --- Bloom filter ----------------------------------------------------------
 
-_BLOOM_M = 8192  # bits; 1 KiB bitmap, broadcast as a 2 KiB hex literal
+_BLOOM_M_MIN = 8192  # bits; 1 KiB bitmap -> 2 KiB hex literal
+_BLOOM_M_MAX = 1 << 20  # positions are computed mod this, folded down below
 _BLOOM_K = 3  # independent md5-derived hash positions per key
 _BLOOM_PRICE = 495000.0  # build side: customers with a jumbo order
 
 
 def _bloom_positions(key: F.Column, seed: int) -> F.Column:
-    """Bit position for one hash function: md5-derived 48-bit hash of the
-    seeded key, mod m. Portable bit-for-bit (hash48 == duckdb md5 prefix),
-    though the oracle never needs it — the finishing join is exact."""
-    return F.pmod(hash48(F.concat(lit(f"b{seed}:"), key.cast("string"))), lit(_BLOOM_M))
+    """Bit position for one hash function at the MAX modulus: md5-derived
+    48-bit hash of the seeded key, mod 2^20. Because every candidate bitmap
+    size m is a power of two dividing 2^20, ``pos_max % m == hash % m`` —
+    so the build side computes positions ONCE at 2^20 and the driver folds
+    them to whatever m the observed key count calls for."""
+    return F.pmod(
+        hash48(F.concat(lit(f"b{seed}:"), key.cast("string"))), lit(_BLOOM_M_MAX)
+    )
 
 
 def build_bloom_hex(keys: DataFrame, key_col: str) -> str:
-    """Aggregate the build side to its distinct bit positions (<= m rows
-    cross the wire — partial-agg'd map-side) and fold them into a hex
-    bitmap on the driver. The collect is bounded by m (8192 ints), the same
-    driver budget class as the IVF centroid seed fetch."""
+    """Aggregate the build side to its distinct bit positions (partial-
+    agg'd map-side; <= min(3·|keys|, 2^20) ints cross the wire — the same
+    driver budget class as the IVF centroid seed fetch) and fold them into
+    a hex bitmap sized to the data: m = smallest power of two >= 8 bits per
+    observed position, clamped to [2^13, 2^20]. Growing m with the build
+    side keeps the false-positive rate roughly constant as the data scales
+    — the grow-bits-with-N rule (same argument as the q44b LSH planes)."""
     pos_cols = [_bloom_positions(col(key_col), s).alias(f"p{s}") for s in range(_BLOOM_K)]
-    positions = (
-        keys.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct().collect()
-    )
-    bits = bytearray(_BLOOM_M // 8)
-    for row in positions:
-        p = int(row.pos)
+    positions = [
+        int(r.pos)
+        for r in keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .distinct()
+        .collect()
+    ]
+    m = _BLOOM_M_MIN
+    while m < _BLOOM_M_MAX and m < 8 * max(len(positions), 1):
+        m *= 2
+    bits = bytearray(m // 8)
+    for p in positions:
+        p %= m
         bits[p // 8] |= 1 << (p % 8)
     return bits.hex()
 
 
 def bloom_might_contain(bloom_hex: str, key: F.Column) -> F.Column:
     """Map-side membership test: all k bits set. Pure column expressions on
-    a hex-string literal (substring + base-16 conv + shiftright), so the
-    test runs inside whole-stage codegen in the probe's scan stage."""
+    a hex-string literal (substring + base-16 conv + arithmetic bit test),
+    so the test runs inside whole-stage codegen in the probe's scan stage.
+    The bitmap length encodes m (always a power of two dividing 2^20, so
+    folding the 2^20-modulus position preserves the hash-mod-m value)."""
+    m = len(bloom_hex) * 4  # hex chars -> bits
     checks = []
     for s in range(_BLOOM_K):
-        pos = _bloom_positions(key, s)
+        pos = F.pmod(_bloom_positions(key, s), lit(m))
         byte = F.conv(
             F.substring(lit(bloom_hex), (F.floor(pos / 8) * 2 + 1).cast("int"), 2),
             16,

@@ -413,7 +413,149 @@ FROM e GROUP BY 1 ORDER BY 1
 """
 
 
+# --- streaming stateful top-k (q145) ---------------------------------------
+
+_TOPK_N = 5
+_TOPK_CHUNKS = 4
+
+
+def _events_chunks_dir(spark: SparkSession, sf_dir: str, n: int = _TOPK_CHUNKS) -> str:
+    """Split the events fixture into ``n`` parquet files (event_id mod n)
+    with strictly increasing mtimes, so maxFilesPerTrigger=1 yields a
+    genuinely MULTI-batch stream — unlike the single-file symlink feeds,
+    this exercises state carried across micro-batches."""
+    import glob
+    import shutil
+
+    from ..catalog import load
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"es_evchunks_{tag}")
+    marker = os.path.join(d, "_READY")  # leading _ -> invisible to the source
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        base_t = 1_600_000_000
+        for i in range(n):
+            build = os.path.join(d, f"_build{i}")
+            ev.where(col("event_id") % n == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(build)
+            src = glob.glob(os.path.join(build, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"chunk{i}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, times=(base_t + i, base_t + i))
+            shutil.rmtree(build)
+        open(marker, "w").close()
+    return d
+
+
+def q145_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key top-k with custom state: each micro-batch merges
+    its rows into the per-event_type top-5 (by value desc, event_id asc)
+    held in ``applyInPandasWithState`` — the leaderboard/alerting pattern
+    that ``dropDuplicates``/windowed aggs can't express (bounded ORDERED
+    state per key). The feed is genuinely multi-batch (4 chunk files,
+    maxFilesPerTrigger=1), so the final answer REQUIRES state to survive
+    across batches.
+
+    Retry-idempotence (the barrier.py discipline): the merge dedupes by
+    event_id before ranking, so a replayed micro-batch cannot occupy two
+    leaderboard slots with one event. Each update emits a monotonically
+    versioned snapshot; the final version per key is selected batch-side.
+
+    Scale: state is O(k) per key, shuffled once on the key; emission is
+    per-updated-key per batch — the same footprint as any keyed-state
+    streaming op. The batch oracle is the plain window top-5."""
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("version", LongType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("vals", ArrayType(DoubleType())),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("vals", ArrayType(DoubleType())),
+            StructField("version", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, vals, ver = state.get
+            pairs = dict(zip(ids, vals))
+        else:
+            pairs, ver = {}, 0
+        for pdf in pdfs:
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                pairs[int(eid)] = float(v)  # dedupe by id: replay-safe
+        top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOPK_N]
+        ids = [t[0] for t in top]
+        vals = [t[1] for t in top]
+        ver += 1
+        state.update((ids, vals, ver))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "version": [ver], "ids": [ids], "vals": [vals]}
+        )
+
+    d = _events_chunks_dir(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = file_stream(spark, d, schema, max_files_per_trigger=1)
+    snap = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_table(snap, spark, mode="append")
+    w = Window.partitionBy("event_type").orderBy(col("version").desc())
+    final = res.withColumn("rn", F.row_number().over(w)).where(col("rn") == 1)
+    z = final.select(
+        "event_type", F.posexplode(F.arrays_zip("ids", "vals")).alias("pos", "z")
+    )
+    return z.select(
+        "event_type",
+        (col("pos") + 1).cast("long").alias("rank"),
+        col("z.ids").alias("event_id"),
+        F.round(col("z.vals"), 2).alias("value"),
+    ).orderBy("event_type", "rank")
+
+
 ORACLES = {
+    "q145_stream_topk": f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events)
+SELECT event_type, rank, event_id, ROUND(value, 2) AS value
+FROM r WHERE rank <= {_TOPK_N}
+ORDER BY event_type, rank
+""",
     # Identical to the batch twins: the streaming run must land on the same
     # answer the oracle computes from the table at rest.
     "q128_stream_scrub": _scrub_oracle_sql(),
@@ -470,6 +612,7 @@ GROUP BY 1 ORDER BY 1
 }
 
 QUERIES = {
+    "q145_stream_topk": q145_stream_topk,
     "q90_stream_hourly": q90_stream_hourly,
     "q91_stream_dedup": q91_stream_dedup,
     "q92_stream_routing": q92_stream_routing,

