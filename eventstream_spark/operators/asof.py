@@ -137,9 +137,67 @@ SELECT p.event_id,
         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
 FROM purch p ORDER BY p.event_id
 """,
+    "q147_cogroup_asof": """
+WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id,
+       (SELECT c.event_id FROM clicks c
+        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+FROM purch p ORDER BY p.event_id
+""",
 }
+
+
+def q147_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q25's as-of correlation executed through the COGROUPED-map API
+    (``groupBy().cogroup().applyInPandas`` running ``pd.merge_asof`` per
+    user) — the escape hatch for per-key two-sided logic the relational
+    as-of composition can't express (interpolation, custom tolerance
+    curves, per-key model lookups). Same answer as q25 by construction;
+    the relational form (operators/asof.py:83) remains the default — this
+    rung exists to pin the cogrouped API against a known-exact oracle.
+
+    Scale: one co-partitioned shuffle on user_id for BOTH sides (the same
+    exchange the join pays), then per-key Arrow batches; per-key state is
+    the two sorted slices, never the whole table."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.where(col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def merge(purch_pdf, click_pdf):
+        import pandas as pd
+
+        p = purch_pdf.sort_values("ts", kind="mergesort")
+        if click_pdf.empty:
+            out = p.assign(click_id=pd.array([None] * len(p), dtype="Int64"))
+        else:
+            # sort clicks by (ts, event_id): merge_asof takes the LAST row
+            # among equal ts, so the tie goes to the largest event_id —
+            # exactly the relational form's ORDER BY ts DESC, event_id DESC
+            c = click_pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            out = pd.merge_asof(
+                p,
+                c.rename(columns={"event_id": "click_id"})[["ts", "click_id"]],
+                on="ts",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            out["click_id"] = out["click_id"].astype("Int64")
+        return out[["event_id", "click_id"]]
+
+    res = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, "event_id long, click_id long")
+    )
+    return res.orderBy("event_id")
+
 
 QUERIES = {
     "q25_asof_join": q25_asof_join,
     "q25b_asof_tolerance": q25b_asof_tolerance,
+    "q147_cogroup_asof": q147_cogroup_asof,
 }

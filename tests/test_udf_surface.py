@@ -101,3 +101,15 @@ def test_grouped_agg_udaf_matches_builtin(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) >= 3
+
+
+def test_cogrouped_map_equals_relational_asof(spark, sf_dir):
+    """The cogrouped-map rung (groupBy().cogroup().applyInPandas running
+    pd.merge_asof per key) returns row-identical results to the relational
+    as-of composition — pinning the last rung of the Python-execution
+    ladder against a known-exact plan, tie semantics included."""
+    from eventstream_spark.operators.asof import q147_cogroup_asof, q25_asof_join
+
+    a = [tuple(r) for r in q25_asof_join(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q147_cogroup_asof(spark, sf_dir).collect()]
+    assert a == b
