@@ -641,7 +641,56 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracles ---------------------------------------------------------------
 
+def q149_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema: events export to JSONL
+    once (landing-zone style), then read back via spark.read.schema(...)
+    .json — never schema inference, which would scan twice and let types
+    drift per batch (the same discipline file_stream enforces for
+    streaming sources). Timestamps travel as integer microseconds so the
+    JSON hop is lossless and timezone-free.
+
+    The aggregate equals the same rollup over the parquet original — the
+    oracle proves the format hop preserved every row and value. Scale:
+    JSONL is the interchange format crawl pipelines land in; the read is
+    splittable per line, so the scan parallelizes like any text source
+    (at 100 TB you convert to parquet once — this operator IS that
+    conversion's read side)."""
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"es_jsonl_{tag}")
+    marker = os.path.join(d, "_READY")
+    if not os.path.exists(marker):
+        ev = load(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros(col("ts")).alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        ev.coalesce(4).write.mode("overwrite").json(d)
+        open(marker, "w").close()
+    back = spark.read.schema(
+        "event_id long, ts_us long, event_type string, value double"
+    ).json(d)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q149_jsonl_source": """
+SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value,
+       MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+FROM events GROUP BY 1 ORDER BY 1
+""",
     "q01_scan_count": "SELECT COUNT(*) AS cnt FROM lineitem",
     "q02_scan_checksum": (
         "SELECT COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty,"
@@ -888,6 +937,7 @@ GROUP BY 1 ORDER BY 1
 }
 
 QUERIES = {
+    "q149_jsonl_source": q149_jsonl_source,
     "q01_scan_count": q01_scan_count,
     "q02_scan_checksum": q02_scan_checksum,
     "q03_filter_project": q03_filter_project,

@@ -908,7 +908,56 @@ def q146_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-threshold corpus filtering: instead of a fixed quality
+    cutoff (q31's _Q_FLAG), keep documents inside the [p10, p95] band of
+    the OBSERVED score distribution — the self-calibrating filter a
+    pipeline runs when each crawl snapshot shifts the score distribution.
+    Thresholds round to 6 decimals (the q130 discipline) so both engines
+    cut at bit-identical values; percentile ≡ quantile_cont.
+
+    Scale: one pass scores documents map-side; the two-row threshold
+    aggregate broadcasts back; the second pass filters and rolls up. The
+    exact percentile is the calibration step — at 100 TB it runs on a
+    SAMPLE or as approx_percentile (tolerance-tested elsewhere) without
+    changing the shape."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    scored = docs.select("doc_id", "source", "n_chars", quality_score().alias("q"))
+    thr = scored.agg(
+        F.round(F.expr("percentile(q, 0.10)"), 6).alias("lo"),
+        F.round(F.expr("percentile(q, 0.95)"), 6).alias("hi"),
+    )
+    kept = scored.crossJoin(F.broadcast(thr)).where(
+        (col("q") >= col("lo")) & (col("q") <= col("hi"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("q"), 4).alias("avg_q"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES = {
+    "q148_adaptive_quality_filter": f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars, q FROM (
+    SELECT doc_id, source, n_chars, {tokens_sql('text')} AS w, text FROM documents)
+  t, LATERAL (SELECT {quality_score_sql()} AS q)),
+thr AS (SELECT ROUND(quantile_cont(q, 0.10), 6) AS lo,
+               ROUND(quantile_cont(q, 0.95), 6) AS hi FROM scored),
+kept AS (SELECT s.* , t.lo, t.hi FROM scored s CROSS JOIN thr t
+         WHERE s.q >= t.lo AND s.q <= t.hi)
+SELECT source, COUNT(*) AS n_kept, ROUND(AVG(q), 4) AS avg_q,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       MAX(lo) AS lo, MAX(hi) AS hi
+FROM kept GROUP BY source ORDER BY source
+""",
     "q146_source_drift": f"""
 WITH tok AS (SELECT source, unnest({tokens_sql('text')}) AS term FROM documents),
 src_tf AS (SELECT source, term, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
@@ -1152,6 +1201,7 @@ QUERIES = {
     "q142_inverted_index": q142_inverted_index,
     "q143_weighted_sample": q143_weighted_sample,
     "q146_source_drift": q146_source_drift,
+    "q148_adaptive_quality_filter": q148_adaptive_quality_filter,
     "q81_corpus_mix": q81_corpus_mix,
     "q82_token_packing": q82_token_packing,
     "q84_repetition_stats": q84_repetition_stats,
