@@ -42,6 +42,8 @@ PORTABLE = [
     "q127_length_histogram",
     "q129_quality_report",
     "q130_value_outliers",
+    "q136_bloom_semi_join",
+    "q145_stream_topk",
 ]
 
 
