@@ -142,7 +142,7 @@ def main() -> None:
     steady: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).toPandas()
             runs.append(round(time.perf_counter() - t0, 3))
@@ -151,11 +151,13 @@ def main() -> None:
             # timer: a consumer frees the working set after reading results).
             release_cached()
         cold[name] = runs[0]
-        # Steady state = min of the two warm runs: the box occasionally
-        # hits multi-second virtualization stalls (measured: the same
-        # query's warm run varying 2.8s vs 10.5s across suite executions
-        # with zero GC time); min-of-N is the standard way to measure the
-        # query's actual cost under transient external noise.
+        # Steady state = min of the THREE warm runs: the box hits
+        # multi-second virtualization stalls under full 32-thread load
+        # (measured: the same warm run varying 2.3s vs 19.0s back-to-back
+        # with ~1200s of /proc/stat CPU-steal accumulated, zero GC time);
+        # min-of-N is the standard way to measure the query's actual cost
+        # under transient external noise, and two warm samples proved too
+        # few — both can land on a stall.
         steady[name] = min(runs[1:])
 
     print(
