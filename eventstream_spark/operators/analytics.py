@@ -633,6 +633,70 @@ def q139_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(col("rank_e12").desc(), "user_id")
 
 
+def q150_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of l_extendedprice in 8 buckets
+    — the ANALYZE-statistics primitive behind selectivity estimation and
+    skew-aware range partitioning (equi-WIDTH is q127; equi-depth is what
+    an optimizer actually stores). ntile ties break on the full row key
+    (l_orderkey, l_linenumber) so both engines bucket identically.
+
+    Scale: a global ntile is a single-partition sort — correct up to ~1e8
+    rows; beyond that the same histogram comes from approx_percentile
+    boundaries (sketch-merged, one pass) with counts per boundary range —
+    shape unchanged, documented here as the swap."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = li.select("l_extendedprice", F.ntile(8).over(w).alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q151_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns in
+    one aggregation pass (corr is a co-moment aggregate like q134's
+    regr_* family — partials merge map-side), emitted in long form. The
+    profiling step before feature selection / drift dashboards.
+
+    Outputs round to 4 (the regr_* discipline: co-moment folds differ in
+    the last ulp across engines; 4 decimals is far above that noise)."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+    ]
+    agg = li.agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.corr(a, b), 4).alias(f"c_{a}__{b}")
+            for a, b in pairs
+        ],
+    )
+    metrics = F.array(
+        *[
+            F.struct(
+                lit(a).alias("col_a"),
+                lit(b).alias("col_b"),
+                col(f"c_{a}__{b}").alias("pearson"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        agg.select(col("n").alias("n_rows"), F.explode(metrics).alias("m"))
+        .select("m.col_a", "m.col_b", "n_rows", "m.pearson")
+        .orderBy("col_a", "col_b")
+    )
+
+
 def _quality_report_sql() -> str:
     m = ["COUNT(*) AS n"]
     for c in _QUALITY_COLS:
@@ -651,8 +715,40 @@ def _quality_report_sql() -> str:
     )
 
 
+def _corr_matrix_sql() -> str:
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+    ]
+    m = ["COUNT(*) AS n"] + [
+        f"ROUND(corr({a}, {b}), 4) AS c_{a}__{b}" for a, b in pairs
+    ]
+    parts = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_rows, c_{a}__{b} AS pearson FROM m"
+        for a, b in pairs
+    ]
+    return (
+        "WITH m AS (SELECT " + ", ".join(m) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
 ORACLES: dict[str, str] = {
     "q129_quality_report": _quality_report_sql(),
+    "q150_equidepth_histogram": """
+WITH b AS (
+  SELECT l_extendedprice,
+         NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+  FROM lineitem)
+SELECT bucket, COUNT(*) AS cnt,
+       ROUND(MIN(l_extendedprice), 2) AS lo,
+       ROUND(MAX(l_extendedprice), 2) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    "q151_corr_matrix": _corr_matrix_sql(),
     "q138_mad_outliers": """
 WITH med AS (
   SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
@@ -880,6 +976,8 @@ QUERIES = {
     "q130_value_outliers": q130_value_outliers,
     "q138_mad_outliers": q138_mad_outliers,
     "q139_pagerank": q139_pagerank,
+    "q150_equidepth_histogram": q150_equidepth_histogram,
+    "q151_corr_matrix": q151_corr_matrix,
     "q133_triangle_count": q133_triangle_count,
     "q134_trend_per_type": q134_trend_per_type,
     "q62_exists_subquery": q62_exists_subquery,
