@@ -44,7 +44,7 @@ from ..functions import hash48, hash48_sql
 
 # --- Bloom filter ----------------------------------------------------------
 
-_BLOOM_M_MIN = 8192  # bits; 1 KiB bitmap -> 2 KiB hex literal
+_BLOOM_M_MIN = 8192  # bits; 1 KiB binary bitmap literal at the floor
 _BLOOM_M_MAX = 1 << 20  # positions are computed mod this, folded down below
 _BLOOM_K = 3  # independent md5-derived hash positions per key
 _BLOOM_PRICE = 495000.0  # build side: customers with a jumbo order
@@ -61,14 +61,21 @@ def _bloom_positions(key: F.Column, seed: int) -> F.Column:
     )
 
 
-def build_bloom_hex(keys: DataFrame, key_col: str) -> str:
+def build_bloom_bytes(keys: DataFrame, key_col: str) -> bytes:
     """Aggregate the build side to its distinct bit positions (partial-
     agg'd map-side; <= min(3·|keys|, 2^20) ints cross the wire — the same
     driver budget class as the IVF centroid seed fetch) and fold them into
-    a hex bitmap sized to the data: m = smallest power of two >= 8 bits per
-    observed position, clamped to [2^13, 2^20]. Growing m with the build
-    side keeps the false-positive rate roughly constant as the data scales
-    — the grow-bits-with-N rule (same argument as the q44b LSH planes)."""
+    a BINARY bitmap sized to the data: m = smallest power of two >= 8 bits
+    per observed position, clamped to [2^13, 2^20]. Growing m with the
+    build side keeps the false-positive rate roughly constant as the data
+    scales — the grow-bits-with-N rule (same argument as the q44b LSH
+    planes).
+
+    The bitmap MUST stay binary, not a hex string: Spark's substring on a
+    StringType literal walks the UTF8 bytes linearly to find the char
+    offset, turning every probe into O(m) — measured as a 40-minute
+    single-core stall at m = 2^19 over 150k probe rows. BinaryType
+    substring is a positional byte slice, O(1) per probe."""
     pos_cols = [_bloom_positions(col(key_col), s).alias(f"p{s}") for s in range(_BLOOM_K)]
     positions = [
         int(r.pos)
@@ -83,21 +90,24 @@ def build_bloom_hex(keys: DataFrame, key_col: str) -> str:
     for p in positions:
         p %= m
         bits[p // 8] |= 1 << (p % 8)
-    return bits.hex()
+    return bytes(bits)
 
 
-def bloom_might_contain(bloom_hex: str, key: F.Column) -> F.Column:
+def bloom_might_contain(bloom: bytes, key: F.Column) -> F.Column:
     """Map-side membership test: all k bits set. Pure column expressions on
-    a hex-string literal (substring + base-16 conv + arithmetic bit test),
-    so the test runs inside whole-stage codegen in the probe's scan stage.
-    The bitmap length encodes m (always a power of two dividing 2^20, so
-    folding the 2^20-modulus position preserves the hash-mod-m value)."""
-    m = len(bloom_hex) * 4  # hex chars -> bits
+    a BINARY bitmap literal (byte-positional substring + hex of ONE byte +
+    arithmetic bit test), so the test runs inside whole-stage codegen in
+    the probe's scan stage at O(1) per probe. The bitmap length encodes m
+    (always a power of two dividing 2^20, so folding the 2^20-modulus
+    position preserves the hash-mod-m value)."""
+    m = len(bloom) * 8
     checks = []
     for s in range(_BLOOM_K):
         pos = F.pmod(_bloom_positions(key, s), lit(m))
         byte = F.conv(
-            F.substring(lit(bloom_hex), (F.floor(pos / 8) * 2 + 1).cast("int"), 2),
+            F.hex(
+                F.substring(lit(bytearray(bloom)), (F.floor(pos / 8) + 1).cast("int"), 1)
+            ),
             16,
             10,
         ).cast("int")
@@ -119,7 +129,7 @@ def q136_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side.
 
     Plan shape: build keys -> distinct bit positions (one tiny aggregate)
-    -> hex bitmap literal; probe scan filters on the bitmap MAP-SIDE, then
+    -> binary bitmap literal; probe scan filters on the bitmap MAP-SIDE, then
     an exact left-semi join removes false positives. The oracle is the
     plain semi-join: the bloom can only prune, never alter the result.
     """
@@ -128,9 +138,9 @@ def q136_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(col("o_totalprice") > _BLOOM_PRICE)
         .select("o_custkey")
     )
-    bloom_hex = build_bloom_hex(build, "o_custkey")
+    bloom = build_bloom_bytes(build, "o_custkey")
     cust = load(spark, sf_dir, "customer")
-    candidates = cust.where(bloom_might_contain(bloom_hex, col("c_custkey")))
+    candidates = cust.where(bloom_might_contain(bloom, col("c_custkey")))
     return (
         candidates.join(build, candidates.c_custkey == build.o_custkey, "left_semi")
         .groupBy("c_mktsegment")

@@ -15,7 +15,7 @@ from eventstream_spark.operators.sketch import (
     _MG_COUNTERS,
     bigram_stream,
     bloom_might_contain,
-    build_bloom_hex,
+    build_bloom_bytes,
     q136_bloom_semi_join,
 )
 
@@ -30,15 +30,15 @@ def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
         .select("o_custkey")
         .distinct()
     )
-    hex_bits = build_bloom_hex(build, "o_custkey")
+    bmp = build_bloom_bytes(build, "o_custkey")
 
     n_build = build.count()
-    n_build_pass = build.where(bloom_might_contain(hex_bits, col("o_custkey"))).count()
+    n_build_pass = build.where(bloom_might_contain(bmp, col("o_custkey"))).count()
     assert n_build_pass == n_build  # no false negatives
 
     cust = load(spark, sf_dir, "customer")
     n_all = cust.count()
-    n_candidates = cust.where(bloom_might_contain(hex_bits, col("c_custkey"))).count()
+    n_candidates = cust.where(bloom_might_contain(bmp, col("c_custkey"))).count()
     assert n_build <= n_candidates < n_all  # superset of matches, real pruning
 
 
@@ -46,9 +46,10 @@ def test_bloom_filter_is_map_side(spark, sf_dir):
     """The bloom membership test must sit in the probe's scan-side Filter,
     before any Exchange — pruning after the shuffle would defeat it."""
     plan = q136_bloom_semi_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    # all three bitmap probes (one conv(substring(...)) per hash) compile
-    # into Filter expressions, i.e. the test runs in codegen before the join
-    assert plan.lower().count("conv(substring") >= 3, plan
+    # all three bitmap probes (one conv(hex(substring(...))) per hash, on a
+    # BINARY literal) compile into Filter expressions, i.e. the test runs in
+    # codegen before the join
+    assert plan.lower().count("conv(hex(substring") >= 3, plan
 
 
 def test_misra_gries_superset_adversarial(spark):
@@ -95,12 +96,12 @@ def test_bloom_grows_bits_with_build_side(spark):
     disjoint probe set must stay bounded — the property that keeps the
     pre-filter useful as the build side scales."""
     build = spark.range(0, 40_000).withColumnRenamed("id", "k")
-    hex_bits = build_bloom_hex(build, "k")
-    m = len(hex_bits) * 4
+    bmp = build_bloom_bytes(build, "k")
+    m = len(bmp) * 8
     assert m > 8192
     probe = spark.range(1_000_000, 1_010_000).withColumnRenamed("id", "k")
-    fp = probe.where(bloom_might_contain(hex_bits, col("k"))).count()
+    fp = probe.where(bloom_might_contain(bmp, col("k"))).count()
     assert fp / 10_000 < 0.25
     # and still zero false negatives at this size
-    hits = build.where(bloom_might_contain(hex_bits, col("k"))).count()
+    hits = build.where(bloom_might_contain(bmp, col("k"))).count()
     assert hits == 40_000
