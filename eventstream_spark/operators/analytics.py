@@ -640,13 +640,20 @@ def q150_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     an optimizer actually stores). ntile ties break on the full row key
     (l_orderkey, l_linenumber) so both engines bucket identically.
 
-    Scale: a global ntile is a single-partition sort — correct up to ~1e8
-    rows; beyond that the same histogram comes from approx_percentile
-    boundaries (sketch-merged, one pass) with counts per boundary range —
-    shape unchanged, documented here as the swap."""
+    Scale: bucket assignment runs through ``scalable_ntile``
+    (operators/ranking.py — range partition + offset ranks, NTILE
+    semantics bit-identical, no single-task window). For one-pass
+    histograms without the sort, approx_percentile boundaries are the
+    sketch alternative (tolerance-tested elsewhere)."""
+    from .ranking import scalable_ntile
+
     li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    b = li.select("l_extendedprice", F.ntile(8).over(w).alias("bucket"))
+    b = scalable_ntile(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")],
+        8,
+        "bucket",
+    )
     return (
         b.groupBy("bucket")
         .agg(

@@ -1,0 +1,90 @@
+"""Scalable global ranking: row_number / ntile over a TOTAL order without
+a single-task window.
+
+A bare ``Window.orderBy(...)`` (no partitionBy) moves every row into ONE
+task — correct to ~1e8 rows on a fat executor and a wall at any real
+scale. The classic fix, implemented here: range-partition on the ordering
+key, rank WITHIN partitions, and add each partition's exclusive prefix
+count (a <=num_partitions-row collect — driver-trivial). Because the
+ordering must be TOTAL (callers append a unique tie-break column), the
+result is identical to the single-task form no matter where the range
+boundaries land, so the same duckdb oracles keep passing unchanged.
+
+``scalable_ntile`` reproduces Spark/ANSI NTILE(k) exactly from the global
+rank: the first (n mod k) buckets take ceil(n/k) rows, the rest floor —
+pinned equal to F.ntile in tests/test_ranking.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import col, lit
+
+
+def _ranked_with_total(
+    df: DataFrame, order_cols: list, out_col: str
+) -> tuple[DataFrame, int]:
+    """(ranked df, total rows): 1-based global rank over a TOTAL order
+    (order_cols must be tie-free — include a unique key) via range
+    partitioning + an exclusive prefix-count offset. The per-partition
+    count collect (<= shuffle-partitions rows) also yields the total for
+    free.
+
+    Cost: one range exchange (same as any global sort) + a per-partition
+    window + the tiny collect. At 100 TB this is the plan a sort already
+    pays; the single-task form is the one that cannot run."""
+    rp = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in rp.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    off = F.coalesce(
+        *[F.when(col("_pid") == p, lit(o)) for p, o in offsets.items()], lit(0)
+    )
+    ranked = rp.withColumn(out_col, (F.row_number().over(w) + off).cast("long")).drop(
+        "_pid"
+    )
+    return ranked, acc
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, out_col: str = "_rank"
+) -> DataFrame:
+    """Append a 1-based global rank with no single-task window (see
+    _ranked_with_total)."""
+    ranked, _ = _ranked_with_total(df, order_cols, out_col)
+    return ranked
+
+
+def ntile_from_rank(rank: F.Column, n: int, k: int) -> F.Column:
+    """ANSI NTILE(k) bucket from a 1-based global rank over n rows: the
+    first (n mod k) buckets hold ceil(n/k) rows, the remainder floor(n/k).
+    Pure integer arithmetic — deterministic everywhere."""
+    q, rem = divmod(n, k)
+    boundary = rem * (q + 1)
+    if q == 0:
+        # fewer rows than buckets: rank IS the bucket
+        return rank.cast("int")
+    return (
+        F.when(rank <= lit(boundary), F.floor((rank - 1) / lit(q + 1)) + 1)
+        .otherwise(lit(rem) + F.floor((rank - 1 - lit(boundary)) / lit(q)) + 1)
+        .cast("int")
+    )
+
+
+def scalable_ntile(
+    df: DataFrame, order_cols: list, k: int, out_col: str
+) -> DataFrame:
+    """NTILE(k) over a total order with no single-task window: global rank
+    via range partitioning, then the closed-form bucket assignment."""
+    ranked, n = _ranked_with_total(df, order_cols, "_gr")
+    return ranked.withColumn(out_col, ntile_from_rank(col("_gr"), n, k)).drop("_gr")

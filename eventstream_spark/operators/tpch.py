@@ -713,10 +713,14 @@ def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ntile assignment depends on total row order, so every
     ORDER BY carries c_custkey as the tie-break — both engines quartile
     identically. Scale: one groupBy over orders (partial-agg'd), the
-    anchor is a scalar crossJoin, and the three ntile windows are global
-    single-partition orderings over ONE ROW PER CUSTOMER — fine to ~100M
-    customers; beyond that, swap ntile for a percent_rank over a
-    range-partitioned sort (same output, no single-task window)."""
+    anchor is a scalar crossJoin, and the three quartile assignments run
+    through ``scalable_ntile`` (operators/ranking.py): range partition +
+    per-partition rank + exclusive prefix offsets — NTILE semantics
+    bit-identical to the single-task window (pinned in
+    tests/test_ranking.py) with no single-task window anywhere."""
+    from ..cache import persist_tracked
+    from .ranking import scalable_ntile
+
     orders = load(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
     per_cust = (
@@ -734,21 +738,12 @@ def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_sum",
         )
     )
-    from pyspark.sql import Window
-
-    wr = Window.orderBy(col("r_days").asc(), col("c_custkey").asc())
-    wf = Window.orderBy(col("f_cnt").desc(), col("c_custkey").asc())
-    wm = Window.orderBy(col("m_sum").desc(), col("c_custkey").asc())
+    t = persist_tracked(per_cust)
+    t = scalable_ntile(t, [col("r_days").asc(), col("c_custkey").asc()], 4, "r_tile")
+    t = scalable_ntile(t, [col("f_cnt").desc(), col("c_custkey").asc()], 4, "f_tile")
+    t = scalable_ntile(t, [col("m_sum").desc(), col("c_custkey").asc()], 4, "m_tile")
     return (
-        per_cust.select(
-            "c_custkey",
-            "r_days",
-            "f_cnt",
-            "m_sum",
-            F.ntile(4).over(wr).alias("r_tile"),
-            F.ntile(4).over(wf).alias("f_tile"),
-            F.ntile(4).over(wm).alias("m_tile"),
-        )
+        t.select("c_custkey", "r_days", "f_cnt", "m_sum", "r_tile", "f_tile", "m_tile")
         .withColumn(
             "rfm",
             (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile")).cast("long"),
