@@ -610,18 +610,19 @@ def q139_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.select(col("u").alias("s"), col("v").alias("d")).union(
         und.select(col("v").alias("s"), col("u").alias("d"))
     )
-    verts = edges.select(col("s").alias("x")).distinct()
+    # degree rides ON the edge list (one groupBy + join, done ONCE) so each
+    # iteration pays a single rank join instead of rank + degree joins
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+    edges_deg = persist_tracked(edges.join(deg, "s"))
+    verts = persist_tracked(edges_deg.select(col("s").alias("x")).distinct())
     n = verts.count()  # scalar graph size (drives the integer base rank)
     if n == 0:
         return spark.createDataFrame([], "user_id long, rank_e12 long")
-    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
     ranks = verts.select("x", lit(_PR_MASS // n).alias("r"))
     base = (3 * _PR_MASS) // (20 * n)
     for _ in range(2):
-        contrib = (
-            edges.join(ranks, edges.s == ranks.x)
-            .join(deg, "s")
-            .select(col("d"), F.expr("r div deg").alias("c"))
+        contrib = edges_deg.join(ranks, edges_deg.s == ranks.x).select(
+            col("d"), F.expr("r div deg").alias("c")
         )
         summed = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
         ranks = verts.join(summed, verts.x == summed.d, "left").select(

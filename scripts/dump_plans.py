@@ -41,6 +41,7 @@ PICKS = {
     "q139_pagerank": "integer PageRank: both iterations read the persisted edge set (InMemoryTableScan), one join + one agg per iteration",
     "q142_inverted_index": "inverted index: both agg levels partial (map-side) — the explode never crosses a shuffle raw",
     "q143_weighted_sample": "weighted top-k: TakeOrderedAndProject, no global sort",
+    "q150_equidepth_histogram": "equi-depth buckets via scalable_ntile: rangepartitioning exchange + per-partition rank — no single-task Window",
 }
 
 
