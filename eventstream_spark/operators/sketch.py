@@ -217,7 +217,65 @@ def q137_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bigram conditional LM (q152) ------------------------------------------
+
+
+def q152_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: for each context token, the top-3
+    continuations with conditional probability P(w2|w1) = c(w1 w2)/c(w1·)
+    — the classic n-gram LM build (q125 scores docs with the unigram
+    marginal; this is the conditional table the generator/smoother needs).
+
+    Determinism: probabilities are ratios of integer counts rounded to 6;
+    ranking breaks ties on the continuation string. Scale: one groupBy on
+    the bigram (map-side partials absorb the explode), context totals
+    derive from the bigram table (no second corpus pass), and the top-3 is
+    a per-context window — WindowGroupLimit keeps state at k per key."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    grams = bigram_stream(docs).select(
+        F.split(col("bigram"), " ").getItem(0).alias("w1"),
+        F.split(col("bigram"), " ").getItem(1).alias("w2"),
+    )
+    c12 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w1").orderBy(
+        col("c12").desc(), col("w2").asc()
+    )
+    return (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(col("c12") / col("c1").cast("double"), 6).alias("p"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(col("rank") <= 3)
+        .orderBy("w1", "rank")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q152_bigram_lm": """
+WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                               i -> a[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(a) - 1),
+                               i -> a[i + 1])) AS w2
+  FROM toks),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+r AS (
+  SELECT c12.w1, w2, c12,
+         ROUND(c12 / CAST(c1 AS DOUBLE), 6) AS p,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c12.w1
+                                 ORDER BY c12 DESC, w2 ASC) AS INT) AS rank
+  FROM c12 JOIN c1 USING (w1))
+SELECT w1, w2, c12, p, rank FROM r WHERE rank <= 3 ORDER BY w1, rank
+""",
     "q136_bloom_semi_join": f"""
 SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
 FROM customer
@@ -245,4 +303,5 @@ ORDER BY cnt DESC, bigram
 QUERIES = {
     "q136_bloom_semi_join": q136_bloom_semi_join,
     "q137_heavy_hitters": q137_heavy_hitters,
+    "q152_bigram_lm": q152_bigram_lm,
 }
