@@ -351,7 +351,137 @@ def q106_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of the events table
+    (added / removed / changed row counts per event_type) — the validation
+    pass after any MERGE/CDC apply (q87/q88), and the anti-entropy check
+    between replicas. Version A drops event_id % 10 == 9; version B
+    perturbs the value of every user_id % 100 == 0 row — so all three
+    classes are non-empty by construction.
+
+    Scale: ONE full-outer join on the key; the invariant columns compare
+    through a map-side md5 over INTEGER renderings (micros + ids — floats
+    and timestamps never stringify, the two engines render those
+    differently), the mutable metric compares numerically. Comparing a
+    hash instead of N columns keeps diff cost independent of width."""
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(F.concat_ws("|", F.unix_micros(col("ts")), col("user_id")))
+    a = ev.where(~(col("event_id") % 10 == 9)).select(
+        "event_id", "event_type", h.alias("h_a"), col("value").alias("v_a")
+    )
+    b = ev.select(
+        "event_id",
+        col("event_type").alias("event_type_b"),
+        h.alias("h_b"),
+        F.when(col("user_id") % 100 == 0, col("value") + 1.0)
+        .otherwise(col("value"))
+        .alias("v_b"),
+    )
+    j = a.join(b, "event_id", "full_outer")
+    return (
+        j.select(
+            F.coalesce("event_type", "event_type_b").alias("event_type"),
+            F.isnull("h_a").cast("long").alias("added"),
+            F.isnull("h_b").cast("long").alias("removed"),
+            (
+                col("h_a").isNotNull()
+                & col("h_b").isNotNull()
+                & ((col("h_a") != col("h_b")) | (col("v_a") != col("v_b")))
+            )
+            .cast("long")
+            .alias("changed"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("added").alias("n_added"),
+            F.sum("removed").alias("n_removed"),
+            F.sum("changed").alias("n_changed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q154_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every declared FK edge: child
+    rows whose key has no parent (left-anti join per edge) — the
+    constraint check a lakehouse runs because parquet enforces nothing.
+    One row per edge: child rows, orphan rows, distinct orphan keys.
+
+    Scale: each edge is an anti-join on its key — broadcast when the
+    parent is a dim, shuffle otherwise (AQE decides); edges are
+    independent jobs, so a scheduler runs them concurrently."""
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        parts.append(
+            c.agg(F.count("*").alias("child_rows"))
+            .crossJoin(
+                orphans.agg(
+                    F.count("*").alias("orphan_rows"),
+                    F.countDistinct(ck).alias("orphan_keys"),
+                )
+            )
+            .select(
+                lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+                "child_rows",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("fk_edge")
+
+
+def _fk_audit_sql() -> str:
+    parts = [
+        f"""SELECT '{child}.{ck}->{parent}.{pk}' AS fk_edge,
+       (SELECT COUNT(*) FROM {child}) AS child_rows,
+       COUNT(*) AS orphan_rows,
+       COUNT(DISTINCT x.{ck}) AS orphan_keys
+FROM (SELECT {ck} FROM {child}
+      WHERE {ck} NOT IN (SELECT {pk} FROM {parent})) x"""
+        for child, ck, parent, pk in _FK_EDGES
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY fk_edge"
+
+
 ORACLES = {
+    "q153_snapshot_diff": """
+WITH a AS (
+  SELECT event_id, event_type,
+         md5(CAST(ts AS VARCHAR) || '|' || user_id || '|' || value) AS h_a
+  FROM events WHERE event_id % 10 <> 9),
+b AS (
+  SELECT event_id, event_type AS event_type_b,
+         md5(CAST(ts AS VARCHAR) || '|' || user_id || '|' ||
+             CASE WHEN user_id % 100 = 0 THEN value + 1.0 ELSE value END) AS h_b
+  FROM events),
+j AS (SELECT COALESCE(a.event_type, b.event_type_b) AS event_type,
+             a.h_a, b.h_b
+      FROM a FULL OUTER JOIN b USING (event_id))
+SELECT event_type,
+       CAST(SUM(CASE WHEN h_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN h_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN h_a IS NOT NULL AND h_b IS NOT NULL
+                      AND h_a <> h_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+FROM j GROUP BY event_type ORDER BY event_type
+""",
+    "q154_fk_audit": _fk_audit_sql(),
     "q93_salted_join": """
 SELECT p_brand, COUNT(*) AS cnt, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -421,6 +551,8 @@ FROM documents GROUP BY 1 ORDER BY 1
 }
 
 QUERIES = {
+    "q153_snapshot_diff": q153_snapshot_diff,
+    "q154_fk_audit": q154_fk_audit,
     "q87_merge_upsert": q87_merge_upsert,
     "q87b_merge_cow": q87b_merge_cow,
     "q88_latest_per_key": q88_latest_per_key,
