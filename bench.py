@@ -96,6 +96,21 @@ HEADLINE = [
     "q138_mad_outliers",
     "q139_pagerank",
     "q141_cdc_chunk_dedup",
+    # round 4 (cont. 2): index/sampling/profiling/reconciliation additions
+    "q140_rfm_segments",
+    "q142_inverted_index",
+    "q143_weighted_sample",
+    "q144_skew_report",
+    "q146_source_drift",
+    # q147 (cogroup+merge_asof) is deliberately NOT a headline query: per-key
+    # pandas groups cost ~16 s at sf0.1 — it exists to pin the cogrouped-map
+    # API against an exact oracle; the relational as-of (q25) is the perf path.
+    "q148_adaptive_quality_filter",
+    "q150_equidepth_histogram",
+    "q151_corr_matrix",
+    "q152_bigram_lm",
+    "q153_snapshot_diff",
+    "q154_fk_audit",
 ]
 
 
