@@ -139,6 +139,16 @@ SCALE_QUERIES = [
     "q142_inverted_index",
     "q143_weighted_sample",
     "q144_skew_report",
+    # round 4 (cont. 2). q148's exact global percentile holds ONE buffer of
+    # all doc scores (500k doubles at 100x — fine; it is not per-group like
+    # q138's exclusion). q147 cogroup is an API rung, not a scale claim.
+    "q146_source_drift",
+    "q148_adaptive_quality_filter",
+    "q150_equidepth_histogram",
+    "q151_corr_matrix",
+    "q152_bigram_lm",
+    "q153_snapshot_diff",
+    "q154_fk_audit",
 ]
 
 
