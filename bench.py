@@ -111,6 +111,13 @@ HEADLINE = [
     "q152_bigram_lm",
     "q153_snapshot_diff",
     "q154_fk_audit",
+    # round 4 (cont. 3): ER, sweep-line, SCD2, BM25, z-order, attribution
+    "q155_fuzzy_blocked_match",
+    "q156_interval_concurrency",
+    "q157_scd2_history",
+    "q158_bm25_topk",
+    "q159_zorder_layout",
+    "q160_attribution",
 ]
 
 

@@ -705,6 +705,138 @@ def q151_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval max-concurrency via the sweep-line trick: each event holds a
+    resource for (event_id % 7 + 1) minutes; how many overlap at peak, per
+    type? No interval-overlap join exists in either engine — the classical
+    reduction is endpoints → ±1 deltas → running sum, and the peak is the
+    max prefix sum (ends sort before starts at equal t, so intervals are
+    end-exclusive). All arithmetic on integer microseconds.
+
+    Scale: the ±1 expansion is map-side (explode, ONE scan — the oracle's
+    UNION ALL twin scans twice); the running sum is linear state inside each
+    event_type partition. A single dominant type serializing into one task
+    gets the same two-level treatment as token packing (pack_shards):
+    range-bucket the timeline, sweep within buckets, then offset each bucket
+    by the exclusive prefix sum of its delta total. Ties (equal t, equal
+    delta) commute through the prefix sum, so the result is deterministic
+    under any partition order."""
+    ev = load(spark, sf_dir, "events")
+    s = F.unix_micros(col("ts"))
+    e = s + (col("event_id") % 7 + 1) * lit(60_000_000)
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(s.alias("t"), lit(1).alias("delta")),
+                F.struct(e.alias("t"), lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("event_type", col("p.t").alias("t"), col("p.delta").alias("delta"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select(
+        "event_type", "t", F.sum("delta").over(w).cast("long").alias("conc")
+    )
+    run = run.withColumn(
+        "mx", F.max("conc").over(Window.partitionBy("event_type"))
+    )
+    return (
+        run.groupBy("event_type")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+            F.max("conc").alias("max_concurrency"),
+            F.min(F.when(col("conc") == col("mx"), col("t"))).alias(
+                "first_peak_us"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q157_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event log: collapse each user's
+    event stream into validity intervals of their current event_type state
+    (valid_from/valid_to, version, is_current) — the slowly-changing-
+    dimension history table every warehouse derives from CDC feeds (q88 is
+    the SCD1 latest-per-key twin). Change rows are where lag(state) differs;
+    valid_to is the next change's timestamp, NULL on the open version.
+
+    Scale: two windows over the same (user_id, ts, event_id) partitioning —
+    one exchange, user partitions are small by construction (per-entity
+    history), and timestamps stay integer micros end to end."""
+    ev = load(spark, sf_dir, "events").where(col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(col("prev_type").isNull() | (col("prev_type") != col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return ch.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version"),
+        "event_type",
+        F.unix_micros(col("ts")).alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+def q160_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: credit each purchase to the user's
+    most recent PRIOR click/view within a 7-day lookback, then roll up
+    conversions and attributed revenue per touch type. The carry-forward is
+    last_value(... IGNORE NULLS) over rows-preceding — the standard
+    sessionless attribution scan.
+
+    Scale: one window exchange on user_id (linear state per user); revenue
+    sums in integer micro-units so partial-sum order can't change the
+    answer (q125's discipline)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = col("event_type").isin("click", "view")
+    touched = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_touch, col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        touched.where(
+            (col("event_type") == "purchase")
+            & col("touch_type").isNotNull()
+            & (
+                F.unix_micros(col("ts")) - F.unix_micros(col("touch_ts"))
+                <= lit(604_800_000_000)
+            )
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            (
+                F.sum(F.round(col("value") * 1e6).cast("long")) / lit(1e6)
+            ).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
 def _quality_report_sql() -> str:
     m = ["COUNT(*) AS n"]
     for c in _QUALITY_COLS:
@@ -757,6 +889,65 @@ SELECT bucket, COUNT(*) AS cnt,
 FROM b GROUP BY bucket ORDER BY bucket
 """,
     "q151_corr_matrix": _corr_matrix_sql(),
+    "q156_interval_concurrency": """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events),
+pts AS (
+  SELECT event_type, s AS t, 1 AS delta FROM iv
+  UNION ALL SELECT event_type, e, -1 FROM iv),
+run AS (
+  SELECT event_type, t,
+         CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM pts),
+peak AS (
+  SELECT event_type, t, conc,
+         MAX(conc) OVER (PARTITION BY event_type) AS mx
+  FROM run)
+SELECT event_type,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+       MAX(conc) AS max_concurrency,
+       MIN(CASE WHEN conc = mx THEN t END) AS first_peak_us
+FROM peak GROUP BY event_type ORDER BY event_type
+""",
+    "q157_scd2_history": """
+WITH h AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE user_id % 50 = 0),
+ch AS (
+  SELECT user_id, event_type, ts, event_id FROM h
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+""",
+    "q160_attribution": """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+               IGNORE NULLS) OVER w AS touch_type,
+    last_value(CASE WHEN event_type IN ('click','view') THEN ts END
+               IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT touch_type,
+       COUNT(*) AS n_conversions,
+       SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6 AS attributed_value
+FROM e
+WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+  AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+GROUP BY touch_type ORDER BY touch_type
+""",
     "q138_mad_outliers": """
 WITH med AS (
   SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
@@ -1004,4 +1195,7 @@ QUERIES = {
     "q103_boilerplate_scrub": q103_boilerplate_scrub,
     "q118_event_transitions": q118_event_transitions,
     "q119_cohort_retention": q119_cohort_retention,
+    "q156_interval_concurrency": q156_interval_concurrency,
+    "q157_scd2_history": q157_scd2_history,
+    "q160_attribution": q160_attribution,
 }

@@ -908,7 +908,59 @@ def q141_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q155_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / fuzzy entity matching with BLOCKING: candidate part
+    pairs share a (brand, size) blocking key, then an edit-distance verifier
+    (levenshtein ≤ 8 on the name) decides the match — the standard two-stage
+    ER pipeline (block → compare) that replaces the impossible all-pairs
+    comparison. Output: per-brand candidate/match counts and the closest
+    observed distance.
+
+    Scale: the blocking key turns O(n²) comparisons into an equi-join (one
+    shuffle on (brand, size); AQE handles hot blocks). Levenshtein is a
+    JVM-side built-in — no Python in the verifier. Block sizing is the
+    recall/cost knob, exactly as band width is for MinHash (q42)."""
+    p = load(spark, sf_dir, "part")
+    a = p.select(
+        col("p_brand").alias("brand"),
+        col("p_size").alias("size"),
+        col("p_partkey").alias("ka"),
+        col("p_name").alias("na"),
+    )
+    b = p.select(
+        col("p_brand").alias("brand"),
+        col("p_size").alias("size"),
+        col("p_partkey").alias("kb"),
+        col("p_name").alias("nb"),
+    )
+    d = F.levenshtein(col("na"), col("nb"))
+    return (
+        a.join(b, ["brand", "size"])
+        .where(col("ka") < col("kb"))
+        .select("brand", d.alias("d"))
+        .groupBy("brand")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum((col("d") <= 8).cast("long")).alias("n_matched"),
+            F.min("d").cast("long").alias("min_dist"),
+        )
+        .orderBy("brand")
+    )
+
+
 ORACLES = {
+    "q155_fuzzy_blocked_match": """
+WITH pairs AS (
+  SELECT a.p_brand AS brand, levenshtein(a.p_name, b.p_name) AS d
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey)
+SELECT brand,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN d <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(MIN(d) AS BIGINT) AS min_dist
+FROM pairs GROUP BY brand ORDER BY brand
+""",
     "q141_cdc_chunk_dedup": f"""
 WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS a FROM documents),
 t AS (SELECT doc_id, i, a[i] AS tok
@@ -995,6 +1047,7 @@ ORDER BY 1, 2
 }
 
 QUERIES = {
+    "q155_fuzzy_blocked_match": q155_fuzzy_blocked_match,
     "q141_cdc_chunk_dedup": q141_cdc_chunk_dedup,
     "q40_dedup_exact": q40_dedup_exact,
     "q41_ngram_jaccard": q41_ngram_jaccard,

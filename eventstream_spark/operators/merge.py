@@ -24,6 +24,7 @@ from pyspark.sql.functions import col, lit
 
 from ..catalog import load
 from ..functions import hash48, hash48_sql
+from .ranking import scalable_ntile
 
 
 def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
@@ -351,6 +352,79 @@ def q106_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interleave_bits(x, y, bits: int):
+    """Morton/Z-value: interleave the low ``bits`` of x (even positions)
+    and y (odd positions). Pure integer arithmetic — identical in any
+    engine."""
+    z = lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def q159_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout vs a linear sort, measured: rank
+    l_partkey and l_suppkey into 32 quantile buckets each, interleave the
+    bucket bits into a 10-bit Z-value, carve the curve into 64 "files", and
+    report the average per-file key span for both dimensions against the
+    one-dimensional sort's layout. Z-order bounds BOTH spans (~√files
+    shrink each) where the linear sort clusters only its own key — the
+    min/max-skipping argument behind OPTIMIZE ZORDER BY in lakehouse
+    engines.
+
+    Scale: quantile bucketing uses scalable_ntile (range partition +
+    closed-form bucket split — no single-task window; bit-identical to
+    ANSI NTILE, which is what the oracle runs); the Z-value and file
+    assignment are map-side integer ops; per-file min/max is one hash
+    aggregation. The write path is ``df.repartitionByRange(F.col('zval'))
+    .sortWithinPartitions('zval').write...`` — this query is the layout's
+    measurement half, oracle-checkable."""
+    src = load(spark, sf_dir, "lineitem").select(
+        col("l_partkey").alias("x"),
+        col("l_suppkey").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    bx = scalable_ntile(src, ["x", "l_orderkey", "l_linenumber"], 32, "px1")
+    bxy = scalable_ntile(
+        bx, ["y", "l_orderkey", "l_linenumber"], 32, "py1"
+    ).select(
+        "x",
+        "y",
+        "l_orderkey",
+        "l_linenumber",
+        (col("px1") - 1).alias("px"),
+        (col("py1") - 1).alias("py"),
+    )
+    zf = bxy.select(
+        F.shiftright(_interleave_bits(col("px"), col("py"), 5), 4).alias(
+            "file_id"
+        ),
+        "x",
+        "y",
+    )
+    lf = scalable_ntile(
+        src, ["x", "l_orderkey", "l_linenumber"], 64, "f1"
+    ).select((col("f1") - 1).alias("file_id"), "x", "y")
+
+    def stat(df: DataFrame, name: str) -> DataFrame:
+        per_file = df.groupBy("file_id").agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        return per_file.agg(
+            lit(name).alias("layout"),
+            F.count("*").alias("n_files"),
+            F.floor(F.avg("sx")).cast("long").alias("avg_span_x"),
+            F.floor(F.avg("sy")).cast("long").alias("avg_span_y"),
+        )
+    return stat(zf, "zorder").unionByName(stat(lf, "linear")).orderBy("layout")
+
+
 def q153_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation: diff two versions of the events table
     (added / removed / changed row counts per event_type) — the validation
@@ -461,6 +535,37 @@ FROM (SELECT {ck} FROM {child}
 
 
 ORACLES = {
+    "q159_zorder_layout": """
+WITH src AS (
+  SELECT l_partkey AS x, l_suppkey AS y, l_orderkey, l_linenumber FROM lineitem),
+bx AS (
+  SELECT x, y,
+         ntile(32) OVER (ORDER BY x, l_orderkey, l_linenumber) - 1 AS px,
+         ntile(32) OVER (ORDER BY y, l_orderkey, l_linenumber) - 1 AS py
+  FROM src),
+z AS (
+  SELECT x, y,
+         ((px >> 0) & 1) * 1    + ((py >> 0) & 1) * 2
+       + ((px >> 1) & 1) * 4    + ((py >> 1) & 1) * 8
+       + ((px >> 2) & 1) * 16   + ((py >> 2) & 1) * 32
+       + ((px >> 3) & 1) * 64   + ((py >> 3) & 1) * 128
+       + ((px >> 4) & 1) * 256  + ((py >> 4) & 1) * 512 AS zval
+  FROM bx),
+zf AS (SELECT zval >> 4 AS file_id, x, y FROM z),
+lf AS (SELECT ntile(64) OVER (ORDER BY x, l_orderkey, l_linenumber) - 1 AS file_id,
+              x, y FROM src),
+zs AS (SELECT file_id, MAX(x) - MIN(x) AS sx, MAX(y) - MIN(y) AS sy
+       FROM zf GROUP BY 1),
+ls AS (SELECT file_id, MAX(x) - MIN(x) AS sx, MAX(y) - MIN(y) AS sy
+       FROM lf GROUP BY 1)
+SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(FLOOR(AVG(sx)) AS BIGINT) AS avg_span_x,
+       CAST(FLOOR(AVG(sy)) AS BIGINT) AS avg_span_y FROM zs
+UNION ALL
+SELECT 'linear', CAST(COUNT(*) AS BIGINT),
+       CAST(FLOOR(AVG(sx)) AS BIGINT), CAST(FLOOR(AVG(sy)) AS BIGINT) FROM ls
+ORDER BY layout
+""",
     "q153_snapshot_diff": """
 WITH a AS (
   SELECT event_id, event_type,
@@ -553,6 +658,7 @@ FROM documents GROUP BY 1 ORDER BY 1
 QUERIES = {
     "q153_snapshot_diff": q153_snapshot_diff,
     "q154_fk_audit": q154_fk_audit,
+    "q159_zorder_layout": q159_zorder_layout,
     "q87_merge_upsert": q87_merge_upsert,
     "q87b_merge_cow": q87b_merge_cow,
     "q88_latest_per_key": q88_latest_per_key,

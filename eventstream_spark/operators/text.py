@@ -943,7 +943,99 @@ def q148_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: BM25 top-5 per query (k1=1.2, b=0.75) with the
+    query side drawn from the corpus (doc_id % 211 == 0). Ranking, not the
+    q35 corpus aggregate — the Okapi scoring a search layer runs over an
+    inverted index.
+
+    Determinism: per-(query, doc, term) scores quantize to integer
+    micro-units before the sum (q125's discipline), so the accumulated BM25
+    is an exact integer no matter the partial-sum order; every float op
+    before the quantize is a fixed IEEE expression tree both engines
+    evaluate identically.
+
+    Scale: the query term list is tiny → broadcast into the posting
+    (term-frequency) table — cost is |postings of query terms|, linear in
+    the corpus. df/dl joins are AQE-sized; per-query top-k is a
+    WindowGroupLimit, never a global sort."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dlen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    consts = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        tok.agg(F.count("*").alias("total_len"))
+    )
+    qterms = tf.where(col("doc_id") % 211 == 0).select(
+        col("doc_id").alias("query_id"), "term"
+    )
+    idf = F.log(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)
+    )
+    denom = col("tf") + lit(1.2) * (
+        lit(0.25)
+        + lit(0.75)
+        * col("dl")
+        / (col("total_len").cast("double") / col("n_docs"))
+    )
+    s_micro = F.round(((idf * (col("tf") * lit(2.2))) / denom) * lit(1e6)).cast(
+        "long"
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(stats, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select("query_id", "doc_id", s_micro.alias("s_micro"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        (F.sum("s_micro") / lit(1e6)).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(col("bm25").desc(), "doc_id")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )
+
+
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS total_len
+      FROM documents),
+qterms AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id % 211 = 0),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(ROUND(
+           (ln((n.n_docs - s.df + 0.5) / (s.df + 0.5) + 1.0) * (t.tf * 2.2))
+           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+                            / (CAST(n.total_len AS DOUBLE) / n.n_docs)))
+           * 1e6) AS BIGINT) AS s_micro
+  FROM qterms q
+  JOIN tf t ON t.term = q.term
+  JOIN stats s ON s.term = q.term
+  JOIN dlen d ON d.doc_id = t.doc_id
+  CROSS JOIN n),
+agg AS (SELECT query_id, doc_id, SUM(s_micro) / 1e6 AS bm25
+        FROM scored GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY bm25 DESC, doc_id) AS rn
+       FROM agg)
+SELECT query_id, doc_id, bm25, CAST(rn AS BIGINT) AS rnk
+FROM rk WHERE rn <= 5 ORDER BY query_id, rnk
+"""
+
+
 ORACLES = {
+    "q158_bm25_topk": _BM25_SQL,
     "q148_adaptive_quality_filter": f"""
 WITH scored AS (
   SELECT doc_id, source, n_chars, q FROM (
@@ -1187,6 +1279,7 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 }
 
 QUERIES = {
+    "q158_bm25_topk": q158_bm25_topk,
     "q117_doc_chunking": q117_doc_chunking,
     "q24_lang_stats": q24_lang_stats,
     "q30_lang_id": q30_lang_id,

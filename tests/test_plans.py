@@ -347,3 +347,40 @@ def test_q139_pagerank_reuses_persisted_edges(spark, sf_dir):
 
     plan = _plan(q139_pagerank(spark, sf_dir))
     assert plan.count("InMemoryTableScan") >= 4  # 2 union arms x 2 iterations
+
+
+def test_q155_fuzzy_match_blocks_as_equi_join(spark, sf_dir):
+    """The ER candidate generator must plan as an equi-join on the blocking
+    key — levenshtein may only appear as a post-join projection/filter,
+    never as a nested-loop join condition (the all-pairs shape)."""
+    from eventstream_spark.operators.dedup import q155_fuzzy_blocked_match
+
+    plan = _plan(q155_fuzzy_blocked_match(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    join_line = next(
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
+    )
+    assert "brand" in join_line and "size" in join_line
+    assert "levenshtein" not in join_line
+
+
+def test_q158_bm25_broadcasts_query_terms(spark, sf_dir):
+    """The query-term side of the posting join is tiny and must broadcast —
+    the corpus' term-frequency table must never shuffle for it."""
+    from eventstream_spark.operators.text import q158_bm25_topk
+
+    plan = _plan(q158_bm25_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # per-query top-k, bounded state
+
+
+def test_q156_sweep_line_scans_events_once(spark, sf_dir):
+    """The ±1 endpoint expansion must be the map-side explode (ONE scan of
+    events), not the oracle's UNION ALL twin (two scans)."""
+    from eventstream_spark.operators.analytics import q156_interval_concurrency
+
+    plan = _plan(q156_interval_concurrency(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Generate explode" in plan
