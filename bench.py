@@ -117,6 +117,9 @@ HEADLINE = [
     "q157_scd2_history",
     "q158_bm25_topk",
     "q159_zorder_layout",
+    # q161 (pruning payoff) consults the SAME two range-exchanged layouts
+    # q159 already times — it stays under the oracle gate but out of the
+    # headline so the layout build isn't double-counted.
     "q160_attribution",
 ]
 

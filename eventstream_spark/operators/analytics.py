@@ -705,6 +705,53 @@ def q151_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sweep_concurrency(
+    pts: DataFrame, bucket_width_us: int = 21_600_000_000
+) -> DataFrame:
+    """Running sum of ±1 deltas over (t, delta) order per event_type —
+    TWO-LEVEL, so a dominant event type is not one task (the pack_shards
+    pattern applied to the sweep-line).
+
+    Level 1 splits each type's timeline into contiguous fixed-width
+    t-ranges (``bucket = t div width``, default 6 h — data-independent, so
+    no extra min/max scan of the input; tie groups share a t, so a tie can
+    never straddle buckets) and runs the running sum per (type, bucket).
+    Level 2 adds each bucket's exclusive prefix of delta totals, computed
+    by a window over the tiny (type, bucket) summary. Because buckets are
+    contiguous in the order column, offset + local sum EQUALS the
+    single-window running sum exactly (equality pinned in
+    tests/test_plans.py), which is why q156's single-window oracle keeps
+    passing unchanged. Parallelism scales with timeline length; pick the
+    width so a bucket's endpoints fit one task (6 h of a firehose that
+    emits 1M intervals/s is ~4×10^10 rows per type — shrink the width for
+    that regime).
+
+    Input: (event_type, t, delta[, ...]); adds ``conc``."""
+    b = pts.withColumn("_bucket", (col("t") / lit(bucket_width_us)).cast("long"))
+    w_local = (
+        Window.partitionBy("event_type", "_bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("_cum", F.sum("delta").over(w_local))
+    w_bucket = (
+        Window.partitionBy("event_type")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy("event_type", "_bucket")
+        .agg(F.sum("delta").alias("_bd"))
+        .withColumn("_off", F.coalesce(F.sum("_bd").over(w_bucket), lit(0)))
+        .drop("_bd")
+    )
+    return (
+        local.join(offsets, ["event_type", "_bucket"])
+        .withColumn("conc", (col("_cum") + col("_off")).cast("long"))
+        .drop("_bucket", "_cum", "_off")
+    )
+
+
 def q156_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval max-concurrency via the sweep-line trick: each event holds a
     resource for (event_id % 7 + 1) minutes; how many overlap at peak, per
@@ -714,13 +761,12 @@ def q156_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-exclusive). All arithmetic on integer microseconds.
 
     Scale: the ±1 expansion is map-side (explode, ONE scan — the oracle's
-    UNION ALL twin scans twice); the running sum is linear state inside each
-    event_type partition. A single dominant type serializing into one task
-    gets the same two-level treatment as token packing (pack_shards):
-    range-bucket the timeline, sweep within buckets, then offset each bucket
-    by the exclusive prefix sum of its delta total. Ties (equal t, equal
-    delta) commute through the prefix sum, so the result is deterministic
-    under any partition order."""
+    UNION ALL twin scans twice); the running sum is sweep_concurrency's
+    TWO-LEVEL form, so a dominant event type never serializes into one
+    task — parallelism scales with the timeline, not the type count
+    (equality with the single-window form pinned in tests/test_plans.py).
+    Ties (equal t, equal delta) commute through the prefix sum, so the
+    result is deterministic under any partition order."""
     ev = load(spark, sf_dir, "events")
     s = F.unix_micros(col("ts"))
     e = s + (col("event_id") % 7 + 1) * lit(60_000_000)
@@ -733,14 +779,7 @@ def q156_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("event_type", col("p.t").alias("t"), col("p.delta").alias("delta"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run = pts.select(
-        "event_type", "t", F.sum("delta").over(w).cast("long").alias("conc")
-    )
+    run = sweep_concurrency(pts).select("event_type", "t", "conc")
     run = run.withColumn(
         "mx", F.max("conc").over(Window.partitionBy("event_type"))
     )

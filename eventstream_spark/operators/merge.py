@@ -22,9 +22,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
+from ..cache import persist_tracked
 from ..catalog import load
 from ..functions import hash48, hash48_sql
-from .ranking import scalable_ntile
+from .ranking import _ranked_with_total, ntile_from_rank
 
 
 def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
@@ -366,6 +367,42 @@ def _interleave_bits(x, y, bits: int):
     return z
 
 
+def _layout_files(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(zorder, linear) file assignments over lineitem's (l_partkey,
+    l_suppkey): 32×32 quantile buckets → 10-bit Z-value → 64 curve
+    segments, vs a 64-way linear sort on x. Shared by q159 (span
+    measurement) and q161 (skipping payoff)."""
+    src = load(spark, sf_dir, "lineitem").select(
+        col("l_partkey").alias("x"),
+        col("l_suppkey").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # Two range exchanges total (one per ordering): the x-rank serves BOTH
+    # the 32-bucket z-component and the 64-file linear layout via the
+    # closed-form ntile_from_rank, and both layouts read one persisted frame.
+    rx, n = _ranked_with_total(src, ["x", "l_orderkey", "l_linenumber"], "_rx")
+    ry, _ = _ranked_with_total(rx, ["y", "l_orderkey", "l_linenumber"], "_ry")
+    bxy = persist_tracked(
+        ry.select(
+            "x",
+            "y",
+            (ntile_from_rank(col("_rx"), n, 32) - 1).alias("px"),
+            (ntile_from_rank(col("_ry"), n, 32) - 1).alias("py"),
+            (ntile_from_rank(col("_rx"), n, 64) - 1).alias("flin"),
+        )
+    )
+    zf = bxy.select(
+        F.shiftright(_interleave_bits(col("px"), col("py"), 5), 4).alias(
+            "file_id"
+        ),
+        "x",
+        "y",
+    )
+    lf = bxy.select(col("flin").alias("file_id"), "x", "y")
+    return zf, lf
+
+
 def q159_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout vs a linear sort, measured: rank
     l_partkey and l_suppkey into 32 quantile buckets each, interleave the
@@ -383,33 +420,7 @@ def q159_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. The write path is ``df.repartitionByRange(F.col('zval'))
     .sortWithinPartitions('zval').write...`` — this query is the layout's
     measurement half, oracle-checkable."""
-    src = load(spark, sf_dir, "lineitem").select(
-        col("l_partkey").alias("x"),
-        col("l_suppkey").alias("y"),
-        "l_orderkey",
-        "l_linenumber",
-    )
-    bx = scalable_ntile(src, ["x", "l_orderkey", "l_linenumber"], 32, "px1")
-    bxy = scalable_ntile(
-        bx, ["y", "l_orderkey", "l_linenumber"], 32, "py1"
-    ).select(
-        "x",
-        "y",
-        "l_orderkey",
-        "l_linenumber",
-        (col("px1") - 1).alias("px"),
-        (col("py1") - 1).alias("py"),
-    )
-    zf = bxy.select(
-        F.shiftright(_interleave_bits(col("px"), col("py"), 5), 4).alias(
-            "file_id"
-        ),
-        "x",
-        "y",
-    )
-    lf = scalable_ntile(
-        src, ["x", "l_orderkey", "l_linenumber"], 64, "f1"
-    ).select((col("f1") - 1).alias("file_id"), "x", "y")
+    zf, lf = _layout_files(spark, sf_dir)
 
     def stat(df: DataFrame, name: str) -> DataFrame:
         per_file = df.groupBy("file_id").agg(
@@ -423,6 +434,100 @@ def q159_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.avg("sy")).cast("long").alias("avg_span_y"),
         )
     return stat(zf, "zorder").unionByName(stat(lf, "linear")).orderBy("layout")
+
+
+def q161_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping PAYOFF of q159's layouts: against each layout's
+    per-file min/max stats (the parquet footer / manifest index), probe
+    three predicate shapes — 4 x-only bands, 4 y-only bands, 4 (x,y)
+    boxes, each band 1/8 of the key domain — and count the files a scan
+    must open (a file is skipped when its [min,max] interval is disjoint
+    from the probe in either dimension). The linear x-sort prunes x-bands
+    perfectly and y-bands not at all; Z-order prunes BOTH — the
+    multi-column-workload argument for Morton layout, measured.
+
+    Scale: stats are one hash aggregation per layout (64 rows, persisted —
+    the layout lineage must not recompute per consumer); the probe×stats
+    evaluation is a broadcast nested loop over two tiny local relations —
+    exactly how a real planner consults a manifest. Pure integer
+    arithmetic end to end."""
+    zf, lf = _layout_files(spark, sf_dir)
+    unbounded = lit(4611686018427387904)  # 2^62: "no predicate on this dim"
+    tagged = zf.select(lit("zorder").alias("layout"), "file_id", "x", "y").unionByName(
+        lf.select(lit("linear").alias("layout"), "file_id", "x", "y")
+    )
+    stats = persist_tracked(
+        tagged.groupBy("layout", "file_id").agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+    glob = stats.agg(F.max("max_x").alias("gx"), F.max("max_y").alias("gy"))
+    bands = (
+        spark.range(4)
+        .select(col("id").alias("i"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "i",
+            ((lit(2) * col("i")) * F.floor(col("gx") / 8) + 1).alias("bx_lo"),
+            ((lit(2) * col("i")) * F.floor(col("gx") / 8) + 1 + F.floor(col("gx") / 8)).alias("bx_hi"),
+            ((lit(2) * col("i")) * F.floor(col("gy") / 8) + 1).alias("by_lo"),
+            ((lit(2) * col("i")) * F.floor(col("gy") / 8) + 1 + F.floor(col("gy") / 8)).alias("by_hi"),
+        )
+    )
+    probes = (
+        bands.select(
+            lit("x_band").alias("probe_kind"),
+            "i",
+            col("bx_lo").alias("x_lo"),
+            col("bx_hi").alias("x_hi"),
+            lit(0).alias("y_lo"),
+            unbounded.alias("y_hi"),
+        )
+        .unionByName(
+            bands.select(
+                lit("y_band").alias("probe_kind"),
+                "i",
+                lit(0).alias("x_lo"),
+                unbounded.alias("x_hi"),
+                col("by_lo").alias("y_lo"),
+                col("by_hi").alias("y_hi"),
+            )
+        )
+        .unionByName(
+            bands.select(
+                lit("xy_box").alias("probe_kind"),
+                "i",
+                col("bx_lo").alias("x_lo"),
+                col("bx_hi").alias("x_hi"),
+                col("by_lo").alias("y_lo"),
+                col("by_hi").alias("y_hi"),
+            )
+        )
+    )
+    hit = ~(
+        (col("min_x") > col("x_hi"))
+        | (col("max_x") < col("x_lo"))
+        | (col("min_y") > col("y_hi"))
+        | (col("max_y") < col("y_lo"))
+    )
+    per_probe = (
+        probes.crossJoin(stats)
+        .groupBy("layout", "probe_kind", "i")
+        .agg(F.sum(hit.cast("long")).alias("n_scanned"))
+    )
+    return (
+        per_probe.groupBy("layout", "probe_kind")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.floor(F.avg("n_scanned")).cast("long").alias("avg_files_scanned"),
+            F.min("n_scanned").alias("min_files_scanned"),
+            F.max("n_scanned").alias("max_files_scanned"),
+        )
+        .orderBy("layout", "probe_kind")
+    )
 
 
 def q153_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,9 +639,7 @@ FROM (SELECT {ck} FROM {child}
     return "\nUNION ALL\n".join(parts) + "\nORDER BY fk_edge"
 
 
-ORACLES = {
-    "q159_zorder_layout": """
-WITH src AS (
+_LAYOUT_CTE = """src AS (
   SELECT l_partkey AS x, l_suppkey AS y, l_orderkey, l_linenumber FROM lineitem),
 bx AS (
   SELECT x, y,
@@ -553,7 +656,25 @@ z AS (
   FROM bx),
 zf AS (SELECT zval >> 4 AS file_id, x, y FROM z),
 lf AS (SELECT ntile(64) OVER (ORDER BY x, l_orderkey, l_linenumber) - 1 AS file_id,
-              x, y FROM src),
+              x, y FROM src)"""
+
+_PRUNE_SCAN_SQL = """
+  SELECT '{name}' AS layout, probe_kind, CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(FLOOR(AVG(n_scanned)) AS BIGINT) AS avg_files_scanned,
+         MIN(n_scanned) AS min_files_scanned,
+         MAX(n_scanned) AS max_files_scanned
+  FROM (
+    SELECT p.probe_kind, p.i,
+           CAST(SUM(CASE WHEN NOT (s.min_x > p.x_hi OR s.max_x < p.x_lo
+                               OR s.min_y > p.y_hi OR s.max_y < p.y_lo)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+    FROM probes p CROSS JOIN {stats} s GROUP BY p.probe_kind, p.i)
+  GROUP BY probe_kind"""
+
+
+ORACLES = {
+    "q159_zorder_layout": f"""
+WITH {_LAYOUT_CTE},
 zs AS (SELECT file_id, MAX(x) - MIN(x) AS sx, MAX(y) - MIN(y) AS sy
        FROM zf GROUP BY 1),
 ls AS (SELECT file_id, MAX(x) - MIN(x) AS sx, MAX(y) - MIN(y) AS sy
@@ -565,6 +686,37 @@ UNION ALL
 SELECT 'linear', CAST(COUNT(*) AS BIGINT),
        CAST(FLOOR(AVG(sx)) AS BIGINT), CAST(FLOOR(AVG(sy)) AS BIGINT) FROM ls
 ORDER BY layout
+""",
+    "q161_zorder_pruning": f"""
+WITH {_LAYOUT_CTE},
+zstats AS (SELECT file_id, MIN(x) AS min_x, MAX(x) AS max_x,
+                  MIN(y) AS min_y, MAX(y) AS max_y FROM zf GROUP BY 1),
+lstats AS (SELECT file_id, MIN(x) AS min_x, MAX(x) AS max_x,
+                  MIN(y) AS min_y, MAX(y) AS max_y FROM lf GROUP BY 1),
+g AS (SELECT MAX(max_x) AS gx, MAX(max_y) AS gy FROM zstats),
+bands AS (
+  SELECT t.i,
+         (2 * t.i) * CAST(FLOOR(g.gx / 8) AS BIGINT) + 1 AS bx_lo,
+         (2 * t.i) * CAST(FLOOR(g.gx / 8) AS BIGINT) + 1
+           + CAST(FLOOR(g.gx / 8) AS BIGINT) AS bx_hi,
+         (2 * t.i) * CAST(FLOOR(g.gy / 8) AS BIGINT) + 1 AS by_lo,
+         (2 * t.i) * CAST(FLOOR(g.gy / 8) AS BIGINT) + 1
+           + CAST(FLOOR(g.gy / 8) AS BIGINT) AS by_hi
+  FROM range(4) t(i) CROSS JOIN g),
+probes AS (
+  SELECT 'x_band' AS probe_kind, i, bx_lo AS x_lo, bx_hi AS x_hi,
+         CAST(0 AS BIGINT) AS y_lo, CAST(4611686018427387904 AS BIGINT) AS y_hi
+  FROM bands
+  UNION ALL
+  SELECT 'y_band', i, CAST(0 AS BIGINT), CAST(4611686018427387904 AS BIGINT),
+         by_lo, by_hi
+  FROM bands
+  UNION ALL
+  SELECT 'xy_box', i, bx_lo, bx_hi, by_lo, by_hi FROM bands)
+{_PRUNE_SCAN_SQL.format(name='zorder', stats='zstats')}
+UNION ALL
+{_PRUNE_SCAN_SQL.format(name='linear', stats='lstats')}
+ORDER BY layout, probe_kind
 """,
     "q153_snapshot_diff": """
 WITH a AS (
@@ -659,6 +811,7 @@ QUERIES = {
     "q153_snapshot_diff": q153_snapshot_diff,
     "q154_fk_audit": q154_fk_audit,
     "q159_zorder_layout": q159_zorder_layout,
+    "q161_zorder_pruning": q161_zorder_pruning,
     "q87_merge_upsert": q87_merge_upsert,
     "q87b_merge_cow": q87b_merge_cow,
     "q88_latest_per_key": q88_latest_per_key,

@@ -21,6 +21,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import col, lit
 
+from ..cache import persist_tracked
+
 
 def _ranked_with_total(
     df: DataFrame, order_cols: list, out_col: str
@@ -33,9 +35,15 @@ def _ranked_with_total(
 
     Cost: one range exchange (same as any global sort) + a per-partition
     window + the tiny collect. At 100 TB this is the plan a sort already
-    pays; the single-task form is the one that cannot run."""
-    rp = df.repartitionByRange(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    pays; the single-task form is the one that cannot run. The
+    range-partitioned intermediate persists (memory-and-disk) because the
+    count collect below materializes it anyway — without the persist every
+    downstream consumer would re-pay the exchange AND the range-boundary
+    sampling job."""
+    rp = persist_tracked(
+        df.repartitionByRange(*order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     counts = sorted(
         (r["_pid"], r["cnt"])

@@ -376,11 +376,52 @@ def test_q158_bm25_broadcasts_query_terms(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # per-query top-k, bounded state
 
 
-def test_q156_sweep_line_scans_events_once(spark, sf_dir):
-    """The ±1 endpoint expansion must be the map-side explode (ONE scan of
-    events), not the oracle's UNION ALL twin (two scans)."""
+def test_q156_sweep_line_scans_events_twice_max(spark, sf_dir):
+    """The ±1 endpoint expansion must be the map-side explode — one scan
+    for the sweep plus one for the two-level bucket summary (the
+    data-independent bucket key needs no min/max scan); the oracle's
+    UNION ALL twin would add a third."""
     from eventstream_spark.operators.analytics import q156_interval_concurrency
 
     plan = _plan(q156_interval_concurrency(spark, sf_dir))
-    assert plan.count("FileScan parquet") == 1
+    assert plan.count("FileScan parquet") <= 2
     assert "Generate explode" in plan
+
+
+def test_sweep_concurrency_equals_single_window(spark, sf_dir):
+    """sweep_concurrency's two-level running sum must be bit-identical to
+    the one-partition window form — same guarantee pack_shards carries for
+    token packing."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.functions import col, lit
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.analytics import sweep_concurrency
+
+    ev = load(spark, sf_dir, "events")
+    s = F.unix_micros(col("ts"))
+    e = s + (col("event_id") % 7 + 1) * lit(60_000_000)
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(s.alias("t"), lit(1).alias("delta")),
+                F.struct(e.alias("t"), lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("event_type", col("p.t").alias("t"), col("p.delta").alias("delta"))
+
+    two_level = sweep_concurrency(pts, bucket_width_us=3_600_000_000)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    single = pts.select(
+        "event_type", "t", F.sum("delta").over(w).cast("long").alias("conc")
+    )
+    # compare as multisets of (type, t, conc)
+    a = sorted(map(tuple, two_level.select("event_type", "t", "conc").collect()))
+    b = sorted(map(tuple, single.collect()))
+    assert a == b
