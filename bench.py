@@ -119,8 +119,11 @@ HEADLINE = [
     "q159_zorder_layout",
     # q161 (pruning payoff) consults the SAME two range-exchanged layouts
     # q159 already times — it stays under the oracle gate but out of the
-    # headline so the layout build isn't double-counted.
+    # headline so the layout build isn't double-counted. q162 (BPE encode)
+    # re-runs q131's training rounds before encoding — same double-count
+    # reasoning; both stay under the oracle gate.
     "q160_attribution",
+    "q163_mutual_ann",
 ]
 
 

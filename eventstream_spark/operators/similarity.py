@@ -182,6 +182,41 @@ def q52_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann(load(spark, sf_dir, "embeddings"), k=3)
 
 
+def q163_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MUTUAL nearest neighbors — the bitext-mining /
+    embedding-alignment shape (Artetxe & Schwenk, TACL'19): corpus A
+    (even vec_ids) against corpus B (odd), candidates share an LSH
+    bucket, and a pair survives only when each side is the other's best
+    candidate (margin-free mutual-1-NN). The mutual condition is what
+    filters hub vectors that are "everyone's neighbor".
+
+    Scale: ONE bucketed A×B join (the q44/q52 candidate plan — no
+    all-pairs), cosine computed once per candidate and reused by both
+    rank directions (two windows over the same frame, one exchange each);
+    the signature table persists so both corpus filters read one pass."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = persist_tracked(lsh_bucketed(emb))
+    a = b.where(col("vec_id") % 2 == 0).alias("a")
+    c = b.where(col("vec_id") % 2 == 1).alias("c")
+    cand = a.join(c, col("a.bucket") == col("c.bucket")).select(
+        col("a.vec_id").alias("a_id"),
+        col("c.vec_id").alias("b_id"),
+        (
+            dot(col("a.v"), col("c.v")) / F.sqrt(col("a.nsq") * col("c.nsq"))
+        ).alias("cos_raw"),
+    )
+    wa = Window.partitionBy("a_id").orderBy(col("cos_raw").desc(), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(col("cos_raw").desc(), "a_id")
+    rk = cand.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    return (
+        rk.where((col("ra") == 1) & (col("rb") == 1))
+        .select("a_id", "b_id", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("a_id")
+    )
+
+
 def lsh_multiprobe_ann(emb: DataFrame, k: int = 3, n_planes: int | None = None) -> DataFrame:
     """Multi-probe hyperplane LSH (Lv et al., VLDB'07): each query vector
     probes its own bucket PLUS the bucket with its lowest-|margin| sign bit
@@ -838,6 +873,22 @@ SELECT q_id, vec_id AS neighbor_id, rank, ROUND(cos_raw, 4) AS cos
 FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """,
     "q52_lsh_ann": _lsh_sql(),
+    "q163_mutual_ann": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+s AS (SELECT vec_id, v, CAST({lsh_bucket_bits_sql('v')} AS BIGINT) AS bucket FROM e),
+cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {cosine_sql('a.v', 'b.v')} AS cos_raw
+  FROM s a JOIN s b ON a.bucket = b.bucket
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+rk AS (
+  SELECT a_id, b_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_raw DESC, b_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_raw DESC, a_id) AS rb
+  FROM cand)
+SELECT a_id, b_id, ROUND(cos_raw, 4) AS cos
+FROM rk WHERE ra = 1 AND rb = 1 ORDER BY a_id
+""",
     "q114_lsh_multiprobe": _lsh_multiprobe_sql(),
     "q114b_multiprobe_scaled": _lsh_multiprobe_sql(n_planes=_GROWN_PLANES),
     # IVF mirror: assignment/probing argmins use ROW_NUMBER ordered by
@@ -950,6 +1001,7 @@ QUERIES = {
     "q50_knn_exact": q50_knn_exact,
     "q51_topk_per_query": q51_topk_per_query,
     "q52_lsh_ann": q52_lsh_ann,
+    "q163_mutual_ann": q163_mutual_ann,
     "q114_lsh_multiprobe": q114_lsh_multiprobe,
     "q114b_multiprobe_scaled": q114b_multiprobe_scaled,
     "q53_ivf_ann": q53_ivf_ann,

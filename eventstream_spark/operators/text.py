@@ -745,16 +745,70 @@ def q131_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("it")
 
 
+def bpe_apply(
+    docs: DataFrame, iters: int = _BPE_LEARN_ITERS
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn AND apply ``iters`` merges: (learned rows, vocabulary with
+    post-merge symbol arrays) — q131's loop continued one application
+    further so the final state is usable for encoding."""
+    words = _bpe_words(docs)
+    learned: list[tuple[int, str, str, int]] = []
+    for it in range(1, iters + 1):
+        best = (
+            _bpe_pair_freqs(words)
+            .orderBy(col("pf").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pa, pb = best.pair.split(" ")
+        learned.append((it, best.pair, pa + pb, int(best.pf)))
+        words = _bpe_merge(words, pa, pb, pa + pb)
+    return learned, words
+
+
+def q162_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode the corpus with q131's two learned merges
+    and report per-source tokenization stats (words, BPE tokens, chars,
+    tokens/word, chars/token) — the measurement a tokenizer-training run
+    does right after learning merges (compression tracking).
+
+    Scale: merges apply over the VOCABULARY (word types, not occurrences) —
+    the merge windows partition by word; occurrences then join the encoded
+    vocab on word (AQE-sized, same class as q125's vocab join) and roll up
+    per source. All stats from integer counts; the two ratios are single
+    IEEE divisions. Reference: tokenizer apply is the missing half of
+    Sennrich ACL'16 training (q131)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    _, words = bpe_apply(docs, 2)
+    enc = words.select("word", F.size("syms").cast("long").alias("n_syms"))
+    occ = docs.select("source", F.explode(tokens("text")).alias("word"))
+    j = occ.join(enc, "word")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.round(F.sum("n_syms") / F.count("*"), 4).alias("tokens_per_word"),
+            F.round(F.sum(F.length("word")) / F.sum("n_syms"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
 _BPE_SYMS_SQL = "list_filter(regexp_split_to_array(word, ''), x -> x <> '')"
 
 
-def _bpe_learn_sql() -> str:
-    """Unrolled two-round BPE mirror: pair count -> argmax -> greedy
-    positional merge -> pair count -> argmax."""
-    return f"""
-WITH tok AS (SELECT unnest({tokens_sql()}) AS word FROM documents),
+def _bpe_prefix_sql() -> str:
+    """Shared unrolled-BPE CTE prefix (through the round-2 argmax b2):
+    pair count -> argmax b1 -> greedy positional merge -> pair count ->
+    argmax b2. q131's oracle selects b1/b2; q162's continues with the
+    round-2 merge applied."""
+    return f"""tok AS (SELECT unnest({tokens_sql()}) AS word FROM documents),
 w0 AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1),
 s0 AS (SELECT word, freq, {_BPE_SYMS_SQL} AS syms FROM w0),
 p1 AS (SELECT syms[i] || ' ' || syms[i + 1] AS pair, SUM(freq) AS pf
@@ -778,13 +832,53 @@ m1 AS (SELECT p.word, p.freq, p.i,
 s1 AS (SELECT word, freq, list(sym_out ORDER BY i) AS syms FROM m1 GROUP BY word, freq),
 p2 AS (SELECT syms[i] || ' ' || syms[i + 1] AS pair, SUM(freq) AS pf
        FROM s1, UNNEST(range(1, len(syms))) t(i) GROUP BY 1),
-b2 AS (SELECT pair, pf FROM p2 ORDER BY pf DESC, pair LIMIT 1)
+b2 AS (SELECT pair, pf FROM p2 ORDER BY pf DESC, pair LIMIT 1)"""
+
+
+def _bpe_learn_sql() -> str:
+    return f"""
+WITH {_bpe_prefix_sql()}
 SELECT * FROM (
   SELECT CAST(1 AS BIGINT) AS it, pair, replace(pair, ' ', '') AS merged,
          CAST(pf AS BIGINT) AS pair_freq FROM b1
   UNION ALL
   SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), CAST(pf AS BIGINT) FROM b2)
 ORDER BY it
+"""
+
+
+def _bpe_encode_sql() -> str:
+    """q162 oracle: the prefix's round-2 merge applied (pos2..s2 mirror
+    pos1..s1 against b2), then per-source occurrence stats through the
+    vocabulary join."""
+    return f"""
+WITH {_bpe_prefix_sql()},
+pos2 AS (SELECT word, freq, i, syms[i] AS sym, syms[i + 1] AS nxt
+         FROM s1, UNNEST(range(1, len(syms) + 1)) t(i)),
+q2 AS (SELECT pos2.word, pos2.i,
+              i - ROW_NUMBER() OVER (PARTITION BY pos2.word ORDER BY i) AS run
+       FROM pos2, b2
+       WHERE sym = split_part(b2.pair, ' ', 1) AND nxt = split_part(b2.pair, ' ', 2)),
+keep2 AS (SELECT word, i FROM (
+            SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, run ORDER BY i) AS rr
+            FROM q2) WHERE rr % 2 = 1),
+m2 AS (SELECT p.word, p.freq, p.i,
+              CASE WHEN k.i IS NOT NULL THEN replace(b2.pair, ' ', '') ELSE p.sym END AS sym_out
+       FROM pos2 p CROSS JOIN b2
+       LEFT JOIN keep2 k ON p.word = k.word AND p.i = k.i
+       LEFT JOIN keep2 kp ON p.word = kp.word AND p.i = kp.i + 1
+       WHERE kp.i IS NULL),
+s2 AS (SELECT word, freq, list(sym_out ORDER BY i) AS syms FROM m2 GROUP BY word, freq),
+enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM s2),
+occ AS (SELECT source, unnest({tokens_sql()}) AS word FROM documents)
+SELECT occ.source,
+       COUNT(*) AS n_words,
+       CAST(SUM(enc.n_syms) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(occ.word)) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(enc.n_syms) AS DOUBLE) / COUNT(*), 4) AS tokens_per_word,
+       ROUND(CAST(SUM(len(occ.word)) AS DOUBLE) / SUM(enc.n_syms), 4) AS chars_per_token
+FROM occ JOIN enc ON occ.word = enc.word
+GROUP BY occ.source ORDER BY occ.source
 """
 
 
@@ -1036,6 +1130,7 @@ FROM rk WHERE rn <= 5 ORDER BY query_id, rnk
 
 ORACLES = {
     "q158_bm25_topk": _BM25_SQL,
+    "q162_bpe_encode": _bpe_encode_sql(),
     "q148_adaptive_quality_filter": f"""
 WITH scored AS (
   SELECT doc_id, source, n_chars, q FROM (
@@ -1303,4 +1398,5 @@ QUERIES = {
     "q126_vocab_stats": q126_vocab_stats,
     "q127_length_histogram": q127_length_histogram,
     "q131_bpe_learn": q131_bpe_learn,
+    "q162_bpe_encode": q162_bpe_encode,
 }

@@ -425,3 +425,13 @@ def test_sweep_concurrency_equals_single_window(spark, sf_dir):
     a = sorted(map(tuple, two_level.select("event_type", "t", "conc").collect()))
     b = sorted(map(tuple, single.collect()))
     assert a == b
+
+
+def test_q163_mutual_ann_is_bucketed_equi_join(spark, sf_dir):
+    """The A×B candidate generator must join on the LSH bucket key — never
+    a nested-loop over the corpora."""
+    from eventstream_spark.operators.similarity import q163_mutual_ann
+
+    plan = _plan(q163_mutual_ann(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
