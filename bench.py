@@ -124,6 +124,9 @@ HEADLINE = [
     # reasoning; both stay under the oracle gate.
     "q160_attribution",
     "q163_mutual_ann",
+    "q164_ohlc_bars",
+    "q165_count_min",
+    "q166_kmv_distinct",
 ]
 
 

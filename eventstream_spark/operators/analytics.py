@@ -876,6 +876,53 @@ def q160_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling into OHLC bars: per (event_type, hour) the
+    open/high/low/close of ``value`` plus row count and an exact integer
+    volume — the financial candlestick / telemetry-rollup primitive. Open
+    and close are first/last by the TOTAL order (ts, event_id), so ties
+    can't flip bars between engines.
+
+    Scale: two row_number windows and the aggregation share ONE
+    (event_type, hour) partitioning — a single exchange; volume sums in
+    integer micro-units (q125 discipline)."""
+    ev = load(spark, sf_dir, "events")
+    h = F.date_trunc("hour", col("ts"))
+    w_a = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "h").orderBy(
+        col("ts").desc(), col("event_id").desc()
+    )
+    e = ev.select("event_type", h.alias("h"), "ts", "event_id", "value").select(
+        "event_type",
+        "h",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return (
+        e.groupBy("event_type", "h")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(F.when(col("rn_a") == 1, col("value"))), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.min(F.when(col("rn_d") == 1, col("value"))), 4).alias("close"),
+            F.sum(F.round(col("value") * 1e6).cast("long")).alias("vol_micro"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(col("h")).alias("h_us"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+            "vol_micro",
+        )
+        .orderBy("event_type", "h_us")
+    )
+
+
 def _quality_report_sql() -> str:
     m = ["COUNT(*) AS n"]
     for c in _QUALITY_COLS:
@@ -968,6 +1015,23 @@ SELECT user_id,
        (lead(ts) OVER w IS NULL) AS is_current
 FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, version
+""",
+    "q164_ohlc_bars": """
+WITH e AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h, value,
+         row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, epoch_us(h) AS h_us,
+       COUNT(*) AS n,
+       ROUND(MIN(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       ROUND(MIN(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+       CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS vol_micro
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "q160_attribution": """
 WITH e AS (
@@ -1237,4 +1301,5 @@ QUERIES = {
     "q156_interval_concurrency": q156_interval_concurrency,
     "q157_scd2_history": q157_scd2_history,
     "q160_attribution": q160_attribution,
+    "q164_ohlc_bars": q164_ohlc_bars,
 }

@@ -36,11 +36,11 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
 from ..catalog import load, spread
-from ..functions import hash48, hash48_sql
+from ..functions import hash48, hash48_sql, tokens, tokens_sql
 
 # --- Bloom filter ----------------------------------------------------------
 
@@ -257,7 +257,170 @@ def q152_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Count-min sketch ------------------------------------------------------
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 256
+_CMS_TOPK = 20
+
+
+def q165_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) over corpus terms:
+    ``_CMS_DEPTH`` md5-derived hash rows × ``_CMS_WIDTH`` integer counters,
+    then point-estimate the top-``_CMS_TOPK`` terms — est = min over rows
+    of the hashed counter, always ≥ the true count (one-sided error, the
+    property that makes CMS usable for frequency capping without a second
+    pass). Reported next to the exact count so the overestimate is visible.
+
+    Unlike HLL/approx_percentile, a CMS is EXACTLY oracle-able: counters
+    are integer sums over deterministic hashes, so both engines build the
+    bit-identical sketch — the mergeable-sketch pattern with a hard
+    differential gate instead of a tolerance test.
+
+    Scale: the sketch is one groupBy((row, cell)) over map-side-combined
+    integer partials — shuffle bounded by depth×width, not vocabulary; the
+    estimate join broadcasts the 768-row sketch."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("exact"))
+
+    def cell(d: int) -> F.Column:
+        return hash48(F.concat(lit(str(d)), col("term"))) % _CMS_WIDTH
+
+    arms = [
+        tf.select(lit(d).alias("d"), cell(d).alias("cell"), col("exact").alias("c"))
+        for d in range(_CMS_DEPTH)
+    ]
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    cms = u.groupBy("d", "cell").agg(F.sum("c").alias("counter"))
+
+    top = tf.orderBy(col("exact").desc(), "term").limit(_CMS_TOPK)
+    probes = top.select(
+        "term",
+        "exact",
+        F.explode(
+            F.array(*[F.struct(lit(d).alias("d"), cell(d).alias("cell")) for d in range(_CMS_DEPTH)])
+        ).alias("p"),
+    ).select("term", "exact", col("p.d").alias("d"), col("p.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(cms), ["d", "cell"])
+        .groupBy("term", "exact")
+        .agg(F.min("counter").alias("est"))
+        .select("term", "exact", "est", (col("est") - col("exact")).alias("overest"))
+        .orderBy(col("exact").desc(), "term")
+    )
+
+
+# --- KMV distinct sketch ---------------------------------------------------
+
+_KMV_K = 64
+
+
+def q166_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type: keep
+    the K smallest distinct 48-bit hashes of user_id; the K-th smallest,
+    normalized, estimates distincts as (K-1)/θ (Bar-Yossef et al. '02) —
+    the mergeable alternative to HLL whose state is K integers. Like q165,
+    the sketch is EXACTLY oracle-able (deterministic hashes, integer
+    order statistics — both engines see the identical θ), so the estimate
+    gets a hard differential gate; the exact count rides along for the
+    error column. Groups with fewer than K distincts report exactly.
+
+    Scale: one distinct-hash aggregation + a per-group WindowGroupLimit
+    for the K-th order statistic — never a global sort."""
+    ev = load(spark, sf_dir, "events")
+    hv = ev.select(
+        "event_type", hash48(col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kth = (
+        hv.withColumn("rn", F.row_number().over(w))
+        .where(col("rn") == _KMV_K)
+        .select("event_type", "hv")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.round(
+        (lit(float(_KMV_K - 1)) * lit(float(1 << 48))) / col("hv"), 2
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.coalesce(est, col("n_exact").cast("double")).alias("kmv_est"),
+            F.round(
+                (F.coalesce(est, col("n_exact").cast("double")) - col("n_exact"))
+                * 100.0
+                / col("n_exact"),
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _cms_cell_sql(d: int) -> str:
+    inner = f"'{d}' || term"
+    return f"({hash48_sql(inner)} % {_CMS_WIDTH})"
+
+
+def _count_min_sql() -> str:
+    arms = "\nUNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_cell_sql(d)} AS cell, exact AS c FROM tf"
+        for d in range(_CMS_DEPTH)
+    )
+    probe_arms = "\nUNION ALL ".join(
+        f"SELECT term, exact, {d} AS d, {_cms_cell_sql(d)} AS cell FROM top"
+        for d in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({tokens_sql('text')}) AS term FROM documents),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact FROM tok GROUP BY 1),
+arms AS ({arms}),
+cms AS (SELECT d, cell, CAST(SUM(c) AS BIGINT) AS counter FROM arms GROUP BY 1, 2),
+top AS (SELECT term, exact FROM tf ORDER BY exact DESC, term LIMIT {_CMS_TOPK}),
+probes AS ({probe_arms})
+SELECT p.term, p.exact, MIN(cms.counter) AS est,
+       MIN(cms.counter) - p.exact AS overest
+FROM probes p JOIN cms ON cms.d = p.d AND cms.cell = p.cell
+GROUP BY p.term, p.exact
+ORDER BY p.exact DESC, p.term
+"""
+
+
+def _kmv_sql() -> str:
+    scale = float(_KMV_K - 1) * float(1 << 48)
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT event_type,
+         {hash48_sql('CAST(user_id AS VARCHAR)')} AS hv
+  FROM events),
+kth AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM hv) WHERE rn = {_KMV_K}),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1)
+SELECT e.event_type, e.n_exact,
+       COALESCE(ROUND({scale!r} / k.hv, 2),
+                CAST(e.n_exact AS DOUBLE)) AS kmv_est,
+       ROUND((COALESCE(ROUND({scale!r} / k.hv, 2),
+                       CAST(e.n_exact AS DOUBLE)) - e.n_exact) * 100.0
+             / e.n_exact, 2) AS err_pct
+FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+ORDER BY e.event_type
+"""
+
+
 ORACLES: dict[str, str] = {
+    "q165_count_min": _count_min_sql(),
+    "q166_kmv_distinct": _kmv_sql(),
     "q152_bigram_lm": """
 WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
 b AS (
@@ -304,4 +467,6 @@ QUERIES = {
     "q136_bloom_semi_join": q136_bloom_semi_join,
     "q137_heavy_hitters": q137_heavy_hitters,
     "q152_bigram_lm": q152_bigram_lm,
+    "q165_count_min": q165_count_min,
+    "q166_kmv_distinct": q166_kmv_distinct,
 }
