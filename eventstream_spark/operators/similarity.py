@@ -194,8 +194,13 @@ def q163_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs), cosine computed once per candidate and reused by both
     rank directions (two windows over the same frame, one exchange each);
     the signature table persists so both corpus filters read one pass."""
-    emb = load(spark, sf_dir, "embeddings")
-    b = persist_tracked(lsh_bucketed(emb))
+    return mutual_ann(load(spark, sf_dir, "embeddings"))
+
+
+def mutual_ann(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
+    b = persist_tracked(
+        lsh_bucketed(emb, plane_weights(n_planes) if n_planes else None)
+    )
     a = b.where(col("vec_id") % 2 == 0).alias("a")
     c = b.where(col("vec_id") % 2 == 1).alias("c")
     cand = a.join(c, col("a.bucket") == col("c.bucket")).select(
@@ -215,6 +220,15 @@ def q163_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round("cos_raw", 4).alias("cos"))
         .orderBy("a_id")
     )
+
+
+def q163b_mutual_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q163 with the LSH bits grown to 12 planes (4096 buckets) — the form
+    a 100× corpus runs (constant bucket occupancy; same bits-from-log2(N)
+    rule as q44b/q114b). On the small fixture recall drops (most buckets
+    are singletons) — the standard bits-vs-recall trade, mirrored exactly
+    by the oracle."""
+    return mutual_ann(load(spark, sf_dir, "embeddings"), n_planes=_GROWN_PLANES)
 
 
 def lsh_multiprobe_ann(emb: DataFrame, k: int = 3, n_planes: int | None = None) -> DataFrame:
@@ -784,6 +798,26 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
 """
 
 
+def _mutual_ann_sql(n_planes: int | None = None) -> str:
+    bits = lsh_bucket_bits_sql("v", n_planes) if n_planes else lsh_bucket_bits_sql("v")
+    return f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+s AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM e),
+cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {cosine_sql('a.v', 'b.v')} AS cos_raw
+  FROM s a JOIN s b ON a.bucket = b.bucket
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+rk AS (
+  SELECT a_id, b_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_raw DESC, b_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_raw DESC, a_id) AS rb
+  FROM cand)
+SELECT a_id, b_id, ROUND(cos_raw, 4) AS cos
+FROM rk WHERE ra = 1 AND rb = 1 ORDER BY a_id
+"""
+
+
 def _lsh_sql(k: int = 3) -> str:
     bits = lsh_bucket_bits_sql("v")
     return f"""
@@ -873,22 +907,8 @@ SELECT q_id, vec_id AS neighbor_id, rank, ROUND(cos_raw, 4) AS cos
 FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """,
     "q52_lsh_ann": _lsh_sql(),
-    "q163_mutual_ann": f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-s AS (SELECT vec_id, v, CAST({lsh_bucket_bits_sql('v')} AS BIGINT) AS bucket FROM e),
-cand AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         {cosine_sql('a.v', 'b.v')} AS cos_raw
-  FROM s a JOIN s b ON a.bucket = b.bucket
-  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
-rk AS (
-  SELECT a_id, b_id, cos_raw,
-         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_raw DESC, b_id) AS ra,
-         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_raw DESC, a_id) AS rb
-  FROM cand)
-SELECT a_id, b_id, ROUND(cos_raw, 4) AS cos
-FROM rk WHERE ra = 1 AND rb = 1 ORDER BY a_id
-""",
+    "q163_mutual_ann": _mutual_ann_sql(),
+    "q163b_mutual_ann_scaled": _mutual_ann_sql(n_planes=_GROWN_PLANES),
     "q114_lsh_multiprobe": _lsh_multiprobe_sql(),
     "q114b_multiprobe_scaled": _lsh_multiprobe_sql(n_planes=_GROWN_PLANES),
     # IVF mirror: assignment/probing argmins use ROW_NUMBER ordered by
@@ -1002,6 +1022,7 @@ QUERIES = {
     "q51_topk_per_query": q51_topk_per_query,
     "q52_lsh_ann": q52_lsh_ann,
     "q163_mutual_ann": q163_mutual_ann,
+    "q163b_mutual_ann_scaled": q163b_mutual_ann_scaled,
     "q114_lsh_multiprobe": q114_lsh_multiprobe,
     "q114b_multiprobe_scaled": q114b_multiprobe_scaled,
     "q53_ivf_ann": q53_ivf_ann,

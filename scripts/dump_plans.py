@@ -42,6 +42,11 @@ PICKS = {
     "q142_inverted_index": "inverted index: both agg levels partial (map-side) — the explode never crosses a shuffle raw",
     "q143_weighted_sample": "weighted top-k: TakeOrderedAndProject, no global sort",
     "q150_equidepth_histogram": "equi-depth buckets via scalable_ntile: rangepartitioning exchange + per-partition rank — no single-task Window",
+    "q155_fuzzy_blocked_match": "fuzzy ER: equi-join on the (brand, size) blocking key; levenshtein only as a post-join projection, never a join condition",
+    "q156_interval_concurrency": "sweep-line: map-side endpoint explode (one scan), two-level running sum — window partitions carry the bucket key",
+    "q158_bm25_topk": "BM25: query-term side broadcast into the posting join; per-query top-k is WindowGroupLimit",
+    "q163_mutual_ann": "mutual ANN: one bucketed A-B equi-join; both rank directions window the same candidate frame",
+    "q165_count_min": "count-min: sketch is a depth-x-width groupBy of map-side partials; the estimate join broadcasts the 768-row sketch",
 }
 
 

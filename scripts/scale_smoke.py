@@ -149,6 +149,24 @@ SCALE_QUERIES = [
     "q152_bigram_lm",
     "q153_snapshot_diff",
     "q154_fk_audit",
+    # round 4 (cont. 3). q155 (fuzzy ER) is excluded: part is a DIMENSION
+    # in this replica scheme (stays 1x), so there is nothing to measure —
+    # its scale argument is the blocking-key equi-join itself (the block
+    # key must grow with data, exactly the q42 band-width discipline).
+    # q163 (6-plane mutual ANN) shares the q44/q114 fixed-plane pigeonhole
+    # exclusion; q163b is the grown-bits form the smoke measures. q161
+    # consults the same layouts as q159 (only 64-row stats work on top);
+    # q162 re-runs q131's training rounds (vocab-linear, same shuffles) —
+    # q159/q131 are the measured representatives.
+    "q156_interval_concurrency",
+    "q157_scd2_history",
+    "q158_bm25_topk",
+    "q159_zorder_layout",
+    "q160_attribution",
+    "q163b_mutual_ann_scaled",
+    "q164_ohlc_bars",
+    "q165_count_min",
+    "q166_kmv_distinct",
 ]
 
 
