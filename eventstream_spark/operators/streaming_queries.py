@@ -220,6 +220,37 @@ def q90_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("h", "event_type")
 
 
+def q167_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q164's OHLC bars as a genuine streaming aggregation: open/close are
+    min_by/max_by over the total (ts, event_id) order — ASSOCIATIVE
+    aggregates (unlike the batch twin's row_number windows), so the
+    micro-batch engine merges partial bars across batches exactly, and the
+    drained availableNow run hash-matches q164's batch oracle verbatim.
+    This is the streaming form a live candlestick feed actually runs:
+    per-window state is one (key, o/h/l/c/n/vol) tuple, never the rows."""
+    ev = _events_stream(spark, sf_dir)
+    key = F.struct(col("ts"), col("event_id"))
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.min_by("value", key).alias("o"),
+        F.max("value").alias("high0"),
+        F.min("value").alias("low0"),
+        F.max_by("value", key).alias("c"),
+        F.sum(F.round(col("value") * 1e6).cast("long")).alias("vol_micro"),
+    )
+    out = _run_to_table(agg, spark)
+    return out.select(
+        "event_type",
+        F.unix_micros(col("w.start")).alias("h_us"),
+        "n",
+        F.round("o", 4).alias("open"),
+        F.round("high0", 4).alias("high"),
+        F.round("low0", 4).alias("low"),
+        F.round("c", 4).alias("close"),
+        "vol_micro",
+    ).orderBy("event_type", "h_us")
+
+
 def q91_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q22's dedup-count as streaming dropDuplicates feeding a streaming
     aggregation (two chained stateful operators)."""
@@ -545,7 +576,11 @@ def q145_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "rank")
 
 
+from .analytics import ORACLES as _A_ORACLES
+
 ORACLES = {
+    # Streaming OHLC must land on the batch twin's answer exactly.
+    "q167_stream_ohlc": _A_ORACLES["q164_ohlc_bars"],
     "q145_stream_topk": f"""
 WITH r AS (
   SELECT event_type, event_id, value,
@@ -614,6 +649,7 @@ GROUP BY 1 ORDER BY 1
 QUERIES = {
     "q145_stream_topk": q145_stream_topk,
     "q90_stream_hourly": q90_stream_hourly,
+    "q167_stream_ohlc": q167_stream_ohlc,
     "q91_stream_dedup": q91_stream_dedup,
     "q92_stream_routing": q92_stream_routing,
     "q104_stream_join": q104_stream_join,

@@ -44,6 +44,7 @@ PORTABLE = [
     "q130_value_outliers",
     "q136_bloom_semi_join",
     "q145_stream_topk",
+    "q155_fuzzy_blocked_match",  # levenshtein is built-in in BOTH dialects
 ]
 
 
