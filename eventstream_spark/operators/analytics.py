@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
+from ..cache import persist_tracked
 from ..catalog import load, spread
 
 
@@ -923,6 +924,56 @@ def q164_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q168_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU + stickiness per day — the growth-metrics rollup next
+    to q119's cohort retention. Trailing-window distinct counts avoid the
+    range join entirely: each (day, user) activity row CONTRIBUTES itself
+    to the 7 (resp. 30) trailing windows it falls in via a map-side
+    sequence explode, then one distinct-agg per day. Days are integer
+    epoch-days end to end.
+
+    Scale: contribution explode multiplies the deduped (day, user) table
+    by 7/30 — rows, not state; the distinct aggregation hash-partitions
+    on day. The alternative (day-spine range join) makes every day a
+    broadcast probe; this form is the one that stays shuffle-bounded when
+    the activity table is 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            F.floor(F.unix_micros(col("ts")) / lit(86_400_000_000)).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    ud = persist_tracked(ud)
+    spine = ud.select("day").distinct()
+
+    def trailing(n: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            F.explode(F.sequence(col("day"), col("day") + lit(n - 1))).alias("day"),
+            "user_id",
+        )
+        return (
+            contrib.join(spine, "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(col("dau").cast("double") / col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 def _quality_report_sql() -> str:
     m = ["COUNT(*) AS n"]
     for c in _QUALITY_COLS:
@@ -1015,6 +1066,28 @@ SELECT user_id,
        (lead(ts) OVER w IS NULL) AS is_current
 FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, version
+""",
+    "q168_active_users": """
+WITH ud AS (
+  SELECT DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         user_id
+  FROM events),
+spine AS (SELECT DISTINCT day FROM ud),
+contrib7 AS (
+  SELECT t.d AS day, u.user_id
+  FROM ud u, LATERAL (SELECT unnest(generate_series(u.day, u.day + 6)) AS d) t),
+contrib30 AS (
+  SELECT t.d AS day, u.user_id
+  FROM ud u, LATERAL (SELECT unnest(generate_series(u.day, u.day + 29)) AS d) t),
+wau AS (SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+        FROM contrib7 c JOIN spine s ON s.day = c.day GROUP BY 1),
+mau AS (SELECT c.day, COUNT(DISTINCT c.user_id) AS mau
+        FROM contrib30 c JOIN spine s ON s.day = c.day GROUP BY 1),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+SELECT d.day, d.dau, w.wau, m.mau,
+       ROUND(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day JOIN mau m ON d.day = m.day
+ORDER BY d.day
 """,
     "q164_ohlc_bars": """
 WITH e AS (
@@ -1302,4 +1375,5 @@ QUERIES = {
     "q157_scd2_history": q157_scd2_history,
     "q160_attribution": q160_attribution,
     "q164_ohlc_bars": q164_ohlc_bars,
+    "q168_active_users": q168_active_users,
 }

@@ -39,6 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
+from ..cache import persist_tracked
 from ..catalog import load, spread
 from ..functions import hash48, hash48_sql, tokens, tokens_sql
 
@@ -363,6 +364,75 @@ def q166_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_SET_K = 128
+_H48_SCALE = float(1 << 48)
+
+
+def q169_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA: estimate |A∪B| and |A∩B| from merged sketches
+    (Beyer et al., SIGMOD'07) — A = customers with urgent orders, B =
+    customers with low-priority orders. The union sketch is simply the
+    k smallest distinct hashes of A∪B (min-k merge — the mergeability
+    that makes KMV partition- and shard-friendly); the intersection uses
+    the Jaccard fraction within the union sketch. Exact counts ride
+    along so the one-draw estimation error is visible. Deterministic
+    hashes → both engines build the identical sketch → hard oracle.
+
+    Scale: per-set distinct + one union groupBy; the min-k selection is a
+    TakeOrdered-class top-k, never a global sort; everything after is
+    scalar algebra over ≤k rows."""
+    orders = load(spark, sf_dir, "orders")
+    a = (
+        orders.where(col("o_orderpriority") == "1-URGENT")
+        .select(col("o_custkey").alias("id"))
+        .distinct()
+    )
+    b = (
+        orders.where(col("o_orderpriority") == "5-LOW")
+        .select(col("o_custkey").alias("id"))
+        .distinct()
+    )
+    hv = hash48(col("id").cast("string"))
+    ha = persist_tracked(a.select("id", hv.alias("hv")))
+    hb = persist_tracked(b.select("id", hv.alias("hv")))
+    hu = (
+        ha.select("hv", lit(1).alias("in_a"), lit(0).alias("in_b"))
+        .unionByName(hb.select("hv", lit(0).alias("in_a"), lit(1).alias("in_b")))
+        .groupBy("hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    sk = hu.orderBy("hv").limit(_KMV_SET_K)
+    scalars = (
+        sk.agg(
+            F.sum((col("in_a") + col("in_b") == 2).cast("long")).alias("k_both"),
+            F.count("*").alias("k_used"),
+            F.when(F.count("*") == _KMV_SET_K, F.max("hv")).alias("theta_hv"),
+        )
+        .crossJoin(hu.agg(F.count("*").alias("n_union_exact")))
+        .crossJoin(ha.agg(F.count("*").alias("n_a")))
+        .crossJoin(hb.agg(F.count("*").alias("n_b")))
+        .crossJoin(
+            ha.join(hb, "hv").agg(F.count("*").alias("n_inter_exact"))
+        )
+    )
+    u_est = F.round(
+        lit(float(_KMV_SET_K - 1)) * lit(_H48_SCALE) / col("theta_hv"), 2
+    )
+    i_est = F.round(
+        (col("k_both").cast("double") / col("k_used"))
+        * (lit(float(_KMV_SET_K - 1)) * lit(_H48_SCALE) / col("theta_hv")),
+        2,
+    )
+    return scalars.select(
+        "n_a",
+        "n_b",
+        "n_union_exact",
+        "n_inter_exact",
+        F.coalesce(u_est, col("n_union_exact").cast("double")).alias("union_est"),
+        F.coalesce(i_est, col("n_inter_exact").cast("double")).alias("inter_est"),
+    )
+
+
 def _cms_cell_sql(d: int) -> str:
     inner = f"'{d}' || term"
     return f"({hash48_sql(inner)} % {_CMS_WIDTH})"
@@ -418,9 +488,44 @@ ORDER BY e.event_type
 """
 
 
+def _kmv_set_ops_sql() -> str:
+    k = _KMV_SET_K
+    return f"""
+WITH a AS (SELECT DISTINCT o_custkey AS id FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT o_custkey AS id FROM orders
+      WHERE o_orderpriority = '5-LOW'),
+ha AS (SELECT id, {hash48_sql('CAST(id AS VARCHAR)')} AS hv FROM a),
+hb AS (SELECT id, {hash48_sql('CAST(id AS VARCHAR)')} AS hv FROM b),
+hu AS (SELECT hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT hv, 1 AS in_a, 0 AS in_b FROM ha
+        UNION ALL SELECT hv, 0, 1 FROM hb) GROUP BY hv),
+mink AS (SELECT hv, in_a, in_b, row_number() OVER (ORDER BY hv) AS rn FROM hu),
+sk AS (SELECT * FROM mink WHERE rn <= {k}),
+scalars AS (
+  SELECT (SELECT CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM sk) AS k_both,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sk) AS k_used,
+         (SELECT hv FROM mink WHERE rn = {k}) AS theta_hv,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hu) AS n_union_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ha) AS n_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hb) AS n_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ha JOIN hb USING (hv))
+           AS n_inter_exact)
+SELECT n_a, n_b, n_union_exact, n_inter_exact,
+       COALESCE(ROUND({k - 1} * 281474976710656.0 / theta_hv, 2),
+                CAST(n_union_exact AS DOUBLE)) AS union_est,
+       COALESCE(ROUND(CAST(k_both AS DOUBLE) / k_used
+                      * ({k - 1} * 281474976710656.0 / theta_hv), 2),
+                CAST(n_inter_exact AS DOUBLE)) AS inter_est
+FROM scalars
+"""
+
+
 ORACLES: dict[str, str] = {
     "q165_count_min": _count_min_sql(),
     "q166_kmv_distinct": _kmv_sql(),
+    "q169_kmv_set_ops": _kmv_set_ops_sql(),
     "q152_bigram_lm": """
 WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
 b AS (
@@ -469,4 +574,5 @@ QUERIES = {
     "q152_bigram_lm": q152_bigram_lm,
     "q165_count_min": q165_count_min,
     "q166_kmv_distinct": q166_kmv_distinct,
+    "q169_kmv_set_ops": q169_kmv_set_ops,
 }
