@@ -129,6 +129,7 @@ HEADLINE = [
     "q166_kmv_distinct",
     "q168_active_users",
     "q169_kmv_set_ops",
+    "q170_temporal_join",
 ]
 
 

@@ -829,6 +829,49 @@ def q157_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+def q170_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal AS OF) join against the q157 SCD2 history:
+    each purchase joins the state version VALID AT its timestamp
+    (valid_from ≤ t < valid_to, open version = ∞) — the lookup that makes
+    offline feature retrieval leak-free (a training example must see the
+    dimension as it was, not as it is). Rolled up per joined state.
+
+    Scale: equi-join on user_id with the validity range as a residual —
+    per-user history is small by construction (change rows only), so the
+    fanout is bounded; the same composite-key discipline as q09. Output
+    counts are integers; revenue sums in micro-units."""
+    hist = q157_scd2_history(spark, sf_dir).select(
+        "user_id",
+        col("event_type").alias("state_type"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    p = (
+        load(spark, sf_dir, "events")
+        .where((col("user_id") % 50 == 0) & (col("event_type") == "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros(col("ts")).alias("t_us"),
+            F.round(col("value") * 1e6).cast("long").alias("v_micro"),
+        )
+    )
+    j = p.join(
+        hist,
+        (p.user_id == hist.user_id)
+        & (col("t_us") >= col("valid_from_us"))
+        & (col("valid_to_us").isNull() | (col("t_us") < col("valid_to_us"))),
+    )
+    return (
+        j.groupBy("state_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct(p.user_id).alias("n_users"),
+            (F.sum("v_micro") / lit(1e6)).alias("revenue"),
+        )
+        .orderBy("state_type")
+    )
+
+
 def q160_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: credit each purchase to the user's
     most recent PRIOR click/view within a 7-day lookback, then roll up
@@ -1106,6 +1149,34 @@ SELECT event_type, epoch_us(h) AS h_us,
        CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS vol_micro
 FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """,
+    "q170_temporal_join": """
+WITH h AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE user_id % 50 = 0),
+ch AS (
+  SELECT user_id, event_type, ts, event_id FROM h
+  WHERE prev_type IS NULL OR prev_type <> event_type),
+scd AS (
+  SELECT user_id, event_type AS state_type,
+         epoch_us(ts) AS valid_from_us,
+         epoch_us(lead(ts) OVER w) AS valid_to_us
+  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+  FROM events WHERE user_id % 50 = 0 AND event_type = 'purchase')
+SELECT s.state_type,
+       COUNT(*) AS n_purchases,
+       COUNT(DISTINCT p.user_id) AS n_users,
+       SUM(v_micro) / 1e6 AS revenue
+FROM p JOIN scd s
+  ON p.user_id = s.user_id
+ AND p.t_us >= s.valid_from_us
+ AND (s.valid_to_us IS NULL OR p.t_us < s.valid_to_us)
+GROUP BY s.state_type ORDER BY s.state_type
+""",
     "q160_attribution": """
 WITH e AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -1376,4 +1447,5 @@ QUERIES = {
     "q160_attribution": q160_attribution,
     "q164_ohlc_bars": q164_ohlc_bars,
     "q168_active_users": q168_active_users,
+    "q170_temporal_join": q170_temporal_join,
 }

@@ -435,3 +435,18 @@ def test_q163_mutual_ann_is_bucketed_equi_join(spark, sf_dir):
     plan = _plan(q163_mutual_ann(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q170_temporal_join_is_equi_on_user(spark, sf_dir):
+    """The point-in-time join must carry user_id as the equi key with the
+    validity range as a residual — never a nested loop over histories."""
+    from eventstream_spark.operators.analytics import q170_temporal_join
+
+    plan = _plan(q170_temporal_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    join_line = next(
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
+    )
+    assert "user_id" in join_line
