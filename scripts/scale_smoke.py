@@ -167,6 +167,9 @@ SCALE_QUERIES = [
     "q164_ohlc_bars",
     "q165_count_min",
     "q166_kmv_distinct",
+    "q168_active_users",
+    "q169_kmv_set_ops",
+    "q170_temporal_join",
 ]
 
 
