@@ -130,6 +130,8 @@ HEADLINE = [
     "q168_active_users",
     "q169_kmv_set_ops",
     "q170_temporal_join",
+    "q171_random_projection",
+    "q172_jackknife_se",
 ]
 
 

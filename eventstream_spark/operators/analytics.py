@@ -25,6 +25,7 @@ from pyspark.sql.functions import col, lit
 
 from ..cache import persist_tracked
 from ..catalog import load, spread
+from ..functions import hash48, hash48_sql
 
 
 def q62_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,6 +1018,80 @@ def q168_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JK_G = 32
+
+
+def q172_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error bars on a distributed aggregate: delete-one-GROUP jackknife
+    standard error of mean(l_extendedprice) over 32 deterministic hash
+    buckets, next to the closed-form SE — the resampling machinery that
+    prices any statistic (ratios, regressions) where no closed form
+    exists, demonstrated on one where the answer is checkable.
+
+    Determinism: bucket sums are exact integers (micro-units), the
+    sum-of-squares is an exact DECIMAL, and the 32 leave-one-out means
+    fold through the ordered-array aggregate (functions._fold_sum ≡
+    duckdb list_reduce, fp-identical) — no unordered float sums anywhere.
+
+    Scale: one groupBy(bucket) with map-side partials + one global
+    aggregate; everything after is scalar algebra over 32 rows. The
+    jackknife costs ONE extra pass regardless of statistic."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat(
+        col("l_orderkey").cast("string"),
+        lit("-"),
+        col("l_linenumber").cast("string"),
+    )
+    x = li.select(
+        F.round(col("l_extendedprice") * 1e6).cast("long").alias("vm"),
+        col("l_extendedprice").cast("decimal(18,2)").alias("vd"),
+        (hash48(key) % _JK_G).alias("b"),
+    )
+    pb = x.groupBy("b").agg(F.sum("vm").alias("s"), F.count("*").alias("n"))
+    tot = x.agg(
+        F.sum("vm").alias("st"),
+        F.count("*").alias("nt"),
+        F.sum(col("vd") * col("vd")).alias("sq"),
+    )
+    j = pb.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (((col("st") - col("s")) / (col("nt") - col("n"))) / lit(1e6)).alias("m"),
+        "st",
+        "nt",
+        "sq",
+    )
+    agg = j.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", "m"))), lambda s: s["m"]
+        ).alias("ms"),
+        F.max("st").alias("st"),
+        F.max("nt").alias("nt"),
+        F.max("sq").alias("sq"),
+    )
+    withm = agg.withColumn(
+        "mbar",
+        F.aggregate(col("ms"), lit(0.0), lambda a, v: a + v) / lit(_JK_G),
+    )
+    var_jk = lit((_JK_G - 1) / _JK_G) * F.aggregate(
+        F.transform(col("ms"), lambda v: (v - col("mbar")) * (v - col("mbar"))),
+        lit(0.0),
+        lambda a, v: a + v,
+    )
+    std = col("st").cast("double") / lit(1e6)
+    se_cf = F.sqrt(
+        (
+            (col("nt") * col("sq").cast("double") - std * std)
+            / (col("nt") * (col("nt") - lit(1.0)))
+        )
+        / col("nt")
+    )
+    return withm.select(
+        F.round((col("st") / col("nt")) / lit(1e6), 4).alias("mean_price"),
+        F.round(F.sqrt(var_jk), 4).alias("se_jackknife"),
+        F.round(se_cf, 4).alias("se_closed_form"),
+    )
+
+
 def _quality_report_sql() -> str:
     m = ["COUNT(*) AS n"]
     for c in _QUALITY_COLS:
@@ -1054,6 +1129,33 @@ def _corr_matrix_sql() -> str:
         + "\nUNION ALL\n".join(parts)
         + "\nORDER BY col_a, col_b"
     )
+
+
+_JACKKNIFE_SQL = f"""
+WITH x AS (
+  SELECT CAST(ROUND(l_extendedprice * 1e6) AS BIGINT) AS vm,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS vd,
+         {hash48_sql("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")}
+           % {_JK_G} AS b
+  FROM lineitem),
+pb AS (SELECT b, CAST(SUM(vm) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+       FROM x GROUP BY 1),
+tot AS (SELECT CAST(SUM(vm) AS BIGINT) AS st, CAST(COUNT(*) AS BIGINT) AS nt,
+               SUM(vd * vd) AS sq FROM x),
+ml AS (SELECT list(((t.st - s) / (t.nt - n)) / 1e6 ORDER BY b) AS ms,
+              MAX(t.st) AS st, MAX(t.nt) AS nt, MAX(t.sq) AS sq
+       FROM pb, tot t),
+mb AS (SELECT ms, st, nt, sq,
+              list_reduce(ms, (x, y) -> x + y) / {_JK_G} AS mbar FROM ml)
+SELECT ROUND((st / nt) / 1e6, 4) AS mean_price,
+       ROUND(sqrt({_JK_G - 1}.0 / {_JK_G} * list_reduce(
+               list_transform(ms, x -> (x - mbar) * (x - mbar)),
+               (x, y) -> x + y)), 4) AS se_jackknife,
+       ROUND(sqrt(((nt * CAST(sq AS DOUBLE)
+                    - CAST(st AS DOUBLE) / 1e6 * (CAST(st AS DOUBLE) / 1e6))
+                   / (nt * (nt - 1.0))) / nt), 4) AS se_closed_form
+FROM mb
+"""
 
 
 ORACLES: dict[str, str] = {
@@ -1149,6 +1251,7 @@ SELECT event_type, epoch_us(h) AS h_us,
        CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS vol_micro
 FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """,
+    "q172_jackknife_se": _JACKKNIFE_SQL,
     "q170_temporal_join": """
 WITH h AS (
   SELECT user_id, event_type, ts, event_id,
@@ -1448,4 +1551,5 @@ QUERIES = {
     "q164_ohlc_bars": q164_ohlc_bars,
     "q168_active_users": q168_active_users,
     "q170_temporal_join": q170_temporal_join,
+    "q172_jackknife_se": q172_jackknife_se,
 }

@@ -231,6 +231,53 @@ def q163b_mutual_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_ann(load(spark, sf_dir, "embeddings"), n_planes=_GROWN_PLANES)
 
 
+_JL_K = 16
+_JL_INV = (3.0 / _JL_K) ** 0.5  # entries ~U[-1,1]: Var = 1/3, so scale by sqrt(3/k)
+
+
+def q171_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→16 dims with the
+    distance-preservation guarantee MEASURED: project with the same
+    deterministic plane family the LSH ops use (scaled to unit per-
+    coordinate variance), then report avg/max relative L2 distortion over
+    a deterministic pair sample. The dimensionality-reduction preprocessor
+    for ANN/clustering at 100 TB — cheaper vectors, bounded distortion
+    (ε ~ sqrt(ln n / k)); 16 dims lands ~16% here, the textbook value.
+
+    Determinism: per-pair distortion quantizes to integer micro-units
+    before the average (q125 discipline); max is order-free. Scale: the
+    projection is a map-side fixed-literal matmul (zero shuffle); the
+    measurement joins consecutive vec_ids (equi-join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        col("vec_id"), as_double_array(col("embedding")).alias("v")
+    )
+    pmat = matrix_literal(plane_weights(_JL_K))
+    p = e.withColumn(
+        "pv", F.transform(pmat, lambda w: dot(col("v"), w) * lit(_JL_INV))
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    d_full = F.sqrt(sq_l2(col("a.v"), col("b.v")))
+    d_proj = F.sqrt(sq_l2(col("a.pv"), col("b.pv")))
+    pairs = (
+        a.join(b, col("b.vec_id") == col("a.vec_id") + 1)
+        .where(col("a.vec_id") % 10 == 0)
+        .select(
+            F.round(F.abs(d_proj - d_full) / d_full * lit(1e6))
+            .cast("long")
+            .alias("dist_micro")
+        )
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("dist_micro") / F.count("*") / lit(1e6), 4).alias(
+            "avg_distortion"
+        ),
+        F.round(F.max("dist_micro") / lit(1e6), 4).alias("max_distortion"),
+    )
+
+
 def lsh_multiprobe_ann(emb: DataFrame, k: int = 3, n_planes: int | None = None) -> DataFrame:
     """Multi-probe hyperplane LSH (Lv et al., VLDB'07): each query vector
     probes its own bucket PLUS the bucket with its lowest-|margin| sign bit
@@ -798,6 +845,32 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
 """
 
 
+def _random_projection_sql() -> str:
+    planes = plane_weights(_JL_K)
+    proj = (
+        "["
+        + ", ".join(
+            f"{dot_sql('v', _plane_sql_literal(w))} * {_JL_INV!r}" for w in planes
+        )
+        + "]"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+p AS (SELECT vec_id, v, {proj} AS pv FROM e),
+pairs AS (
+  SELECT CAST(ROUND(ABS(sqrt({sq_l2_sql('a.pv', 'b.pv')})
+                    - sqrt({sq_l2_sql('a.v', 'b.v')}))
+                    / sqrt({sq_l2_sql('a.v', 'b.v')}) * 1e6) AS BIGINT)
+           AS dist_micro
+  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 10 = 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(dist_micro) / COUNT(*) / 1e6, 4) AS avg_distortion,
+       ROUND(MAX(dist_micro) / 1e6, 4) AS max_distortion
+FROM pairs
+"""
+
+
 def _mutual_ann_sql(n_planes: int | None = None) -> str:
     bits = lsh_bucket_bits_sql("v", n_planes) if n_planes else lsh_bucket_bits_sql("v")
     return f"""
@@ -909,6 +982,7 @@ FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
     "q52_lsh_ann": _lsh_sql(),
     "q163_mutual_ann": _mutual_ann_sql(),
     "q163b_mutual_ann_scaled": _mutual_ann_sql(n_planes=_GROWN_PLANES),
+    "q171_random_projection": _random_projection_sql(),
     "q114_lsh_multiprobe": _lsh_multiprobe_sql(),
     "q114b_multiprobe_scaled": _lsh_multiprobe_sql(n_planes=_GROWN_PLANES),
     # IVF mirror: assignment/probing argmins use ROW_NUMBER ordered by
@@ -1023,6 +1097,7 @@ QUERIES = {
     "q52_lsh_ann": q52_lsh_ann,
     "q163_mutual_ann": q163_mutual_ann,
     "q163b_mutual_ann_scaled": q163b_mutual_ann_scaled,
+    "q171_random_projection": q171_random_projection,
     "q114_lsh_multiprobe": q114_lsh_multiprobe,
     "q114b_multiprobe_scaled": q114b_multiprobe_scaled,
     "q53_ivf_ann": q53_ivf_ann,
