@@ -840,12 +840,30 @@ def q170_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: equi-join on user_id with the validity range as a residual —
     per-user history is small by construction (change rows only), so the
     fanout is bounded; the same composite-key discipline as q09. Output
-    counts are integers; revenue sums in micro-units."""
-    hist = q157_scd2_history(spark, sf_dir).select(
+    counts are integers; revenue sums in micro-units.
+
+    The dimension here is the user's last NON-purchase activity (q157's
+    derivation over the non-purchase stream) — joining purchases against
+    a state that includes purchases would mostly match the state each
+    purchase itself created, which is the self-lookup, not the feature
+    lookup."""
+    ev = load(spark, sf_dir, "events").where(
+        (col("user_id") % 50 == 0) & (col("event_type") != "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(col("prev_type").isNull() | (col("prev_type") != col("event_type")))
+    nxt = F.lead("ts").over(w)
+    hist = ch.select(
         "user_id",
         col("event_type").alias("state_type"),
-        "valid_from_us",
-        "valid_to_us",
+        F.unix_micros(col("ts")).alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
     )
     p = (
         load(spark, sf_dir, "events")
@@ -1257,7 +1275,7 @@ WITH h AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
-  FROM events WHERE user_id % 50 = 0),
+  FROM events WHERE user_id % 50 = 0 AND event_type <> 'purchase'),
 ch AS (
   SELECT user_id, event_type, ts, event_id FROM h
   WHERE prev_type IS NULL OR prev_type <> event_type),
