@@ -436,6 +436,69 @@ def q159_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stat(zf, "zorder").unionByName(stat(lf, "linear")).orderBy("layout")
 
 
+def zorder_write(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 16,
+) -> DataFrame:
+    """The WRITE half of the z-order story: compute the Morton key over
+    (l_partkey, l_suppkey), carve the curve at FIXED z boundaries
+    (``file_id = zval div (1024 / n_files)`` — whole curve tiles, the
+    same rule q161's measured skipping uses), and write real partitioned
+    parquet — the OPTIMIZE ZORDER BY rewrite itself (q159/q161 measure
+    the layout; this materializes it). Fixed boundaries matter: a
+    SAMPLED range split can land mid-tile, and a file straddling a
+    z-curve seam spans the full domain of one axis — the measured
+    skipping guarantee only holds for whole tiles. Returns per-file
+    min/max stats read back from the written data, i.e. the footer index
+    a scan's data-skipping consults.
+
+    Scale: one exchange on the file id (the clustering write always pays
+    one) + the write; stats read-back is one aggregation. Tested in
+    tests/test_merge.py: every physical file's key spans stay bounded in
+    BOTH dimensions."""
+    src = load(spark, sf_dir, "lineitem").select(
+        col("l_partkey").alias("x"),
+        col("l_suppkey").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    rx, n = _ranked_with_total(src, ["x", "l_orderkey", "l_linenumber"], "_rx")
+    ry, _ = _ranked_with_total(rx, ["y", "l_orderkey", "l_linenumber"], "_ry")
+    z = ry.select(
+        "x",
+        "y",
+        _interleave_bits(
+            ntile_from_rank(col("_rx"), n, 32) - 1,
+            ntile_from_rank(col("_ry"), n, 32) - 1,
+            5,
+        ).alias("zval"),
+    )
+    z = z.withColumn(
+        "file_id", F.floor(col("zval") / lit(1024 // n_files)).cast("long")
+    )
+    (
+        z.repartition("file_id")
+        .sortWithinPartitions("file_id", "zval")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("file_id")
+    )
+
+
 def q161_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-skipping PAYOFF of q159's layouts: against each layout's
     per-file min/max stats (the parquet footer / manifest index), probe

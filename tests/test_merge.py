@@ -146,3 +146,22 @@ def test_merge_into_partitioned_key_moves_partition(spark, tmp_path):
     merge_into_partitioned(spark, table_dir, source, keys=["k"], partition_col="yr")
     got = {tuple(r) for r in spark.read.parquet(table_dir).select("k", "s", "yr").collect()}
     assert got == {(1, "A", 2021), (2, "b", 2021)}
+
+
+def test_zorder_write_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """The materialized z-order layout must produce real multi-file
+    parquet whose per-FILE min/max spans are bounded in BOTH key
+    dimensions — the property a linear sort cannot give its non-sort key.
+    16 whole curve tiles over 32x32 buckets → each file covers 8 of 32
+    quantile buckets per axis (≤ ~1/4 of each axis in bucket space; the
+    value-space bound below allows quantile slack)."""
+    from eventstream_spark.operators.merge import zorder_write
+
+    out = str(tmp_path / "zo")
+    stats = zorder_write(spark, sf_dir, out, n_files=16).collect()
+    assert len(stats) >= 8  # real multi-file layout
+    gx = max(r.max_x for r in stats)
+    gy = max(r.max_y for r in stats)
+    for r in stats:
+        assert (r.max_x - r.min_x) <= 0.6 * gx
+        assert (r.max_y - r.min_y) <= 0.6 * gy
