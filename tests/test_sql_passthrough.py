@@ -45,6 +45,8 @@ PORTABLE = [
     "q136_bloom_semi_join",
     "q145_stream_topk",
     "q155_fuzzy_blocked_match",  # levenshtein is built-in in BOTH dialects
+    "q159_zorder_layout",  # ntile + >>/& bit ops parse in both dialects
+    "q161_zorder_pruning",
 ]
 
 
