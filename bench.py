@@ -132,6 +132,9 @@ HEADLINE = [
     "q170_temporal_join",
     "q171_random_projection",
     "q172_jackknife_se",
+    # q173 (IR eval) re-runs q158's BM25 pipeline before scoring — same
+    # double-count reasoning as q161/q162; oracle-gated, not headlined.
+    "q174_ab_test",
 ]
 
 

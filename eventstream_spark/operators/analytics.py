@@ -1110,6 +1110,83 @@ def q172_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q174_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a two-sample z-test on purchase value
+    between hash-split cohorts A/B — run twice, on the NULL split (no
+    effect; z ≈ 0) and with a +20% effect injected into B (detected,
+    z ≈ 4) — so both the no-false-positive and the detection side of the
+    test are visible in one result. The deterministic hash split is the
+    assignment a real experiment framework uses.
+
+    Determinism: group sums are exact integer micro-units, sums of squares
+    exact DECIMALs, and every float op after is a fixed expression tree
+    (q172's discipline) — the z-statistic is bit-identical across engines.
+
+    Scale: one groupBy over (variant, cohort) with map-side partials;
+    everything after is scalar algebra over 4 rows."""
+    ev = load(spark, sf_dir, "events").where(col("event_type") == "purchase")
+    base = ev.select(
+        (hash48(col("user_id").cast("string")) % 2).alias("grp"),
+        F.round(col("value") * 1e6).cast("long").alias("vm"),
+    )
+    v = base.select(lit("null").alias("variant"), "grp", "vm").unionByName(
+        base.select(
+            lit("injected").alias("variant"),
+            "grp",
+            F.when(col("grp") == 1, F.round(col("vm") * 1.2).cast("long"))
+            .otherwise(col("vm"))
+            .alias("vm"),
+        )
+    )
+    vmd = col("vm").cast("decimal(19,0)")
+    g = v.groupBy("variant", "grp").agg(
+        F.count("*").alias("n"),
+        F.sum("vm").alias("s"),
+        F.sum(vmd * vmd).alias("sq"),
+    )
+
+    def pick(c: str, grp: int):
+        return F.max(F.when(col("grp") == grp, col(c)))
+
+    w = g.groupBy("variant").agg(
+        pick("n", 0).alias("n_a"),
+        pick("n", 1).alias("n_b"),
+        pick("s", 0).alias("s_a"),
+        pick("s", 1).alias("s_b"),
+        pick("sq", 0).alias("sq_a"),
+        pick("sq", 1).alias("sq_b"),
+    )
+
+    def var(n: str, s: str, sq: str):
+        sd = col(s).cast("double")
+        return (col(n) * col(sq).cast("double") - sd * sd) / (
+            col(n) * (col(n) - lit(1.0))
+        )
+
+    m = w.select(
+        "variant",
+        "n_a",
+        "n_b",
+        (col("s_a") / col("n_a")).alias("ma"),
+        (col("s_b") / col("n_b")).alias("mb"),
+        var("n_a", "s_a", "sq_a").alias("va"),
+        var("n_b", "s_b", "sq_b").alias("vb"),
+    )
+    z = (col("mb") - col("ma")) / F.sqrt(
+        col("va") / col("n_a") + col("vb") / col("n_b")
+    )
+    return m.select(
+        "variant",
+        "n_a",
+        "n_b",
+        F.round(col("ma") / lit(1e6), 4).alias("mean_a"),
+        F.round(col("mb") / lit(1e6), 4).alias("mean_b"),
+        F.round((col("mb") - col("ma")) / lit(1e6), 4).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > lit(1.96)).alias("significant"),
+    ).orderBy("variant")
+
+
 def _quality_report_sql() -> str:
     m = ["COUNT(*) AS n"]
     for c in _QUALITY_COLS:
@@ -1173,6 +1250,47 @@ SELECT ROUND((st / nt) / 1e6, 4) AS mean_price,
                     - CAST(st AS DOUBLE) / 1e6 * (CAST(st AS DOUBLE) / 1e6))
                    / (nt * (nt - 1.0))) / nt), 4) AS se_closed_form
 FROM mb
+"""
+
+
+_AB_TEST_SQL = f"""
+WITH base AS (
+  SELECT {hash48_sql("CAST(user_id AS VARCHAR)")} % 2 AS grp,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT 'null' AS variant, grp, vm FROM base
+  UNION ALL
+  SELECT 'injected', grp,
+         CASE WHEN grp = 1 THEN CAST(ROUND(vm * 1.2) AS BIGINT) ELSE vm END
+  FROM base),
+g AS (
+  SELECT variant, grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vm) AS BIGINT) AS s,
+         SUM(CAST(vm AS DECIMAL(19,0)) * CAST(vm AS DECIMAL(19,0))) AS sq
+  FROM v GROUP BY 1, 2),
+w AS (
+  SELECT variant,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN grp = 0 THEN s END) AS s_a,
+         MAX(CASE WHEN grp = 1 THEN s END) AS s_b,
+         MAX(CASE WHEN grp = 0 THEN sq END) AS sq_a,
+         MAX(CASE WHEN grp = 1 THEN sq END) AS sq_b
+  FROM g GROUP BY 1),
+m AS (
+  SELECT variant, n_a, n_b, s_a / n_a AS ma, s_b / n_b AS mb,
+         (n_a * CAST(sq_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+           / (n_a * (n_a - 1.0)) AS va,
+         (n_b * CAST(sq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+           / (n_b * (n_b - 1.0)) AS vb
+  FROM w)
+SELECT variant, n_a, n_b,
+       ROUND(ma / 1e6, 4) AS mean_a, ROUND(mb / 1e6, 4) AS mean_b,
+       ROUND((mb - ma) / 1e6, 4) AS lift,
+       ROUND((mb - ma) / sqrt(va / n_a + vb / n_b), 4) AS z_score,
+       (ABS((mb - ma) / sqrt(va / n_a + vb / n_b)) > 1.96) AS significant
+FROM m ORDER BY variant
 """
 
 
@@ -1270,6 +1388,7 @@ SELECT event_type, epoch_us(h) AS h_us,
 FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "q172_jackknife_se": _JACKKNIFE_SQL,
+    "q174_ab_test": _AB_TEST_SQL,
     "q170_temporal_join": """
 WITH h AS (
   SELECT user_id, event_type, ts, event_id,
@@ -1570,4 +1689,5 @@ QUERIES = {
     "q168_active_users": q168_active_users,
     "q170_temporal_join": q170_temporal_join,
     "q172_jackknife_se": q172_jackknife_se,
+    "q174_ab_test": q174_ab_test,
 }

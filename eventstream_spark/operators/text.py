@@ -746,6 +746,54 @@ def q131_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("it")
 
 
+def q173_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over q158's BM25 rankings: MRR@5,
+    precision@5, and DCG@5 against same-source pseudo-labels (a result is
+    "relevant" when it shares the query document's source) — the offline
+    eval harness a search/RAG stack runs on every index or scorer change.
+
+    Determinism: per-row reciprocal-rank and log2-discount terms quantize
+    to integer micro-units before any sum (ranks ≤ 5, so each term is ONE
+    float op on an integer); the final means divide exact integer sums.
+
+    Scale: rides q158's plan (broadcast query terms, WindowGroupLimit
+    top-k) plus two dimension joins on doc_id and one rollup."""
+    top = q158_bm25_topk(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sq = docs.select(
+        col("doc_id").alias("query_id"), col("source").alias("q_src")
+    )
+    sd = docs.select("doc_id", col("source").alias("d_src"))
+    lab = (
+        top.join(sq, "query_id")
+        .join(sd, "doc_id")
+        .select(
+            "query_id",
+            "rnk",
+            (col("q_src") == col("d_src")).cast("int").alias("rel"),
+        )
+    )
+    perq = lab.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.max(
+            F.when(col("rel") == 1, F.round(lit(1e6) / col("rnk")).cast("long"))
+            .otherwise(lit(0))
+        ).alias("rr_micro"),
+        F.sum(
+            F.when(
+                col("rel") == 1,
+                F.round(lit(1e6) / F.log2(col("rnk") + 1)).cast("long"),
+            ).otherwise(lit(0))
+        ).alias("dcg_micro"),
+    )
+    return perq.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.sum("rr_micro") / F.count("*") / lit(1e6), 4).alias("mrr_at_5"),
+        F.round(F.sum("n_rel") / (lit(5.0) * F.count("*")), 4).alias("p_at_5"),
+        F.round(F.sum("dcg_micro") / F.count("*") / lit(1e6), 4).alias("dcg_at_5"),
+    )
+
+
 def bpe_apply(
     docs: DataFrame, iters: int = _BPE_LEARN_ITERS
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
@@ -1103,8 +1151,7 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_SQL = f"""
-WITH tok AS (
+_BM25_CTES = f"""tok AS (
   SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
 dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
@@ -1129,14 +1176,44 @@ agg AS (SELECT query_id, doc_id, SUM(s_micro) / 1e6 AS bm25
         FROM scored GROUP BY 1, 2),
 rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                     ORDER BY bm25 DESC, doc_id) AS rn
-       FROM agg)
+       FROM agg)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_CTES}
 SELECT query_id, doc_id, bm25, CAST(rn AS BIGINT) AS rnk
 FROM rk WHERE rn <= 5 ORDER BY query_id, rnk
+"""
+
+_IR_EVAL_SQL = f"""
+WITH {_BM25_CTES},
+top AS (SELECT query_id, doc_id, rn FROM rk WHERE rn <= 5),
+src AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT t.query_id, t.rn,
+         CASE WHEN sq.source = sd.source THEN 1 ELSE 0 END AS rel
+  FROM top t
+  JOIN src sq ON sq.doc_id = t.query_id
+  JOIN src sd ON sd.doc_id = t.doc_id),
+perq AS (
+  SELECT query_id,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         CAST(MAX(CASE WHEN rel = 1 THEN CAST(ROUND(1e6 / rn) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rr_micro,
+         CAST(SUM(CASE WHEN rel = 1
+                       THEN CAST(ROUND(1e6 / log2(rn + 1)) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS dcg_micro
+  FROM lab GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(SUM(rr_micro) / COUNT(*) / 1e6, 4) AS mrr_at_5,
+       ROUND(SUM(n_rel) / (5.0 * COUNT(*)), 4) AS p_at_5,
+       ROUND(SUM(dcg_micro) / COUNT(*) / 1e6, 4) AS dcg_at_5
+FROM perq
 """
 
 
 ORACLES = {
     "q158_bm25_topk": _BM25_SQL,
+    "q173_ir_eval": _IR_EVAL_SQL,
     "q162_bpe_encode": _bpe_encode_sql(),
     "q148_adaptive_quality_filter": f"""
 WITH scored AS (
@@ -1382,6 +1459,7 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 
 QUERIES = {
     "q158_bm25_topk": q158_bm25_topk,
+    "q173_ir_eval": q173_ir_eval,
     "q117_doc_chunking": q117_doc_chunking,
     "q24_lang_stats": q24_lang_stats,
     "q30_lang_id": q30_lang_id,
