@@ -135,6 +135,9 @@ HEADLINE = [
     # q173 (IR eval) re-runs q158's BM25 pipeline before scoring — same
     # double-count reasoning as q161/q162; oracle-gated, not headlined.
     "q174_ab_test",
+    "q175_association_rules",
+    "q176_decay_score",
+    "q177_gini",
 ]
 
 

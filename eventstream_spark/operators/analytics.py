@@ -1187,6 +1187,131 @@ def q174_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("variant")
 
 
+def q175_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: part pairs co-purchased in the
+    same order, with support / confidence / lift — the frequent-itemset
+    pass behind recommendations ("customers who bought X..."). Top-10
+    pairs by lift at min-support 3.
+
+    Scale: baskets block the pair join on l_orderkey (never all-pairs
+    over items); the HAVING floor prunes before the statistics joins;
+    item supports are a dimension-class table (AQE sizes those joins).
+    The basket table persists — three consumers (N, supports, pairs)."""
+    b = persist_tracked(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    s1 = b.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (col("a.l_orderkey") == col("c.l_orderkey"))
+            & (col("a.l_partkey") < col("c.l_partkey")),
+        )
+        .groupBy(
+            col("a.l_partkey").alias("p1"), col("c.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("sup"))
+        .where(col("sup") >= 3)
+    )
+    sa = s1.select(col("l_partkey").alias("p1"), col("s").alias("s_a"))
+    sb = s1.select(col("l_partkey").alias("p2"), col("s").alias("s_b"))
+    return (
+        pairs.join(sa, "p1")
+        .join(sb, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "sup",
+            F.round(col("sup").cast("double") / col("s_a"), 4).alias("confidence"),
+            F.round(
+                col("sup").cast("double") * col("n_orders")
+                / (col("s_a") * col("s_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(col("lift").desc(), "p1", "p2")
+        .limit(10)
+    )
+
+
+_DECAY_LAMBDA = 0.0990210257942779  # ln(2)/7: 7-day half-life
+_US_PER_DAY = 86400000000.0
+
+
+def q176_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay weighted aggregation: exponentially decayed value sums
+    per event type (7-day half-life anchored at the corpus max timestamp)
+    next to the raw sums — the recency-weighted feature engineering every
+    ranking/LTV model uses. Per-row decayed terms quantize to integer
+    micro-units before summation (each is ONE exp over exact integer age),
+    so the decayed sum is partial-order-proof.
+
+    Scale: the max-ts anchor is one tiny agg broadcast back; everything
+    else is map-side + one groupBy."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros(col("ts"))).alias("m"))
+    age_days = (col("m") - F.unix_micros(col("ts"))) / lit(_US_PER_DAY)
+    dv = F.round(
+        col("value") * F.exp(-age_days * lit(_DECAY_LAMBDA)) * lit(1e6)
+    ).cast("long")
+    d = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        dv.alias("dv"),
+        F.round(col("value") * 1e6).cast("long").alias("vm"),
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("vm") / lit(1e6), 2).alias("raw_sum"),
+            F.round(F.sum("dv") / lit(1e6), 2).alias("decayed_sum"),
+            F.round(F.sum("dv") / F.sum("vm").cast("double"), 4).alias(
+                "retention_factor"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q177_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient of per-user purchase
+    revenue via the rank formula G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n over
+    ascending-sorted values — the inequality metric behind "top X% of
+    users drive Y%" dashboards and corpus-source concentration checks.
+
+    Scale: the global ascending rank uses global_row_number (range
+    partition + prefix offsets — no single-task window); Σ(i·v) is an
+    integer sum (swap to DECIMAL when n·v approaches 2^63). One shuffle
+    for the per-user rollup, one range exchange for the rank."""
+    from .ranking import global_row_number
+
+    u = (
+        load(spark, sf_dir, "events")
+        .where(col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(col("value") * 1e6).cast("long")).alias("v"))
+    )
+    rk = global_row_number(u, ["v", "user_id"], "i")
+    t = rk.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(col("i") * col("v")).alias("siv"),
+    )
+    return t.select(
+        "n",
+        F.round(col("sv") / lit(1e6), 2).alias("total_revenue"),
+        F.round(
+            lit(2.0) * col("siv") / (col("n") * col("sv").cast("double"))
+            - (col("n") + lit(1.0)) / col("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
 def _quality_report_sql() -> str:
     m = ["COUNT(*) AS n"]
     for c in _QUALITY_COLS:
@@ -1389,6 +1514,46 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "q172_jackknife_se": _JACKKNIFE_SQL,
     "q174_ab_test": _AB_TEST_SQL,
+    "q175_association_rules": """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+s1 AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                   AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p1, p2, sup,
+       ROUND(CAST(sup AS DOUBLE) / sa.s, 4) AS confidence,
+       ROUND(CAST(sup AS DOUBLE) * n.n_orders / (sa.s * sb.s), 4) AS lift
+FROM pairs JOIN s1 sa ON sa.l_partkey = p1 JOIN s1 sb ON sb.l_partkey = p2
+CROSS JOIN n
+ORDER BY lift DESC, p1, p2 LIMIT 10
+""",
+    "q176_decay_score": """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+d AS (SELECT event_type,
+        CAST(ROUND(value * exp(-((mx.m - epoch_us(ts)) / 86400000000.0)
+                               * 0.0990210257942779) * 1e6) AS BIGINT) AS dv,
+        CAST(ROUND(value * 1e6) AS BIGINT) AS vm
+      FROM events, mx)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(vm) / 1e6, 2) AS raw_sum,
+       ROUND(SUM(dv) / 1e6, 2) AS decayed_sum,
+       ROUND(SUM(dv) / CAST(SUM(vm) AS DOUBLE), 4) AS retention_factor
+FROM d GROUP BY 1 ORDER BY 1
+""",
+    "q177_gini": """
+WITH u AS (SELECT user_id,
+                  CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+rk AS (SELECT v, row_number() OVER (ORDER BY v, user_id) AS i FROM u),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(i * v) AS BIGINT) AS siv FROM rk)
+SELECT n, ROUND(sv / 1e6, 2) AS total_revenue,
+       ROUND(2.0 * siv / (n * CAST(sv AS DOUBLE)) - (n + 1.0) / n, 4) AS gini
+FROM t
+""",
     "q170_temporal_join": """
 WITH h AS (
   SELECT user_id, event_type, ts, event_id,
@@ -1690,4 +1855,7 @@ QUERIES = {
     "q170_temporal_join": q170_temporal_join,
     "q172_jackknife_se": q172_jackknife_se,
     "q174_ab_test": q174_ab_test,
+    "q175_association_rules": q175_association_rules,
+    "q176_decay_score": q176_decay_score,
+    "q177_gini": q177_gini,
 }
