@@ -170,6 +170,10 @@ SCALE_QUERIES = [
     "q168_active_users",
     "q169_kmv_set_ops",
     "q170_temporal_join",
+    "q174_ab_test",
+    "q175_association_rules",
+    "q176_decay_score",
+    "q177_gini",
 ]
 
 
