@@ -24,6 +24,7 @@ def _modules():
         similarity,
         sketch,
         skew,
+        stats,
         streaming_queries,
         text,
         tpch,
@@ -38,6 +39,7 @@ def _modules():
         similarity,
         sketch,
         skew,
+        stats,
         multimodal,
         tpch,
         merge,

@@ -364,6 +364,127 @@ def q166_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog ------------------------------------------------------------
+
+_HLL_P = 8  # bucket bits -> m = 256 registers per group
+_HLL_M = 1 << _HLL_P
+_HLL_RBITS = 48 - _HLL_P  # 40 remainder bits; rho in [1, 41]
+_HLL_RMASK = (1 << _HLL_RBITS) - 1
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # Flajolet et al. '07, m >= 128
+# One combined numerator so the estimate is a SINGLE division in both
+# engines: alpha * m^2 * 2^(rbits+1) (registers are folded as integer
+# 2^(41 - M) weights, i.e. Z scaled by 2^41).
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_RBITS + 1))
+_HLL_EMPTY_W = 1 << (_HLL_RBITS + 1)  # an empty register's 2^(41-0) weight
+_HLL_SMALL = 2.5 * _HLL_M  # small-range correction threshold
+
+
+def q178_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event_type (Flajolet et al.
+    '07): 256 registers hold the max leading-zero rank of each user_id's
+    48-bit hash remainder; the harmonic mean of 2^-M estimates distincts,
+    with the linear-counting correction below 2.5m. The THIRD mergeable
+    distinct sketch next to KMV (q166) and approx_count_distinct (HLL++,
+    tolerance-tested) — this one, like q165's count-min, is built from
+    deterministic integer register states, so both engines produce the
+    bit-identical sketch and the estimate gets a HARD differential gate
+    (the register fold is an exact dyadic-rational sum: 256 terms of
+    2^(41-M) stay below 2^53, so no float rounding anywhere before the
+    final division).
+
+    Scale: one distinct-hash aggregation, then a groupBy((type, bucket))
+    whose output is bounded by |types| x 256 — register state is 256
+    integers per group no matter the cardinality, the property that makes
+    HLL the ingest-time distinct counter at 100 TB. Exact counts ride
+    along for the error column (they are the expensive path the sketch
+    replaces)."""
+    ev = load(spark, sf_dir, "events")
+    hv = ev.select(
+        "event_type", hash48(col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    r = col("hv").bitwiseAND(lit(_HLL_RMASK))
+    b = hv.select(
+        "event_type",
+        F.shiftright(col("hv"), _HLL_RBITS).alias("bucket"),
+        F.when(r == 0, _HLL_RBITS + 1)
+        .otherwise(lit(_HLL_RBITS + 1) - F.length(F.bin(r)))
+        .alias("rho"),
+    )
+    reg = b.groupBy("event_type", "bucket").agg(F.max("rho").alias("mreg"))
+    s = reg.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RBITS + 1} - mreg AS INT))"
+            )
+        ).alias("s_obs"),
+        F.count("*").alias("c"),
+    )
+    raw = lit(_HLL_NUM) / (
+        col("s_obs") + (lit(_HLL_M) - col("c")) * lit(_HLL_EMPTY_W)
+    ).cast("double")
+    est = F.when(
+        (raw <= lit(_HLL_SMALL)) & (col("c") < lit(_HLL_M)),
+        lit(float(_HLL_M)) * F.log(lit(float(_HLL_M)) / (lit(_HLL_M) - col("c"))),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(s.select("event_type", est.alias("est")), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(col("est"), 2).alias("hll_est"),
+            F.round((col("est") - col("n_exact")) * 100.0 / col("n_exact"), 2).alias(
+                "err_pct"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_sql() -> str:
+    rb1 = _HLL_RBITS + 1
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT event_type,
+         {hash48_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events),
+b AS (
+  SELECT event_type, hv >> {_HLL_RBITS} AS bucket,
+         hv & {_HLL_RMASK} AS r
+  FROM hv),
+reg AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN r = 0 THEN {rb1}
+                  ELSE {rb1} - length(bin(r)) END) AS mreg
+  FROM b GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rb1} - mreg)) AS BIGINT) AS s_obs,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM reg GROUP BY 1),
+e AS (
+  SELECT event_type, c,
+         {_HLL_NUM!r} / CAST(s_obs + ({_HLL_M} - c) * {_HLL_EMPTY_W} AS DOUBLE)
+           AS raw
+  FROM s),
+est AS (
+  SELECT event_type,
+         CASE WHEN raw <= {_HLL_SMALL!r} AND c < {_HLL_M}
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - c))
+              ELSE raw END AS est
+  FROM e),
+x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1)
+SELECT x.event_type AS event_type, n_exact,
+       ROUND(est, 2) AS hll_est,
+       ROUND((est - n_exact) * 100.0 / n_exact, 2) AS err_pct
+FROM x JOIN est USING (event_type)
+ORDER BY event_type
+"""
+
+
 _KMV_SET_K = 128
 _H48_SCALE = float(1 << 48)
 
@@ -523,6 +644,7 @@ FROM scalars
 
 
 ORACLES: dict[str, str] = {
+    "q178_hll_distinct": _hll_sql(),
     "q165_count_min": _count_min_sql(),
     "q166_kmv_distinct": _kmv_sql(),
     "q169_kmv_set_ops": _kmv_set_ops_sql(),
@@ -575,4 +697,5 @@ QUERIES = {
     "q165_count_min": q165_count_min,
     "q166_kmv_distinct": q166_kmv_distinct,
     "q169_kmv_set_ops": q169_kmv_set_ops,
+    "q178_hll_distinct": q178_hll_distinct,
 }

@@ -1,0 +1,474 @@
+"""Statistical / governance operators: k-anonymity audit, mutual
+information, two-sample Kolmogorov-Smirnov, session path mining, and
+autocorrelation — the data-science pass a warehouse team runs AFTER the
+relational surface is in place.
+
+Same contract as the rest of the operator library: pure DataFrame builders
+(Catalyst owns physics) with exactly-mirrored duckdb oracles. Floating-point
+results are made partial-order-proof the established way — per-row terms
+quantize to integer micro-units before any distributed sum, and final
+ratios/roots are a single scalar expression evaluated identically by both
+engines.
+
+Reference parity note: the reference engine (christophertubbs/EventStream)
+has no statistics surface — these are north-star extensions in the same
+family as q174 (A/B z-test) / q172 (jackknife), rounding out the
+hypothesis-testing, information-theory, and privacy-audit shapes.
+
+Scale notes per operator live on the docstrings; the common discipline:
+  - k-anonymity: one groupBy on the quasi-identifier + a 3-row threshold
+    explode — shuffle bounded by |QI combinations|.
+  - mutual information: the contingency table is |lang|x|source| cells; one
+    groupBy builds it, everything after is dimension-table algebra.
+  - KS: cumulative counts use the TWO-LEVEL running sum (data-independent
+    value buckets + tiny offset window) so the CDF scan parallelizes; the
+    max-gap reduction is exact integer arithmetic (|cum1*n2 - cum2*n1|),
+    so no float comparison can flip the argmax across partitions.
+  - session paths: one per-user window (lag), one count shuffle,
+    WindowGroupLimit-class top-k.
+  - ACF: the daily series is an aggregate (rows = timeline days), lag pairs
+    come from an equi-join on date arithmetic — never a global-sort window.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import col, lit
+
+from ..cache import persist_tracked
+from ..catalog import load
+
+# --- q179: k-anonymity audit ------------------------------------------------
+
+_KANON_THRESHOLDS = [2, 5, 10]
+
+
+def q179_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: with quasi-identifier
+    (nation, market segment, account-balance band), how many equivalence
+    classes fall below k, and what fraction of rows is re-identifiable?
+    The standard privacy gate before releasing a dataset (Sweeney '02) —
+    a group of size < k means an attacker who knows the QI values pins a
+    row to fewer than k candidates.
+
+    Scale: one groupBy on the QI (hash-partitioned; |classes| bounded by
+    the QI domain, not the row count) then a 3-row threshold explode over
+    the class-size table. No joins, no windows."""
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(col("c_acctbal") / lit(1000.0)).cast("long").alias("bal_band"),
+        )
+        .agg(F.count("*").alias("sz"))
+    )
+    ks = g.select(
+        F.explode(lit(_KANON_THRESHOLDS)).alias("k"), col("sz")
+    )
+    return (
+        ks.groupBy("k")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(col("sz") < col("k"), 1).otherwise(0)).alias(
+                "n_violating_groups"
+            ),
+            F.sum(F.when(col("sz") < col("k"), col("sz")).otherwise(0)).alias(
+                "rows_at_risk"
+            ),
+            F.round(
+                F.sum(F.when(col("sz") < col("k"), col("sz")).otherwise(0))
+                * lit(100.0)
+                / F.sum("sz"),
+                4,
+            ).alias("risk_pct"),
+        )
+        .orderBy("k")
+    )
+
+
+_K_ANONYMITY_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer GROUP BY 1, 2, 3),
+k AS (SELECT UNNEST([2, 5, 10]) AS k)
+SELECT k.k AS k,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN sz < k.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN sz < k.k THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       ROUND(SUM(CASE WHEN sz < k.k THEN sz ELSE 0 END) * 100.0 / SUM(sz), 4)
+         AS risk_pct
+FROM g CROSS JOIN k
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q180: mutual information ------------------------------------------------
+
+
+def q180_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source:
+    I(lang; source) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), plus the marginal
+    entropies and the normalized MI (MI / √(H(x)H(y))) — the
+    dependence-detection pass behind "is this source language-skewed?"
+    corpus audits and feature-selection scans.
+
+    Per-cell terms quantize to integer micro-nats before summation, so the
+    distributed sums are partial-order-proof; the final normalization is
+    one scalar expression over three integers.
+
+    Scale: ONE groupBy((lang, source)) builds the contingency table —
+    |cells| is bounded by the attribute domains, not the corpus. Marginals
+    and totals re-aggregate the cell table (dimension-class, AQE
+    broadcasts the join-backs). The corpus text is scanned once and only
+    two small columns survive the scan (column pruning).
+    100 TB caveat: per-cell products cxy·n must fit int64 — beyond ~3·10⁹
+    rows swap the micro-nat quantization to DECIMAL(38,0)."""
+    cells = persist_tracked(
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("cxy"))
+    )
+    n = cells.agg(
+        F.sum("cxy").alias("n"), F.count("*").alias("n_cells")
+    )
+    cl = cells.groupBy("lang").agg(F.sum("cxy").alias("cx"))
+    cs = cells.groupBy("source").agg(F.sum("cxy").alias("cy"))
+
+    mi_term = F.round(
+        (col("cxy").cast("double") / col("n"))
+        * F.log(
+            (col("cxy") * col("n")).cast("double") / (col("cx") * col("cy"))
+        )
+        * lit(1e6)
+    ).cast("long")
+    mi = (
+        cells.join(cl, "lang")
+        .join(cs, "source")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(mi_term).alias("mi_micro"))
+    )
+
+    def _entropy(marg: DataFrame, cnt: str) -> DataFrame:
+        term = F.round(
+            -(col(cnt).cast("double") / col("n"))
+            * F.log(col(cnt).cast("double") / col("n"))
+            * lit(1e6)
+        ).cast("long")
+        return marg.crossJoin(F.broadcast(n.select("n"))).agg(
+            F.sum(term).alias(f"h_{cnt}")
+        )
+
+    hl = _entropy(cl, "cx")
+    hs = _entropy(cs, "cy")
+    return (
+        n.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            col("n").alias("n_docs"),
+            "n_cells",
+            F.round(col("mi_micro") / lit(1e6), 6).alias("mi_nats"),
+            F.round(col("h_cx") / lit(1e6), 6).alias("h_lang"),
+            F.round(col("h_cy") / lit(1e6), 6).alias("h_source"),
+            F.round(
+                col("mi_micro").cast("double")
+                / F.sqrt(col("h_cx").cast("double") * col("h_cy")),
+                4,
+            ).alias("nmi"),
+        )
+    )
+
+
+_MUTUAL_INFO_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cxy
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n, COUNT(*) AS n_cells FROM cells),
+cl AS (SELECT lang, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1),
+cs AS (SELECT source, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+mi AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (CAST(cxy AS DOUBLE) / n)
+           * ln(CAST(cxy * n AS DOUBLE) / (cx * cy)) * 1e6
+         ) AS BIGINT)) AS BIGINT) AS mi_micro
+  FROM cells JOIN cl USING (lang) JOIN cs USING (source) CROSS JOIN t),
+hl AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           -(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n) * 1e6
+         ) AS BIGINT)) AS BIGINT) AS h_cx
+  FROM cl CROSS JOIN t),
+hs AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n) * 1e6
+         ) AS BIGINT)) AS BIGINT) AS h_cy
+  FROM cs CROSS JOIN t)
+SELECT t.n AS n_docs, t.n_cells AS n_cells,
+       ROUND(mi_micro / 1e6, 6) AS mi_nats,
+       ROUND(h_cx / 1e6, 6) AS h_lang,
+       ROUND(h_cy / 1e6, 6) AS h_source,
+       ROUND(CAST(mi_micro AS DOUBLE) / sqrt(CAST(h_cx AS DOUBLE) * h_cy), 4)
+         AS nmi
+FROM t CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs
+"""
+
+
+# --- q181: two-sample Kolmogorov-Smirnov -------------------------------------
+
+_KS_BUCKET_W = 1 << 26  # 67.1M micro-units (~67 value units) per CDF bucket
+_KS_CRIT_05 = 1.358  # c(alpha) at alpha = 0.05, large-sample approximation
+
+
+def q181_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: do purchase and click values come
+    from the same distribution? D = max over x of |F₁(x) − F₂(x)| at the
+    pooled distinct value points; the scaled statistic √(n₁n₂/(n₁+n₂))·D
+    rejects at α=0.05 above 1.358 — the standard nonparametric drift gate
+    (same family as q146's KL monitor, but a hypothesis TEST with a
+    critical value, not a divergence score).
+
+    Determinism: the max-gap reduction runs on |cum1·n2 − cum2·n1| in
+    EXACT integers — no float comparison can flip the argmax across
+    partitions; division and √ happen once, on the already-reduced scalar.
+
+    Scale: values bucket by a data-independent width (2²⁶ micro-units) and
+    the CDF running sum is TWO-LEVEL — local cumsum per bucket + a tiny
+    exclusive-prefix offset window over the bucket summary (the
+    sweep_concurrency / pack_shards pattern), so the scan parallelizes
+    with the value range instead of serializing into one task.
+    100 TB caveat: cum·n products need n₁·n₂ < 2⁶³ — beyond ~3·10⁹ rows
+    per sample swap to DECIMAL(38,0)."""
+    ev = load(spark, sf_dir, "events").where(
+        col("event_type").isin("purchase", "click")
+    )
+    g = (
+        ev.select(
+            F.round(col("value") * lit(1e6)).cast("long").alias("vm"),
+            F.when(col("event_type") == "purchase", 1).otherwise(0).alias("i1"),
+            F.when(col("event_type") == "click", 1).otherwise(0).alias("i2"),
+        )
+        .groupBy("vm")
+        .agg(F.sum("i1").alias("c1"), F.sum("i2").alias("c2"))
+    )
+    b = g.withColumn("_b", (col("vm") / lit(_KS_BUCKET_W)).cast("long"))
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("_l1", F.sum("c1").over(w_local)).withColumn(
+        "_l2", F.sum("c2").over(w_local)
+    )
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("_b")
+        .agg(F.sum("c1").alias("_b1"), F.sum("c2").alias("_b2"))
+        .select(
+            "_b",
+            F.coalesce(F.sum("_b1").over(w_off), lit(0)).alias("_o1"),
+            F.coalesce(F.sum("_b2").over(w_off), lit(0)).alias("_o2"),
+        )
+    )
+    cum = local.join(offsets, "_b").select(
+        (col("_l1") + col("_o1")).alias("cum1"),
+        (col("_l2") + col("_o2")).alias("cum2"),
+    )
+    t = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = cum.crossJoin(F.broadcast(t)).agg(
+        F.max(F.abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).alias(
+            "di"
+        )
+    )
+    ks_raw = (col("di").cast("double") / (col("n1") * col("n2"))) * F.sqrt(
+        col("n1") * col("n2").cast("double") / (col("n1") + col("n2"))
+    )
+    return t.crossJoin(F.broadcast(d)).select(
+        "n1",
+        "n2",
+        F.round(col("di").cast("double") / (col("n1") * col("n2")), 6).alias(
+            "d_stat"
+        ),
+        F.round(ks_raw, 4).alias("ks_stat"),
+        (ks_raw > lit(_KS_CRIT_05)).alias("reject_05"),
+    )
+
+
+_KS_TEST_SQL = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 1e6) AS BIGINT) AS vm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i1,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i2
+  FROM events WHERE event_type IN ('purchase', 'click')),
+g AS (SELECT vm, CAST(SUM(i1) AS BIGINT) AS c1, CAST(SUM(i2) AS BIGINT) AS c2
+      FROM e GROUP BY 1),
+c AS (SELECT CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER w AS BIGINT) AS cum2
+      FROM g WINDOW w AS (ORDER BY vm
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM g),
+d AS (SELECT CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS di
+      FROM c CROSS JOIN t)
+SELECT n1, n2,
+       ROUND(CAST(di AS DOUBLE) / (n1 * n2), 6) AS d_stat,
+       ROUND((CAST(di AS DOUBLE) / (n1 * n2))
+             * sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2)), 4) AS ks_stat,
+       ((CAST(di AS DOUBLE) / (n1 * n2))
+        * sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2)) > 1.358) AS reject_05
+FROM t CROSS JOIN d
+"""
+
+
+# --- q182: session path mining -----------------------------------------------
+
+_PATH_TOPK = 10
+
+
+def q182_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event PATHS: the most frequent 3-step event-type sequences per
+    user timeline (lag-2, lag-1, current) — the path-mining view behind
+    "how do users reach purchase?" product analytics. Extends q118's
+    single-step transition matrix to order-3 n-grams over the event
+    stream.
+
+    Scale: ONE per-user window (two lags in the same frame — one shuffle
+    on user_id, same partitioning q118/q160 already use), one count
+    shuffle bounded by |event_types|³, then a TakeOrdered-class top-k."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+    )
+    return (
+        e.where(col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", col("p2"), col("p1"), col("event_type")).alias(
+                "path"
+            )
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(col("cnt").desc(), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+_SESSION_PATHS_SQL = """
+WITH e AS (
+  SELECT lag(event_type, 2) OVER w AS p2,
+         lag(event_type, 1) OVER w AS p1,
+         event_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT p2 || '>' || p1 || '>' || event_type AS path,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM e WHERE p2 IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10
+"""
+
+
+# --- q183: autocorrelation ---------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def q183_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily purchase-revenue series at lags 1–7:
+    Pearson r between the series and its k-day shift — the seasonality /
+    momentum diagnostic behind forecasting and anomaly baselines (a
+    weekly cycle shows up as a lag-7 peak).
+
+    Daily revenue quantizes to whole units (micro sums divided out once),
+    and every co-moment is an exact integer sum, so the per-lag Pearson
+    is one scalar expression over six integers — partial-order-proof.
+
+    Scale: the series is an AGGREGATE (rows = timeline days — one groupBy
+    shuffle over the events scan); lag pairs come from an equi-join on
+    date arithmetic, never a global-sort window, so nothing serializes.
+    100 TB caveat: co-moment products need (days · v²) < 2⁶³ — for
+    daily revenue beyond ~10⁹ units, swap the moment sums to
+    DECIMAL(38,0)."""
+    ev = load(spark, sf_dir, "events").where(col("event_type") == "purchase")
+    s = persist_tracked(
+        ev.groupBy(F.date_trunc("day", col("ts")).cast("date").alias("d")).agg(
+            F.round(
+                F.sum(F.round(col("value") * lit(1e6)).cast("long")) / lit(1e6)
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    a = s.select(
+        col("d"), col("v").alias("x"), F.explode(F.sequence(lit(1), lit(_ACF_MAX_LAG))).alias("k")
+    )
+    b = s.select(col("d").alias("bd"), col("v").alias("y"))
+    j = a.join(b, F.date_add(col("d"), col("k")) == col("bd"))
+    g = j.groupBy("k").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(col("x") * col("x")).alias("sxx"),
+        F.sum(col("y") * col("y")).alias("syy"),
+        F.sum(col("x") * col("y")).alias("sxy"),
+    )
+    num = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    den = F.sqrt(
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+    )
+    return g.select(
+        col("k").alias("lag"),
+        "n_pairs",
+        F.round(num.cast("double") / den, 4).alias("acf"),
+    ).orderBy("lag")
+
+
+_ACF_SQL = """
+WITH s AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6) AS BIGINT)
+           AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+k AS (SELECT UNNEST(range(1, 8)) AS k),
+j AS (
+  SELECT k.k, a.v AS x, b.v AS y
+  FROM s a CROSS JOIN k JOIN s b ON a.d + k.k * INTERVAL 1 DAY = b.d),
+g AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY 1)
+SELECT k AS lag, n_pairs,
+       ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                    * (n_pairs * syy - sy * sy)), 4) AS acf
+FROM g ORDER BY lag
+"""
+
+
+QUERIES = {
+    "q179_k_anonymity": q179_k_anonymity,
+    "q180_mutual_info": q180_mutual_info,
+    "q181_ks_test": q181_ks_test,
+    "q182_session_paths": q182_session_paths,
+    "q183_acf": q183_acf,
+}
+
+ORACLES = {
+    "q179_k_anonymity": _K_ANONYMITY_SQL,
+    "q180_mutual_info": _MUTUAL_INFO_SQL,
+    "q181_ks_test": _KS_TEST_SQL,
+    "q182_session_paths": _SESSION_PATHS_SQL,
+    "q183_acf": _ACF_SQL,
+}
