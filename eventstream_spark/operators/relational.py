@@ -580,6 +580,58 @@ def q48_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CORRELATED_SQL)
 
 
+_RECURSIVE_SQL = """
+WITH RECURSIVE
+u AS (SELECT DISTINCT user_id FROM events),
+rev AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS rev_micro
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+anc AS (
+  SELECT user_id AS node, user_id AS anc FROM u
+  UNION ALL
+  SELECT node, CAST(FLOOR(anc / 2.0) AS BIGINT) FROM anc WHERE anc > 1
+)
+SELECT a.anc AS node,
+       CAST(LENGTH(BIN(a.anc)) - 1 AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       ROUND(COALESCE(SUM(r.rev_micro), 0) / 1e6, 2) AS subtree_rev
+FROM anc a LEFT JOIN rev r ON a.node = r.user_id
+WHERE a.anc <= 15
+GROUP BY a.anc
+ORDER BY node
+"""
+
+
+def q184_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.x — SPARK-24497):
+    hierarchical subtree rollup, the org-chart / bill-of-materials /
+    category-tree pattern no finite self-join chain can express. Users
+    form a deterministic binary hierarchy (parent = floor(id/2)); each
+    user's ancestor chain is enumerated recursively and purchase revenue
+    rolls up to every ancestor — reported for the top 4 levels. The
+    IDENTICAL SQL string runs in both engines (this is also a
+    SQL-passthrough entry: duckdb oracle ≡ spark.sql ≡ result).
+
+    Scale: recursion depth is log₂(max id) (~30 levels at 10⁹ users),
+    and each step is ONE narrow projection+filter over the previous
+    frontier — the iterative-union plan Spark materializes per level,
+    same cost class as q54b's driver-coordinated Lloyd rounds but fully
+    inside one SQL statement. The ancestor table is |users|·depth rows;
+    the rollup is one hash aggregate over it (revenue is micro-quantized
+    integers, so partial order cannot change the sums).
+
+    Spark guards recursive CTEs with a row-limit circuit breaker
+    (spark.sql.cteRecursionRowLimit, default 10⁶) meant to catch
+    non-terminating recursions; this recursion provably terminates
+    (anc strictly halves), so the guard is raised to cover
+    |users|·log₂(max id) ancestor rows — the level limit (default 100)
+    stays, which at log-depth still catches any runaway."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_SQL)
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -895,6 +947,7 @@ GROUP BY 1 ORDER BY 1
         " ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
     ),
     "q48_correlated_subquery": _CORRELATED_SQL,
+    "q184_recursive_rollup": _RECURSIVE_SQL,
     "q49_distribution_windows": (
         "SELECT o_orderpriority, quartile, COUNT(*) AS n,"
         " ROUND(MAX(pr), 6) AS max_pr FROM ("
@@ -974,5 +1027,6 @@ QUERIES = {
     "q46_funnel": q46_funnel,
     "q47_pivot": q47_pivot,
     "q48_correlated_subquery": q48_correlated_subquery,
+    "q184_recursive_rollup": q184_recursive_rollup,
     "q49_distribution_windows": q49_distribution_windows,
 }

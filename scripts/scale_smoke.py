@@ -174,6 +174,19 @@ SCALE_QUERIES = [
     "q175_association_rules",
     "q176_decay_score",
     "q177_gini",
+    # round 4 (cont. 4): stats/governance family. Replicas keep QI combos,
+    # contingency cells, distinct value points, per-user timelines, and the
+    # day spine CONSTANT while row counts scale — exactly the shapes these
+    # operators claim are domain-bounded.
+    "q178_hll_distinct",
+    "q179_k_anonymity",
+    "q180_mutual_info",
+    "q181_ks_test",
+    "q182_session_paths",
+    "q183_acf",
+    # recursion depth grows log(max user id): 100x users adds ~7 levels,
+    # each one narrow frontier pass — the smoke measures that log growth.
+    "q184_recursive_rollup",
 ]
 
 

@@ -35,6 +35,7 @@ PORTABLE = [
     "q47_pivot",
     "q48_correlated_subquery",
     "q49_distribution_windows",
+    "q184_recursive_rollup",
     "q62_exists_subquery",
     "q63_not_exists_anti",
     "q65_first_last_value",
