@@ -457,15 +457,233 @@ FROM g ORDER BY lag
 """
 
 
+# --- q185: rolling median ----------------------------------------------------
+
+_ROLL_WINDOW = 7  # days
+
+
+def q185_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of daily revenue per event type — the robust
+    smoothing baseline behind time-series anomaly detection (a median
+    filter shrugs off single-day spikes that wreck a rolling mean), with
+    a spike flag where the day exceeds 2x its trailing median.
+
+    Spark's ``percentile`` as a WINDOW function is exactly duckdb's
+    ``quantile_cont`` over the same ROWS frame (linear interpolation —
+    the q66 parity), and the daily series is integer units, so the
+    interpolated midpoints agree bit-for-bit.
+
+    Scale: the windowed percentile buffers one FRAME (7 values) per row
+    over series whose length is bounded by timeline days, partitioned by
+    entity — the same discipline as q164's bars. The day rollup is the
+    only full-data shuffle."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", col("ts")).alias("d"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(col("value") * lit(1e6)).cast("long")) / lit(1e6)
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_ROLL_WINDOW - 1), 0)
+    )
+    med = F.expr("percentile(v, 0.5)").over(w)
+    return s.select(
+        "event_type",
+        "d",
+        "v",
+        F.round(med, 2).alias("roll_med"),
+        (col("v") > lit(2.0) * med).alias("spike"),
+    ).orderBy("event_type", "d")
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH s AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1, 2)
+SELECT event_type, d, v,
+       ROUND(quantile_cont(v, 0.5) OVER w, 2) AS roll_med,
+       (v > 2.0 * quantile_cont(v, 0.5) OVER w) AS spike
+FROM s
+WINDOW w AS (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, d
+"""
+
+
+# --- q186: int8 embedding quantization audit ---------------------------------
+
+
+def q186_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 embedding quantization audit: symmetric absmax quantization
+    per dimension (scale_d = max|x_d| / 127 — the standard scheme for
+    4x-compressed vector indexes and int8 GEMM inference), reporting the
+    reconstruction RMSE and the worst per-element error. The quantize /
+    reconstruct / error chain runs in EXPLODED space — the audit never
+    re-assembles vectors, so there is no per-vector state.
+
+    Error terms quantize to integers before the distributed sums (err² in
+    pico-units, |err| in nano-units), so the reduction is
+    partial-order-proof; scales divide once per element from the same
+    broadcast per-dim absmax both engines compute identically.
+
+    Scale: one map-side posexplode (rows x 64, no shuffle), a 64-row dim
+    aggregate, an AQE-broadcast join-back, and one global agg. The
+    per-dim state is |dims| integers regardless of corpus size — the
+    PQ-family discipline (q85) applied to flat quantization."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(col("embedding")).alias("p", "xf"),
+    ).select(
+        "vec_id",
+        (col("p") + 1).alias("dim"),
+        col("xf").cast("double").alias("x"),
+    )
+    sc = e.groupBy("dim").agg(
+        (F.greatest(F.max(F.abs(col("x"))), lit(1e-12)) / lit(127.0)).alias(
+            "scale"
+        )
+    )
+    qv = F.least(
+        F.greatest(F.round(col("x") / col("scale")), lit(-127.0)),
+        lit(127.0),
+    )
+    err = col("x") - qv * col("scale")
+    terms = e.join(sc, "dim").select(
+        F.round(err * err * lit(1e12)).cast("long").alias("e2_pico"),
+        F.round(F.abs(err) * lit(1e9)).cast("long").alias("ea_nano"),
+    )
+    return terms.agg(
+        (F.count("*") / lit(64)).cast("long").alias("n_vecs"),
+        lit(64).alias("dim"),
+        F.round(
+            F.sqrt(F.sum("e2_pico") / lit(1e12) / F.count("*")), 8
+        ).alias("rmse"),
+        F.round(F.max("ea_nano") / lit(1e9), 6).alias("max_abs_err"),
+    )
+
+
+_INT8_QUANT_SQL = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+sc AS (
+  SELECT dim, GREATEST(MAX(ABS(x)), 1e-12) / 127.0 AS scale
+  FROM e GROUP BY 1),
+terms AS (
+  SELECT CAST(ROUND(
+           (x - LEAST(GREATEST(ROUND(x / scale), -127.0), 127.0) * scale)
+           * (x - LEAST(GREATEST(ROUND(x / scale), -127.0), 127.0) * scale)
+           * 1e12) AS BIGINT) AS e2_pico,
+         CAST(ROUND(ABS(
+           x - LEAST(GREATEST(ROUND(x / scale), -127.0), 127.0) * scale)
+           * 1e9) AS BIGINT) AS ea_nano
+  FROM e JOIN sc USING (dim))
+SELECT CAST(COUNT(*) / 64 AS BIGINT) AS n_vecs,
+       64 AS dim,
+       ROUND(sqrt(SUM(e2_pico) / 1e12 / COUNT(*)), 8) AS rmse,
+       ROUND(MAX(ea_nano) / 1e9, 6) AS max_abs_err
+FROM terms
+"""
+
+
+# --- q187: winsorized mean ---------------------------------------------------
+
+
+def q187_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip values into the exact
+    [p05, p95] band, then average — the outlier-robust location estimate
+    behind revenue/engagement dashboards that one whale would otherwise
+    dominate. Clipped terms micro-quantize before the sum (exact
+    integers), and the percentile cut points are the interpolated exact
+    form both engines share (q66 parity), so every clip decision is
+    identical.
+
+    Scale: exact per-group percentiles buffer the group (q138's
+    documented caveat — approx_percentile is the one-pass sketch swap at
+    100 TB); everything else is one conditional aggregation after an
+    AQE-broadcast join-back of the 5-row cut-point table."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(col("value"), col("p05")), col("p95"))
+    return (
+        ev.join(cuts, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.round(col("value") * lit(1e6)).cast("long"))
+                / lit(1e6)
+                / F.count("*"),
+                4,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(F.round(clipped * lit(1e6)).cast("long"))
+                / lit(1e6)
+                / F.count("*"),
+                4,
+            ).alias("wins_mean"),
+            F.sum(
+                F.when(
+                    (col("value") < col("p05")) | (col("value") > col("p95")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WINSORIZED_SQL = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6 / COUNT(*), 4)
+         AS raw_mean,
+       ROUND(SUM(CAST(ROUND(LEAST(GREATEST(value, p05), p95) * 1e6)
+                      AS BIGINT)) / 1e6 / COUNT(*), 4) AS wins_mean,
+       CAST(SUM(CASE WHEN value < p05 OR value > p95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped
+FROM events e JOIN cuts USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "q179_k_anonymity": q179_k_anonymity,
     "q180_mutual_info": q180_mutual_info,
     "q181_ks_test": q181_ks_test,
     "q182_session_paths": q182_session_paths,
     "q183_acf": q183_acf,
+    "q185_rolling_median": q185_rolling_median,
+    "q186_int8_quant": q186_int8_quant,
+    "q187_winsorized_mean": q187_winsorized_mean,
 }
 
 ORACLES = {
+    "q185_rolling_median": _ROLLING_MEDIAN_SQL,
+    "q186_int8_quant": _INT8_QUANT_SQL,
+    "q187_winsorized_mean": _WINSORIZED_SQL,
     "q179_k_anonymity": _K_ANONYMITY_SQL,
     "q180_mutual_info": _MUTUAL_INFO_SQL,
     "q181_ks_test": _KS_TEST_SQL,

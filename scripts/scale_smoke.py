@@ -187,6 +187,12 @@ SCALE_QUERIES = [
     # recursion depth grows log(max user id): 100x users adds ~7 levels,
     # each one narrow frontier pass — the smoke measures that log growth.
     "q184_recursive_rollup",
+    # q187 (winsorized mean) shares q138's exclusion: exact per-group
+    # percentiles buffer the whole group; its docstring names
+    # approx_percentile as the 100 TB swap. q185's windowed median buffers
+    # one 7-row frame, not the group — it runs.
+    "q185_rolling_median",
+    "q186_int8_quant",
 ]
 
 
