@@ -47,6 +47,10 @@ PICKS = {
     "q158_bm25_topk": "BM25: query-term side broadcast into the posting join; per-query top-k is WindowGroupLimit",
     "q163_mutual_ann": "mutual ANN: one bucketed A-B equi-join; both rank directions window the same candidate frame",
     "q165_count_min": "count-min: sketch is a depth-x-width groupBy of map-side partials; the estimate join broadcasts the 768-row sketch",
+    "q178_hll_distinct": "HLL: register build is a (type, bucket) groupBy of map-side partial maxes — state bounded at 256 integers per group",
+    "q181_ks_test": "KS: CDF running sums carry the value-bucket key (two-level, no single-task window over the data); max-gap reduces map-side",
+    "q184_recursive_rollup": "recursive CTE: UnionLoop iterative frontier (log-depth), then one hash aggregate over the ancestor table",
+    "q186_int8_quant": "INT8 audit: posexplode is map-side; the only exchanges are the 64-row dim agg and its broadcast join-back",
 }
 
 

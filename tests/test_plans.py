@@ -450,3 +450,24 @@ def test_q170_temporal_join_is_equi_on_user(spark, sf_dir):
         if ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
     )
     assert "user_id" in join_line
+
+
+def test_q184_recursion_plans_as_union_loop(spark, sf_dir):
+    """The recursive CTE must plan as Spark's iterative UnionLoop (log-depth
+    frontier), feeding ONE hash aggregate — not an unrolled join chain."""
+    from eventstream_spark.operators.relational import q184_recursive_rollup
+
+    plan = _plan(q184_recursive_rollup(spark, sf_dir))
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q181_ks_cdf_windows_carry_bucket_key(spark, sf_dir):
+    """The KS CDF running sums must partition by the value-bucket key (the
+    two-level pattern) — the only partition-less window is the tiny
+    bucket-offset summary, never the per-value scan."""
+    from eventstream_spark.operators.stats import q181_ks_test
+
+    plan = _plan(q181_ks_test(spark, sf_dir))
+    lines = [l for l in plan.splitlines() if "Window" in l and "_b" in l]
+    assert lines, "expected a Window keyed on the _b bucket column"
