@@ -669,6 +669,195 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+# --- q188: CUSUM change-point ------------------------------------------------
+
+
+def q188_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation of daily revenue from the type's mean peaks —
+    the classical offline change-point estimate (Page '54; the argmax of
+    |CUSUM| is the most likely level-shift location). All arithmetic is
+    EXACT integers: the deviation term is scaled by n (n·v_i − S), so no
+    per-row division ever happens and the running sum is
+    partial-order-proof; the argmax tie-breaks toward the earliest day
+    through an explicit rank.
+
+    Scale: the series is the same day-rollup aggregate as q183/q185 —
+    rows = timeline days per type; the CUSUM window partitions by entity.
+    One full-data shuffle (the day rollup), then dimension-class work."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.groupBy("event_type", F.date_trunc("day", col("ts")).alias("d"))
+        .agg(
+            F.sum(F.round(col("value") * lit(1e6)).cast("long")).alias("vm")
+        )
+    )
+    tot = s.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("vm").alias("stot")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        s.join(tot, "event_type")
+        .withColumn(
+            "cusum", F.sum(col("n") * col("vm") - col("stot")).over(w_cum)
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(col("cusum")).desc(), col("d")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(w_rank))
+        .where(col("rn") == 1)
+        .select(
+            "event_type",
+            col("n").alias("n_days"),
+            col("d").alias("cp_day"),
+            F.round(F.abs(col("cusum")) / (col("n") * lit(1e6)), 2).alias(
+                "max_abs_cusum"
+            ),
+            (col("cusum") > 0).alias("shift_down"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CUSUM_SQL = """
+WITH s AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS vm
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vm) AS BIGINT) AS stot
+        FROM s GROUP BY 1),
+cum AS (
+  SELECT s.event_type, s.d, t.n,
+         CAST(SUM(t.n * s.vm - t.stot) OVER w AS BIGINT) AS cusum
+  FROM s JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY s.event_type ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY ABS(cusum) DESC, d) AS rn
+  FROM cum)
+SELECT event_type, n AS n_days, d AS cp_day,
+       ROUND(ABS(cusum) / (n * 1e6), 2) AS max_abs_cusum,
+       (cusum > 0) AS shift_down
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+# --- q189: conversion lag cohorts --------------------------------------------
+
+
+def q189_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel with TIME-TO-CONVERT: per signup
+    week cohort, how many users converted and the median / p90 minutes
+    from first signup to first subsequent purchase — the growth metric
+    behind activation dashboards (q46's funnel counts; this adds the
+    latency distribution).
+
+    Lag minutes are exact integers (floored micros/60e6), and the
+    percentiles are the interpolated exact form both engines share.
+
+    Scale: two per-user min-aggregations (hash on user_id), one
+    user-keyed equi-join with the signup-time residual, one cohort
+    rollup. Exact per-cohort percentiles buffer the cohort's converts
+    (q138's documented approx_percentile swap at 100 TB)."""
+    ev = load(spark, sf_dir, "events")
+    su = (
+        ev.where(col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(col("ts"))).alias("s_us"))
+    )
+    pu = ev.where(col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(col("ts")).alias("p_us")
+    )
+    conv = (
+        su.join(pu, "user_id")
+        .where(col("p_us") >= col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_us").alias("fp_us"))
+        .select(
+            "user_id",
+            "s_us",
+            F.floor((col("fp_us") - col("s_us")) / lit(60_000_000)).alias(
+                "lag_min"
+            ),
+        )
+    )
+    week = F.date_trunc("week", F.timestamp_micros(col("s_us"))).alias(
+        "cohort_week"
+    )
+    base = su.select(week, "user_id")
+    cstats = (
+        conv.select(
+            F.date_trunc("week", F.timestamp_micros(col("s_us"))).alias(
+                "cohort_week"
+            ),
+            "lag_min",
+        )
+        .groupBy("cohort_week")
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.expr("percentile(lag_min, 0.5)"), 2).alias("med_minutes"),
+            F.round(F.expr("percentile(lag_min, 0.9)"), 2).alias("p90_minutes"),
+        )
+    )
+    return (
+        base.groupBy("cohort_week")
+        .agg(F.count("*").alias("n_signups"))
+        .join(cstats, "cohort_week", "left")
+        .select(
+            "cohort_week",
+            "n_signups",
+            F.coalesce(col("n_converted"), lit(0)).alias("n_converted"),
+            F.round(
+                F.coalesce(col("n_converted"), lit(0)) * lit(100.0)
+                / col("n_signups"),
+                2,
+            ).alias("conv_pct"),
+            "med_minutes",
+            "p90_minutes",
+        )
+        .orderBy("cohort_week")
+    )
+
+
+_CONVERSION_LAG_SQL = """
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+pu AS (
+  SELECT user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT su.user_id, su.s_us,
+         CAST(FLOOR((MIN(p_us) - su.s_us) / 60000000) AS BIGINT) AS lag_min
+  FROM su JOIN pu ON su.user_id = pu.user_id AND pu.p_us >= su.s_us
+  GROUP BY su.user_id, su.s_us),
+base AS (
+  SELECT date_trunc('week', make_timestamp(s_us)) AS cohort_week,
+         CAST(COUNT(*) AS BIGINT) AS n_signups
+  FROM su GROUP BY 1),
+cs AS (
+  SELECT date_trunc('week', make_timestamp(s_us)) AS cohort_week,
+         CAST(COUNT(*) AS BIGINT) AS n_converted,
+         ROUND(quantile_cont(lag_min, 0.5), 2) AS med_minutes,
+         ROUND(quantile_cont(lag_min, 0.9), 2) AS p90_minutes
+  FROM conv GROUP BY 1)
+SELECT b.cohort_week, b.n_signups,
+       COALESCE(cs.n_converted, 0) AS n_converted,
+       ROUND(COALESCE(cs.n_converted, 0) * 100.0 / b.n_signups, 2) AS conv_pct,
+       cs.med_minutes, cs.p90_minutes
+FROM base b LEFT JOIN cs USING (cohort_week)
+ORDER BY cohort_week
+"""
+
+
 QUERIES = {
     "q179_k_anonymity": q179_k_anonymity,
     "q180_mutual_info": q180_mutual_info,
@@ -678,9 +867,13 @@ QUERIES = {
     "q185_rolling_median": q185_rolling_median,
     "q186_int8_quant": q186_int8_quant,
     "q187_winsorized_mean": q187_winsorized_mean,
+    "q188_cusum_changepoint": q188_cusum_changepoint,
+    "q189_conversion_lag": q189_conversion_lag,
 }
 
 ORACLES = {
+    "q188_cusum_changepoint": _CUSUM_SQL,
+    "q189_conversion_lag": _CONVERSION_LAG_SQL,
     "q185_rolling_median": _ROLLING_MEDIAN_SQL,
     "q186_int8_quant": _INT8_QUANT_SQL,
     "q187_winsorized_mean": _WINSORIZED_SQL,

@@ -193,6 +193,10 @@ SCALE_QUERIES = [
     # one 7-row frame, not the group — it runs.
     "q185_rolling_median",
     "q186_int8_quant",
+    # q189 (conversion lag) shares the exact-percentile exclusion (cohort
+    # converts buffer; approx_percentile is the documented swap); q188's
+    # CUSUM windows are day-bounded per type — it runs.
+    "q188_cusum_changepoint",
 ]
 
 
