@@ -68,3 +68,149 @@ def test_morton_interleave_is_bijective_and_positional():
         for j in range(5):
             assert (r.z >> (2 * j)) & 1 == (r.x >> j) & 1
             assert (r.z >> (2 * j + 1)) & 1 == (r.y >> j) & 1
+
+
+@pytest.mark.parametrize("n_ids", [50, 500, 5000])
+def test_hll_within_theoretical_error(spark, n_ids):
+    """The 256-register HLL estimate lands within 5x the theoretical
+    relative standard error (1.04/sqrt(m) ~ 6.5%) across two orders of
+    magnitude of true cardinality — including the linear-counting range."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.functions import hash48
+    from eventstream_spark.operators.sketch import (
+        _HLL_EMPTY_W,
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_RBITS,
+        _HLL_RMASK,
+        _HLL_SMALL,
+    )
+
+    hv = (
+        spark.range(n_ids)
+        .select(hash48(F.col("id").cast("string")).alias("hv"))
+        .distinct()
+    )
+    r = F.col("hv").bitwiseAND(F.lit(_HLL_RMASK))
+    reg = (
+        hv.select(
+            F.shiftright(F.col("hv"), _HLL_RBITS).alias("bucket"),
+            F.when(r == 0, _HLL_RBITS + 1)
+            .otherwise(F.lit(_HLL_RBITS + 1) - F.length(F.bin(r)))
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    row = reg.agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RBITS + 1} - mreg AS INT))"
+            )
+        ).alias("s_obs"),
+        F.count("*").alias("c"),
+    ).first()
+    raw = _HLL_NUM / float(row.s_obs + (_HLL_M - row.c) * _HLL_EMPTY_W)
+    import math
+
+    est = (
+        _HLL_M * math.log(_HLL_M / (_HLL_M - row.c))
+        if raw <= _HLL_SMALL and row.c < _HLL_M
+        else raw
+    )
+    rse = 1.04 / math.sqrt(_HLL_M)
+    assert abs(est - n_ids) / n_ids < 5 * rse, (n_ids, est)
+
+
+def test_ks_identical_samples_is_zero(spark, sf_dir):
+    """KS on two identical samples must report D = 0 and not reject —
+    feed the same value set through both sides via a relabeled union."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators import stats as S
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    both = ev.select(
+        F.explode(F.array(F.lit("purchase"), F.lit("click"))).alias(
+            "event_type"
+        ),
+        "value",
+    )
+    g = (
+        both.select(
+            F.round(F.col("value") * 1e6).cast("long").alias("vm"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("i1"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i2"),
+        )
+        .groupBy("vm")
+        .agg(F.sum("i1").alias("c1"), F.sum("i2").alias("c2"))
+    )
+    row = g.agg(
+        F.max(F.abs(F.col("c1") - F.col("c2"))).alias("gap")
+    ).first()
+    assert row.gap == 0
+
+
+def test_winsorized_mean_is_bounded_by_cutpoints(spark, sf_dir):
+    """For every event type the winsorized mean lies inside [p05, p95] and
+    clips at most ~10% of rows (5% per tail, plus interpolation ties)."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.stats import q187_winsorized_mean
+
+    out = {r.event_type: r for r in q187_winsorized_mean(spark, sf_dir).collect()}
+    cuts = {
+        r.event_type: r
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.05)").alias("p05"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for t, r in out.items():
+        assert cuts[t].p05 <= r.wins_mean <= cuts[t].p95, t
+        assert r.n_clipped <= 0.11 * r.n, t
+
+
+def test_cusum_constant_series_has_zero_deviation(spark):
+    """A constant daily series has CUSUM == 0 everywhere: n*v - S == 0 per
+    day, so the reported max deviation must be exactly 0."""
+    import pyspark.sql.functions as F
+
+    rows = [("a", d, 100) for d in range(10)]
+    s = spark.createDataFrame(rows, "event_type string, d int, vm long")
+    tot = s.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("vm").alias("stot")
+    )
+    j = s.join(tot, "event_type").select(
+        (F.col("n") * F.col("vm") - F.col("stot")).alias("term")
+    )
+    assert j.agg(F.max(F.abs(F.col("term")))).first()[0] == 0
+
+
+def test_int8_quant_error_bounded_by_half_scale(spark, sf_dir):
+    """Symmetric absmax INT8: every element's reconstruction error is at
+    most scale/2 (round-to-nearest), so the reported worst element must
+    be <= max_dim_scale / 2 + quantization-of-report slack."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.stats import q186_int8_quant
+
+    row = q186_int8_quant(spark, sf_dir).first()
+    max_scale = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.explode("embedding").alias("x"))
+        .agg((F.max(F.abs(F.col("x").cast("double"))) / 127.0).alias("s"))
+        .first()
+        .s
+    )
+    assert row.max_abs_err <= max_scale / 2 + 1e-6
+    assert row.rmse <= row.max_abs_err
