@@ -399,18 +399,34 @@ def q178_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     along for the error column (they are the expensive path the sketch
     replaces)."""
     ev = load(spark, sf_dir, "events")
-    hv = ev.select(
-        "event_type", hash48(col("user_id").cast("string")).alias("hv")
-    ).distinct()
-    r = col("hv").bitwiseAND(lit(_HLL_RMASK))
-    b = hv.select(
+    reg = hll_registers(ev)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return hll_finish(reg, exact)
+
+
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, mreg) register table from an events-shaped
+    frame. Pure map-side expressions + one bounded groupBy — the same
+    code path serves the batch build (q178) and the streaming
+    sketch-at-ingest build (q190), because max-merged registers are
+    duplicate- and partial-order-proof (no distinct needed)."""
+    hv = hash48(col("user_id").cast("string"))
+    r = hv.bitwiseAND(lit(_HLL_RMASK))
+    b = ev.select(
         "event_type",
-        F.shiftright(col("hv"), _HLL_RBITS).alias("bucket"),
+        F.shiftright(hv, _HLL_RBITS).alias("bucket"),
         F.when(r == 0, _HLL_RBITS + 1)
         .otherwise(lit(_HLL_RBITS + 1) - F.length(F.bin(r)))
         .alias("rho"),
     )
-    reg = b.groupBy("event_type", "bucket").agg(F.max("rho").alias("mreg"))
+    return b.groupBy("event_type", "bucket").agg(F.max("rho").alias("mreg"))
+
+
+def hll_finish(reg: DataFrame, exact: DataFrame) -> DataFrame:
+    """Fold a register table into per-group estimates next to the exact
+    counts (identical arithmetic to the duckdb oracle — see _hll_sql)."""
     s = reg.groupBy("event_type").agg(
         F.sum(
             F.expr(
@@ -426,9 +442,6 @@ def q178_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= lit(_HLL_SMALL)) & (col("c") < lit(_HLL_M)),
         lit(float(_HLL_M)) * F.log(lit(float(_HLL_M)) / (lit(_HLL_M) - col("c"))),
     ).otherwise(raw)
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
     return (
         exact.join(s.select("event_type", est.alias("est")), "event_type")
         .select(

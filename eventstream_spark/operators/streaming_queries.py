@@ -576,11 +576,41 @@ def q145_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "rank")
 
 
+def q190_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct counting AT INGEST: each micro-batch folds its rows
+    into the 256-register-per-type sketch map-side, and the streaming
+    state is the register table itself — max-merged, so it is bounded at
+    |types| x 256 integers FOREVER, no matter how many events stream by.
+    This is the q132 index-build-at-ingest pattern applied to distinct
+    counting: the expensive countDistinct the sketch replaces would
+    otherwise keep per-user state. The estimate finishing (and the exact
+    comparison column) run as a batch epilogue over the drained
+    registers; complete mode over a drained source ≡ q178's batch build,
+    so q178's oracle applies verbatim — and because registers are
+    duplicate-proof, replayed micro-batches cannot change the answer."""
+    from ..catalog import load
+    from .sketch import hll_finish, hll_registers
+
+    ev = _events_stream(spark, sf_dir)
+    reg = hll_registers(ev.select("event_type", "user_id"))
+    drained = _run_to_table(reg, spark)
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return hll_finish(drained, exact)
+
+
 from .analytics import ORACLES as _A_ORACLES
+from .sketch import ORACLES as _SKETCH_ORACLES
 
 ORACLES = {
     # Streaming OHLC must land on the batch twin's answer exactly.
     "q167_stream_ohlc": _A_ORACLES["q164_ohlc_bars"],
+    # Streaming HLL must land on q178's batch sketch exactly (registers
+    # are max-merged — replay/duplicate-proof).
+    "q190_stream_hll": _SKETCH_ORACLES["q178_hll_distinct"],
     "q145_stream_topk": f"""
 WITH r AS (
   SELECT event_type, event_id, value,
@@ -659,4 +689,5 @@ QUERIES = {
     "q128_stream_scrub": q128_stream_scrub,
     "q132_stream_vector_ingest": q132_stream_vector_ingest,
     "q135_stream_incremental_dedup": q135_stream_incremental_dedup,
+    "q190_stream_hll": q190_stream_hll,
 }
