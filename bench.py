@@ -138,6 +138,22 @@ HEADLINE = [
     "q175_association_rules",
     "q176_decay_score",
     "q177_gini",
+    # round 4 (cont. 4): stats/governance + sketch + recursion additions.
+    # q190 (streaming HLL) re-runs q178's plan through the micro-batch
+    # engine — same double-count reasoning as q161/q162/q173; oracle-gated,
+    # not headlined.
+    "q178_hll_distinct",
+    "q179_k_anonymity",
+    "q180_mutual_info",
+    "q181_ks_test",
+    "q182_session_paths",
+    "q183_acf",
+    "q184_recursive_rollup",
+    "q185_rolling_median",
+    "q186_int8_quant",
+    "q187_winsorized_mean",
+    "q188_cusum_changepoint",
+    "q189_conversion_lag",
 ]
 
 
