@@ -38,6 +38,7 @@ from pyspark.sql.functions import col, lit
 
 from ..cache import persist_tracked
 from ..catalog import load
+from ..functions import hash48_sql
 
 # --- q179: k-anonymity audit ------------------------------------------------
 
@@ -858,6 +859,273 @@ ORDER BY cohort_week
 """
 
 
+# --- q191: CUPED covariate adjustment ---------------------------------------
+
+
+def q191_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B test (Deng et al., WSDM'13):
+    adjust each user's post-period purchase revenue by their PRE-period
+    revenue (adj = post − θ·(pre − mean_pre), θ = cov(pre,post)/var(pre)
+    pooled) — the standard experimentation trick that shrinks metric
+    variance using pre-experiment behavior, tightening q174's z-test
+    without touching the treatment effect. Reports per-variant raw vs
+    adjusted means, the pooled θ, and the achieved variance reduction.
+
+    The timeline midpoint splits pre/post (data-driven integer micros),
+    per-user sums are whole units (exact integers), and every moment is
+    an integer co-moment — θ and the variance ratio are single scalar
+    expressions over six integers, the q134/q174 discipline. Per-user
+    adjusted values re-quantize to milli-units before the second-pass
+    sums. 100 TB caveat: unit-scale co-moments need n·Σx² < 2⁶³ —
+    beyond ~10⁸ users swap the moment sums to DECIMAL(38,0).
+
+    Scale: two shuffles on user_id (the per-user rollup), one tiny
+    scalar broadcast between passes; variants never shuffle separately."""
+    from ..functions import hash48
+
+    ev = load(spark, sf_dir, "events").where(col("event_type") == "purchase")
+    mid = ev.agg(
+        ((F.min(F.unix_micros(col("ts"))) + F.max(F.unix_micros(col("ts")))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    vm = F.round(col("value") * lit(1e6)).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "user_id",
+            F.when(F.unix_micros(col("ts")) < col("mid_us"), vm)
+            .otherwise(0)
+            .alias("pre_m"),
+            F.when(F.unix_micros(col("ts")) >= col("mid_us"), vm)
+            .otherwise(0)
+            .alias("post_m"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("pre_m") / lit(1e6)).cast("long").alias("x"),
+            F.round(F.sum("post_m") / lit(1e6)).cast("long").alias("y"),
+        )
+    )
+    u = persist_tracked(
+        per_user.withColumn(
+            "grp", hash48(col("user_id").cast("string")) % 2
+        )
+    )
+    mom = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(col("x") * col("x")).alias("sxx"),
+        F.sum(col("y") * col("y")).alias("syy"),
+        F.sum(col("x") * col("y")).alias("sxy"),
+    )
+    theta = (
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (col("n") * col("sxx") - col("sx") * col("sx"))
+    )
+    mean_x = col("sx").cast("double") / col("n")
+    scal = mom.select(
+        theta.alias("theta"),
+        mean_x.alias("mx"),
+        (
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+            / (col("n") * (col("n") - 1))
+        ).alias("var_y"),
+        col("n").alias("n_all"),
+    )
+    adj_milli = F.round(
+        (col("y") - col("theta") * (col("x") - col("mx"))) * lit(1e3)
+    ).cast("long")
+    g = (
+        u.crossJoin(F.broadcast(scal))
+        .select("grp", "theta", "var_y", adj_milli.alias("am"), col("y"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("y") / F.count("*").cast("double"), 4).alias(
+                "mean_post"
+            ),
+            F.round(F.sum("am") / lit(1e3) / F.count("*"), 4).alias("mean_adj"),
+            F.round(F.max("theta"), 4).alias("theta"),
+            F.max("var_y").alias("_vy"),
+            # DECIMAL(38) keeps n·Σam² exact far past int64 (the duckdb
+            # mirror uses HUGEINT; both reduce the same integer, so the
+            # final double conversion rounds identically).
+            F.sum(col("am").cast("decimal(20,0)") * col("am")).alias("_saa"),
+            F.sum("am").alias("_sa"),
+        )
+    )
+    var_adj = (
+        (
+            col("n").cast("decimal(38,0)") * col("_saa")
+            - col("_sa").cast("decimal(38,0)") * col("_sa")
+        ).cast("double")
+        / (col("n") * (col("n") - 1))
+        / lit(1e6)
+    )
+    return (
+        g.select(
+            "grp",
+            "n",
+            "mean_post",
+            "mean_adj",
+            "theta",
+            F.round((lit(1.0) - var_adj / col("_vy")) * 100.0, 2).alias(
+                "var_reduction_pct"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+_CUPED_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase'),
+mid AS (SELECT CAST((MIN(t_us) + MAX(t_us)) / 2 AS BIGINT) AS mid_us FROM ev),
+u0 AS (
+  SELECT user_id,
+         CAST(ROUND(SUM(CASE WHEN t_us < mid_us THEN vm ELSE 0 END) / 1e6)
+              AS BIGINT) AS x,
+         CAST(ROUND(SUM(CASE WHEN t_us >= mid_us THEN vm ELSE 0 END) / 1e6)
+              AS BIGINT) AS y
+  FROM ev CROSS JOIN mid GROUP BY 1),
+u AS (SELECT *, {hash48_sql("CAST(user_id AS VARCHAR)")} % 2 AS grp FROM u0),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM u),
+scal AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS theta,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(n * syy - sy * sy AS DOUBLE) / (n * (n - 1)) AS var_y
+  FROM mom),
+a AS (
+  SELECT grp, theta, var_y, y,
+         CAST(ROUND((y - theta * (x - mx)) * 1e3) AS BIGINT) AS am
+  FROM u CROSS JOIN scal),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_post,
+         ROUND(SUM(am) / 1e3 / COUNT(*), 4) AS mean_adj,
+         ROUND(MAX(theta), 4) AS theta,
+         MAX(var_y) AS vy,
+         CAST(SUM(am * am) AS HUGEINT) AS saa,
+         CAST(SUM(am) AS BIGINT) AS sa
+  FROM a GROUP BY 1)
+SELECT grp, n, mean_post, mean_adj, theta,
+       ROUND((1.0 - (CAST(CAST(n AS HUGEINT) * saa
+                          - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                     / (n * (n - 1)) / 1e6)
+              / vy) * 100.0, 2) AS var_reduction_pct
+FROM g ORDER BY grp
+"""
+
+
+# --- q192: chi-square keyword extraction -------------------------------------
+
+_CHI2_MIN_COUNT = 5
+_CHI2_TOPK = 5
+
+
+def q192_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic keywords per source by chi-square association: for
+    each (source, term), test token occurrence against the rest of the
+    corpus via the 2×2 chi² statistic and keep the top-5 over-represented
+    terms — the corpus-slicing diagnostic behind "what is this source
+    about?" audits and stop-list curation (same contingency machinery as
+    q180, pointed at vocabulary instead of labels).
+
+    All four cell counts are exact integers; the chi² score is one scalar
+    expression per (source, term) evaluated identically in both engines
+    (doubles only in the final expression — no distributed float sums).
+
+    Scale: one (source, term) count shuffle bounded by per-source
+    vocabulary, term totals re-aggregate that table, the source/grand
+    totals are dimension-class broadcasts, and the top-k is a
+    WindowGroupLimit. The corpus text is scanned once."""
+    from ..functions import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    st = persist_tracked(
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("a"))
+    )
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("s_tot"))
+    term_tot = st.groupBy("term").agg(F.sum("a").alias("t_tot"))
+    grand = st.agg(F.sum("a").alias("n_tot"))
+    j = (
+        st.where(col("a") >= _CHI2_MIN_COUNT)
+        .join(src_tot, "source")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(grand))
+    )
+    a = col("a").cast("double")
+    b = (col("s_tot") - col("a")).cast("double")
+    c = (col("t_tot") - col("a")).cast("double")
+    d = (col("n_tot") - col("s_tot") - col("t_tot") + col("a")).cast("double")
+    n = col("n_tot").cast("double")
+    chi2 = (
+        n
+        * (a * d - b * c)
+        * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    scored = j.where(a * d > b * c).select(
+        "source", "term", col("a").alias("cnt"), F.round(chi2, 4).alias("chi2")
+    )
+    w = Window.partitionBy("source").orderBy(
+        col("chi2").desc(), col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(col("rank") <= _CHI2_TOPK)
+        .select("source", "rank", "term", "cnt", "chi2")
+        .orderBy("source", "rank")
+    )
+
+
+def _chi2_sql() -> str:
+    from ..functions import tokens_sql
+
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({tokens_sql("text")}) AS term FROM documents),
+st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2),
+src AS (SELECT source, CAST(SUM(a) AS BIGINT) AS s_tot FROM st GROUP BY 1),
+tt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t_tot FROM st GROUP BY 1),
+g AS (SELECT CAST(SUM(a) AS BIGINT) AS n_tot FROM st),
+sc AS (
+  SELECT st.source, st.term, st.a AS cnt,
+         ROUND(CAST(n_tot AS DOUBLE)
+               * (CAST(st.a AS DOUBLE) * (n_tot - s_tot - t_tot + st.a)
+                  - CAST(s_tot - st.a AS DOUBLE) * (t_tot - st.a))
+               * (CAST(st.a AS DOUBLE) * (n_tot - s_tot - t_tot + st.a)
+                  - CAST(s_tot - st.a AS DOUBLE) * (t_tot - st.a))
+               / (CAST(s_tot AS DOUBLE)
+                  * (CAST(n_tot AS DOUBLE) - s_tot)
+                  * t_tot
+                  * (CAST(n_tot AS DOUBLE) - t_tot)), 4) AS chi2
+  FROM st JOIN src USING (source) JOIN tt USING (term) CROSS JOIN g
+  WHERE st.a >= {_CHI2_MIN_COUNT}
+    AND CAST(st.a AS DOUBLE) * (n_tot - s_tot - t_tot + st.a)
+        > CAST(s_tot - st.a AS DOUBLE) * (t_tot - st.a)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY chi2 DESC, term) AS rank
+  FROM sc)
+SELECT source, rank, term, cnt, chi2
+FROM r WHERE rank <= {_CHI2_TOPK}
+ORDER BY source, rank
+"""
+
+
 QUERIES = {
     "q179_k_anonymity": q179_k_anonymity,
     "q180_mutual_info": q180_mutual_info,
@@ -869,9 +1137,13 @@ QUERIES = {
     "q187_winsorized_mean": q187_winsorized_mean,
     "q188_cusum_changepoint": q188_cusum_changepoint,
     "q189_conversion_lag": q189_conversion_lag,
+    "q191_cuped": q191_cuped,
+    "q192_chi2_keywords": q192_chi2_keywords,
 }
 
 ORACLES = {
+    "q191_cuped": _CUPED_SQL,
+    "q192_chi2_keywords": _chi2_sql(),
     "q188_cusum_changepoint": _CUSUM_SQL,
     "q189_conversion_lag": _CONVERSION_LAG_SQL,
     "q185_rolling_median": _ROLLING_MEDIAN_SQL,

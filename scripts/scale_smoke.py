@@ -197,6 +197,10 @@ SCALE_QUERIES = [
     # converts buffer; approx_percentile is the documented swap); q188's
     # CUSUM windows are day-bounded per type — it runs.
     "q188_cusum_changepoint",
+    # q191's adjusted-variance pass reduces in DECIMAL(38)/HUGEINT, so the
+    # 100x run stays exact where int64 would silently wrap.
+    "q191_cuped",
+    "q192_chi2_keywords",
 ]
 
 
