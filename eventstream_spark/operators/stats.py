@@ -32,6 +32,8 @@ Scale notes per operator live on the docstrings; the common discipline:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
@@ -1126,6 +1128,124 @@ ORDER BY source, rank
 """
 
 
+# --- q193: incremental rollup maintenance ------------------------------------
+
+_LATE_MOD = 37  # event_id % 37 == 0 simulates the late-arriving slice
+
+
+def q193_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily
+    (day, event_type) rollup refreshed by MERGING a late-arriving delta
+    instead of recomputing — base groups the delta does not touch pass
+    through byte-identical, touched groups combine by coalesced addition
+    (counts and micro-unit sums are associative partials, the property
+    that makes the rollup incrementally maintainable at all). The oracle
+    is the FULL recompute over base ∪ delta, so the gate proves
+    merge ≡ recompute.
+
+    Scale: this is how a 100 TB daily rollup absorbs a late partition —
+    per-refresh cost is O(|delta| + |touched groups|), never the standing
+    fact table. The full-outer merge joins two aggregate tables
+    (group-cardinality-sized, AQE-broadcastable when the delta is small);
+    the base fact scan happens once to build the standing rollup, exactly
+    as the materialized view it models."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", col("ts")).alias("d"),
+        "event_type",
+        F.round(col("value") * lit(1e6)).cast("long").alias("vm"),
+        (col("event_id") % _LATE_MOD == 0).alias("late"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("d", "event_type").agg(
+            F.count("*").alias("cnt"), F.sum("vm").alias("svm")
+        )
+
+    base = rollup(ev.where(~col("late")))
+    delta = rollup(ev.where(col("late")))
+    b = base.select("d", "event_type", col("cnt").alias("bc"), col("svm").alias("bs"))
+    dl = delta.select("d", "event_type", col("cnt").alias("dc"), col("svm").alias("ds"))
+    merged = b.join(dl, ["d", "event_type"], "full_outer").select(
+        "d",
+        "event_type",
+        (F.coalesce(col("bc"), lit(0)) + F.coalesce(col("dc"), lit(0))).alias(
+            "cnt"
+        ),
+        F.round(
+            (F.coalesce(col("bs"), lit(0)) + F.coalesce(col("ds"), lit(0)))
+            / lit(1e6),
+            2,
+        ).alias("revenue"),
+    )
+    return merged.orderBy("d", "event_type")
+
+
+_INCR_ROLLUP_SQL = """
+SELECT date_trunc('day', ts) AS d, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6, 2) AS revenue
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- q194: bucketed co-located join ------------------------------------------
+
+_BUCKETS = 16
+
+
+def q194_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈dim join via BUCKETED tables: orders and
+    customer are written bucketed (+sorted) on the join key, then joined
+    and rolled up per market segment — the join reads co-located buckets
+    and plans with ZERO exchanges before the SortMergeJoin (plan-pinned
+    in tests/test_plans.py). This is the write-once/join-forever layout
+    that removes the dominant shuffle of repeated big joins at 100 TB
+    (sources/bucketed.py documents bucket-count sizing); like q159, the
+    one-time layout write is deliberately part of the measured query.
+
+    Oracle: the plain join SQL — layout must never change results."""
+    from ..sources.bucketed import read_bucketed, write_bucketed
+
+    import shutil
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    to, tc = f"t_orders_bk{tag}", f"t_cust_bk{tag}"
+    # A fresh session can find the managed location on disk without the
+    # table in its catalog (saveAsTable then refuses the name) — drop both.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (to, tc):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    write_bucketed(orders.select("o_custkey", "o_totalprice"), to, "o_custkey", _BUCKETS)
+    write_bucketed(cust.select("c_custkey", "c_mktsegment"), tc, "c_custkey", _BUCKETS)
+    ob, cb = read_bucketed(spark, to), read_bucketed(spark, tc)
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.round(col("o_totalprice") * 100).cast("long")) / lit(100),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100, 2)
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q179_k_anonymity": q179_k_anonymity,
     "q180_mutual_info": q180_mutual_info,
@@ -1139,9 +1259,13 @@ QUERIES = {
     "q189_conversion_lag": q189_conversion_lag,
     "q191_cuped": q191_cuped,
     "q192_chi2_keywords": q192_chi2_keywords,
+    "q193_incremental_rollup": q193_incremental_rollup,
+    "q194_bucketed_join": q194_bucketed_join,
 }
 
 ORACLES = {
+    "q193_incremental_rollup": _INCR_ROLLUP_SQL,
+    "q194_bucketed_join": _BUCKETED_JOIN_SQL,
     "q191_cuped": _CUPED_SQL,
     "q192_chi2_keywords": _chi2_sql(),
     "q188_cusum_changepoint": _CUSUM_SQL,

@@ -201,6 +201,10 @@ SCALE_QUERIES = [
     # 100x run stays exact where int64 would silently wrap.
     "q191_cuped",
     "q192_chi2_keywords",
+    # q193's merge cost is O(delta + touched groups); q194 includes its
+    # one-time bucketed layout write, like q159's measured layout build.
+    "q193_incremental_rollup",
+    "q194_bucketed_join",
 ]
 
 

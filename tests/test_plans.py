@@ -471,3 +471,22 @@ def test_q181_ks_cdf_windows_carry_bucket_key(spark, sf_dir):
     plan = _plan(q181_ks_test(spark, sf_dir))
     lines = [l for l in plan.splitlines() if "Window" in l and "_b" in l]
     assert lines, "expected a Window keyed on the _b bucket column"
+
+
+def test_q194_bucketed_join_reads_colocated_buckets(spark, sf_dir):
+    """Both q194 scans must read bucket metadata (Bucketed: true), and the
+    join's subtree must contain no hash-partitioning shuffle — whichever
+    join strategy AQE picks, the bucketed layout feeds the join unshuffled.
+    (The forced-SMJ zero-exchange form is pinned in tests/test_sources.py.)"""
+    from eventstream_spark.operators.stats import q194_bucketed_join
+
+    plan = _plan(q194_bucketed_join(spark, sf_dir))
+    assert plan.count("Bucketed: true") >= 2
+    lines = plan.splitlines()
+    join_idx = next(
+        i for i, l in enumerate(lines)
+        if ("SortMergeJoin" in l or "BroadcastHashJoin" in l
+            or "ShuffledHashJoin" in l)
+    )
+    below = "\n".join(lines[join_idx:])
+    assert "Exchange hashpartitioning" not in below
