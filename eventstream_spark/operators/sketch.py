@@ -285,24 +285,43 @@ def q165_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("exact"))
 
-    def cell(d: int) -> F.Column:
-        return hash48(F.concat(lit(str(d)), col("term"))) % _CMS_WIDTH
-
     arms = [
-        tf.select(lit(d).alias("d"), cell(d).alias("cell"), col("exact").alias("c"))
+        tf.select(
+            lit(d).alias("d"),
+            cms_cell(d).alias("cell"),
+            col("exact").alias("c"),
+        )
         for d in range(_CMS_DEPTH)
     ]
     u = arms[0]
     for a in arms[1:]:
         u = u.unionByName(a)
     cms = u.groupBy("d", "cell").agg(F.sum("c").alias("counter"))
+    return cms_finish(cms, tf)
 
+
+def cms_cell(d: int) -> F.Column:
+    """Hash row d's counter cell for the ``term`` column."""
+    return hash48(F.concat(lit(str(d)), col("term"))) % _CMS_WIDTH
+
+
+def cms_finish(cms: DataFrame, tf: DataFrame) -> DataFrame:
+    """Point-estimate the top terms against a (d, cell, counter) sketch.
+    Shared by the batch build (q165, counters from the pre-aggregated
+    term-frequency table) and the streaming ingest build (q195, counters
+    from raw occurrences) — SUM-merged counters are identical either way,
+    the additivity that makes a CMS shard- and micro-batch-mergeable."""
     top = tf.orderBy(col("exact").desc(), "term").limit(_CMS_TOPK)
     probes = top.select(
         "term",
         "exact",
         F.explode(
-            F.array(*[F.struct(lit(d).alias("d"), cell(d).alias("cell")) for d in range(_CMS_DEPTH)])
+            F.array(
+                *[
+                    F.struct(lit(d).alias("d"), cms_cell(d).alias("cell"))
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
         ).alias("p"),
     ).select("term", "exact", col("p.d").alias("d"), col("p.cell").alias("cell"))
     return (

@@ -27,7 +27,7 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import col
+from pyspark.sql.functions import col, lit
 
 from ..catalog import EVENTS_RAW_SCHEMA, fix_nanos_ts
 from ..sources.stream import file_stream
@@ -602,6 +602,41 @@ def q190_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_finish(drained, exact)
 
 
+def q195_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch AT INGEST — the SUM-merge twin of q190's
+    max-merge HLL: each micro-batch hashes its raw token occurrences into
+    the depth×width counter grid map-side, and the streaming state is the
+    768-integer grid itself, bounded forever. Because counters are
+    additive, counting raw occurrences per batch builds the IDENTICAL
+    sketch q165 builds from the pre-aggregated term-frequency table, so
+    q165's oracle applies verbatim. The top-k probe (and the exact
+    ride-along column) run as a batch epilogue over the drained grid.
+    Together q190/q195 cover both mergeable-sketch classes at the ingest
+    path: max-merge (HLL registers) and sum-merge (CMS counters)."""
+    from ..catalog import load
+    from ..functions import tokens
+    from .sketch import _CMS_DEPTH, cms_cell, cms_finish
+
+    docs = _documents_stream(spark, sf_dir)
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    arms = [
+        tok.select(lit(d).alias("d"), cms_cell(d).alias("cell"))
+        for d in range(_CMS_DEPTH)
+    ]
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    grid = u.groupBy("d", "cell").agg(F.count("*").alias("counter"))
+    drained = _run_to_table(grid, spark)
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("exact"))
+    )
+    return cms_finish(drained, tf)
+
+
 from .analytics import ORACLES as _A_ORACLES
 from .sketch import ORACLES as _SKETCH_ORACLES
 
@@ -611,6 +646,9 @@ ORACLES = {
     # Streaming HLL must land on q178's batch sketch exactly (registers
     # are max-merged — replay/duplicate-proof).
     "q190_stream_hll": _SKETCH_ORACLES["q178_hll_distinct"],
+    # Streaming CMS must land on q165's batch sketch exactly (counters are
+    # sum-merged — additive across micro-batches).
+    "q195_stream_count_min": _SKETCH_ORACLES["q165_count_min"],
     "q145_stream_topk": f"""
 WITH r AS (
   SELECT event_type, event_id, value,
@@ -690,4 +728,5 @@ QUERIES = {
     "q132_stream_vector_ingest": q132_stream_vector_ingest,
     "q135_stream_incremental_dedup": q135_stream_incremental_dedup,
     "q190_stream_hll": q190_stream_hll,
+    "q195_stream_count_min": q195_stream_count_min,
 }
