@@ -1246,6 +1246,135 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- q196: water-filling budget allocation -----------------------------------
+
+_WF_BUDGET_PCT = 60  # allocate 60% of the corpus's tokens
+
+
+def q196_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by WATER-FILLING: give every
+    source an equal share λ of the training-token budget, capped at what
+    the source actually has — the standard fair-allocation rule behind
+    corpus mixing when small sources must not be over-asked (max-min
+    fairness; the same algorithm as link-capacity fair queuing). A source
+    is capped iff filling every source up to its capacity level fits the
+    budget (prefix condition over the capacity-sorted list); survivors
+    split the remainder evenly, with the integer remainder going to the
+    alphabetically-first uncapped sources so the allocation is exact and
+    deterministic.
+
+    Everything is integer arithmetic over the per-source capacity table —
+    the windows run over |sources| rows (a dimension, not the corpus; the
+    corpus is touched once for the token counts).
+
+    Scale: one token-count shuffle bounded by |sources|; the water-level
+    search is a prefix-sum window over the tiny sorted capacity table."""
+    from ..functions import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("cap")
+    )
+    tot = caps.agg(
+        F.sum("cap").alias("total"), F.count("*").alias("n_src")
+    )
+    # integer division end-to-end: duckdb CAST(double) rounds where Spark
+    # truncates, so no double may touch the budget arithmetic.
+    budget = F.expr(f"total * {_WF_BUDGET_PCT} div 100")
+    w = Window.orderBy("cap", "source")
+    c = (
+        caps.crossJoin(F.broadcast(tot.select(budget.alias("b"), "n_src")))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix", F.coalesce(F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+        )
+        .withColumn(
+            "capped",
+            col("prefix") + col("cap") * (col("n_src") - col("i") + 1)
+            <= col("b"),
+        )
+    )
+    m = c.agg(
+        F.sum(F.when(col("capped"), 1).otherwise(0)).alias("m"),
+        F.sum(F.when(col("capped"), col("cap")).otherwise(0)).alias("filled"),
+    )
+    j = c.crossJoin(F.broadcast(m)).withColumn(
+        "lam",
+        F.when(
+            col("n_src") > col("m"),
+            F.expr("(b - filled) div (n_src - m)"),
+        ).otherwise(lit(0)),
+    ).withColumn(
+        "rem",
+        F.when(
+            col("n_src") > col("m"),
+            (col("b") - col("filled")) % (col("n_src") - col("m")),
+        ).otherwise(lit(0)),
+    )
+    wu = Window.orderBy("source")
+    uncapped_rank = F.sum(F.when(~col("capped"), 1).otherwise(0)).over(
+        wu.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    alloc = F.when(col("capped"), col("cap")).otherwise(
+        col("lam")
+        + F.when(uncapped_rank <= col("rem"), 1).otherwise(0)
+    )
+    return (
+        j.select(
+            "source",
+            col("cap").alias("capacity"),
+            alloc.cast("long").alias("allocated"),
+            col("capped").alias("at_capacity"),
+        )
+        .orderBy("source")
+    )
+
+
+def _waterfill_sql() -> str:
+    from ..functions import tokens_sql
+
+    return f"""
+WITH caps AS (
+  SELECT source, CAST(SUM(len({tokens_sql("text")})) AS BIGINT) AS cap
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(cap) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_src FROM caps),
+c AS (
+  SELECT caps.source, caps.cap,
+         CAST(total * {_WF_BUDGET_PCT} // 100 AS BIGINT) AS b, n_src,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prefix
+  FROM caps CROSS JOIN tot
+  WINDOW w AS (ORDER BY cap, source)),
+cc AS (
+  SELECT *, (prefix + cap * (n_src - i + 1) <= b) AS capped FROM c),
+m AS (
+  SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS filled
+  FROM cc),
+j AS (
+  SELECT cc.*,
+         CASE WHEN n_src > m.m
+              THEN CAST((b - filled) // (n_src - m.m) AS BIGINT)
+              ELSE 0 END AS lam,
+         CASE WHEN n_src > m.m
+              THEN (b - filled) % (n_src - m.m) ELSE 0 END AS rem,
+         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+              OVER (ORDER BY source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS urank
+  FROM cc CROSS JOIN m)
+SELECT source, cap AS capacity,
+       CAST(CASE WHEN capped THEN cap
+                 ELSE lam + CASE WHEN urank <= rem THEN 1 ELSE 0 END
+            END AS BIGINT) AS allocated,
+       capped AS at_capacity
+FROM j ORDER BY source
+"""
+
+
 QUERIES = {
     "q179_k_anonymity": q179_k_anonymity,
     "q180_mutual_info": q180_mutual_info,
@@ -1261,9 +1390,11 @@ QUERIES = {
     "q192_chi2_keywords": q192_chi2_keywords,
     "q193_incremental_rollup": q193_incremental_rollup,
     "q194_bucketed_join": q194_bucketed_join,
+    "q196_budget_waterfill": q196_budget_waterfill,
 }
 
 ORACLES = {
+    "q196_budget_waterfill": _waterfill_sql(),
     "q193_incremental_rollup": _INCR_ROLLUP_SQL,
     "q194_bucketed_join": _BUCKETED_JOIN_SQL,
     "q191_cuped": _CUPED_SQL,

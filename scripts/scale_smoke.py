@@ -205,6 +205,9 @@ SCALE_QUERIES = [
     # one-time bucketed layout write, like q159's measured layout build.
     "q193_incremental_rollup",
     "q194_bucketed_join",
+    # q196's water-level search runs over the |sources| dimension — only
+    # the token-count scan grows.
+    "q196_budget_waterfill",
 ]
 
 

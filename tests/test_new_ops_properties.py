@@ -214,3 +214,27 @@ def test_int8_quant_error_bounded_by_half_scale(spark, sf_dir):
     )
     assert row.max_abs_err <= max_scale / 2 + 1e-6
     assert row.rmse <= row.max_abs_err
+
+
+def test_waterfill_allocation_is_exact_and_feasible(spark, sf_dir):
+    """Water-filling must (a) never allocate past a source's capacity,
+    (b) spend EXACTLY the integer budget when demand exceeds it, and
+    (c) give every uncapped source at least as much as any capped one."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.operators.stats import (
+        _WF_BUDGET_PCT,
+        q196_budget_waterfill,
+    )
+
+    rows = q196_budget_waterfill(spark, sf_dir).collect()
+    total_cap = sum(r.capacity for r in rows)
+    budget = total_cap * _WF_BUDGET_PCT // 100
+    assert all(r.allocated <= r.capacity for r in rows)
+    assert sum(r.allocated for r in rows) == min(budget, total_cap)
+    capped_max = max((r.allocated for r in rows if r.at_capacity), default=0)
+    uncapped_min = min(
+        (r.allocated for r in rows if not r.at_capacity), default=None
+    )
+    if uncapped_min is not None:
+        assert uncapped_min >= capped_max
