@@ -154,6 +154,13 @@ HEADLINE = [
     "q187_winsorized_mean",
     "q188_cusum_changepoint",
     "q189_conversion_lag",
+    # q194 (bucketed join) includes a managed-table layout write per run and
+    # q195 re-runs q165's sketch through the micro-batch engine — both stay
+    # oracle-gated, not headlined (q159/q161 double-count reasoning).
+    "q191_cuped",
+    "q192_chi2_keywords",
+    "q193_incremental_rollup",
+    "q196_budget_waterfill",
 ]
 
 

@@ -1,7 +1,12 @@
-"""Statistical / governance operators: k-anonymity audit, mutual
-information, two-sample Kolmogorov-Smirnov, session path mining, and
-autocorrelation — the data-science pass a warehouse team runs AFTER the
-relational surface is in place.
+"""Statistical / governance operators — the data-science pass a warehouse
+team runs AFTER the relational surface is in place: k-anonymity audit
+(q179), mutual information (q180), two-sample Kolmogorov-Smirnov (q181),
+session path mining (q182), autocorrelation (q183), rolling median filter
+(q185), INT8 quantization audit (q186), winsorized mean (q187), CUSUM
+change-point (q188), conversion-lag cohorts (q189), CUPED variance
+reduction (q191), chi-square keywords (q192), incremental rollup
+maintenance (q193), the bucketed co-located join (q194), and water-filling
+budget allocation (q196).
 
 Same contract as the rest of the operator library: pure DataFrame builders
 (Catalyst owns physics) with exactly-mirrored duckdb oracles. Floating-point
