@@ -1380,6 +1380,212 @@ FROM j ORDER BY source
 """
 
 
+# --- q197: Kaplan-Meier survival ---------------------------------------------
+
+
+def q197_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve: treat each user's LAST active day as
+    their churn time, right-censored for users still active on the final
+    corpus day, and estimate S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) — the survival
+    curve behind "how long do users stay?" product analytics (KM '58).
+    Censoring guarantees dᵢ < nᵢ on every churn day (the censored cohort
+    is always at risk), so the product never hits zero.
+
+    The running product is computed as exp of a cumulative sum of
+    nano-quantized ln(1 − d/n) terms — each term is ONE ln both engines
+    evaluate identically, and the cumulative sum is exact integers, so
+    the curve is partial-order-proof.
+
+    Scale: one per-user max (hash shuffle on user_id), then everything
+    runs on the |days| dimension table — the risk-set window is a prefix
+    sum over timeline days, never the user table."""
+    ev = load(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(
+        F.max(F.date_trunc("day", col("ts"))).alias("ld")
+    )
+    end = last.agg(F.max("ld").alias("end_d"))
+    per_day = (
+        last.crossJoin(F.broadcast(end))
+        .groupBy("ld")
+        .agg(
+            F.count("*").alias("n_at"),
+            F.sum(F.when(col("ld") < col("end_d"), 1).otherwise(0)).alias(
+                "d_churn"
+            ),
+        )
+    )
+    w = Window.orderBy("ld")
+    prior = F.coalesce(
+        F.sum("n_at").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0),
+    )
+    tot = per_day.agg(F.sum("n_at").alias("n_users"))
+    risk = (
+        per_day.crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", col("n_users") - prior)
+        .where(col("d_churn") > 0)
+    )
+    term = F.round(
+        F.log(lit(1.0) - col("d_churn").cast("double") / col("n_risk"))
+        * lit(1e9)
+    ).cast("long")
+    ws = Window.orderBy("ld").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn("cum", F.sum(term).over(ws))
+        .select(
+            col("ld").alias("day"),
+            "n_risk",
+            col("d_churn").alias("n_churned"),
+            F.round(F.exp(col("cum") / lit(1e9)), 4).alias("survival"),
+        )
+        .orderBy("day")
+    )
+
+
+_SURVIVAL_KM_SQL = """
+WITH last AS (
+  SELECT user_id, MAX(date_trunc('day', ts)) AS ld FROM events GROUP BY 1),
+e AS (SELECT MAX(ld) AS end_d FROM last),
+per_day AS (
+  SELECT ld, CAST(COUNT(*) AS BIGINT) AS n_at,
+         CAST(SUM(CASE WHEN ld < end_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_churn
+  FROM last CROSS JOIN e GROUP BY 1),
+t AS (SELECT CAST(SUM(n_at) AS BIGINT) AS n_users FROM per_day),
+risk AS (
+  SELECT ld, d_churn,
+         n_users - CAST(COALESCE(SUM(n_at) OVER (ORDER BY ld
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM per_day CROSS JOIN t),
+f AS (
+  SELECT ld, n_risk, d_churn,
+         CAST(SUM(CAST(ROUND(ln(1.0 - CAST(d_churn AS DOUBLE) / n_risk) * 1e9)
+                       AS BIGINT)) OVER (ORDER BY ld
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM risk WHERE d_churn > 0)
+SELECT ld AS day, n_risk, d_churn AS n_churned,
+       ROUND(exp(cum / 1e9), 4) AS survival
+FROM f ORDER BY day
+"""
+
+
+# --- q198: population stability index ----------------------------------------
+
+_PSI_BUCKETS = 10
+
+
+def q198_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    purchase-value timeline: bucket the ACTUAL period by the EXPECTED
+    period's deciles and score PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) — the
+    model-monitoring drift gate every scoring pipeline runs (<0.1 stable,
+    0.1–0.25 moderate, >0.25 shifted). Complements KL (q146: divergence
+    score on categorical sources) and KS (q181: hypothesis test) with the
+    industry-standard BUCKETED form.
+
+    Laplace smoothing ((c+1)/(n+B)) keeps empty buckets finite and exact;
+    per-bucket terms micro-quantize before the 10-row sum. The decile cut
+    points are exact interpolated percentiles (q66 parity), and bucket
+    assignment compares each value against the 9 shared cut points — both
+    engines see identical doubles.
+
+    Scale: the cut points are one exact-percentile aggregate over the
+    expected half (approx_percentile is the documented 100 TB swap —
+    q138's caveat); bucketing is map-side; the PSI reduction is 10 rows."""
+    ev = load(spark, sf_dir, "events").where(col("event_type") == "purchase")
+    mid = ev.agg(
+        ((F.min(F.unix_micros(col("ts"))) + F.max(F.unix_micros(col("ts")))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "value",
+        (F.unix_micros(col("ts")) < col("mid_us")).alias("is_exp"),
+    )
+    pct = [i / _PSI_BUCKETS for i in range(1, _PSI_BUCKETS)]
+    cuts = tagged.where(col("is_exp")).agg(
+        *[
+            F.expr(f"percentile(value, {p!r})").alias(f"c{i}")
+            for i, p in enumerate(pct)
+        ]
+    )
+    bucket = sum(
+        (F.when(col("value") > col(f"c{i}"), 1).otherwise(0) for i in range(len(pct))),
+        lit(0),
+    ).alias("b")
+    bc = (
+        tagged.crossJoin(F.broadcast(cuts))
+        .select("is_exp", bucket)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(col("is_exp"), 1).otherwise(0)).alias("ce"),
+            F.sum(F.when(~col("is_exp"), 1).otherwise(0)).alias("ca"),
+        )
+    )
+    tots = bc.agg(F.sum("ce").alias("ne"), F.sum("ca").alias("na"))
+    p = (col("ce") + 1).cast("double") / (col("ne") + lit(_PSI_BUCKETS))
+    q = (col("ca") + 1).cast("double") / (col("na") + lit(_PSI_BUCKETS))
+    term = F.round((p - q) * F.log(p / q) * lit(1e6)).cast("long")
+    s = bc.crossJoin(F.broadcast(tots)).agg(
+        F.max("ne").alias("n_expected"),
+        F.max("na").alias("n_actual"),
+        F.sum(term).alias("psi_micro"),
+    )
+    psi = col("psi_micro") / lit(1e6)
+    return s.select(
+        "n_expected",
+        "n_actual",
+        F.round(psi, 4).alias("psi"),
+        F.when(psi < 0.1, "stable")
+        .when(psi < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+
+
+def _psi_sql() -> str:
+    pct = [i / _PSI_BUCKETS for i in range(1, _PSI_BUCKETS)]
+    cut_cols = ", ".join(
+        f"quantile_cont(value, {p!r}) AS c{i}" for i, p in enumerate(pct)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN value > c{i} THEN 1 ELSE 0 END" for i in range(len(pct))
+    )
+    return f"""
+WITH ev AS (
+  SELECT value, epoch_us(ts) AS t_us FROM events
+  WHERE event_type = 'purchase'),
+mid AS (SELECT CAST((MIN(t_us) + MAX(t_us)) / 2 AS BIGINT) AS mid_us FROM ev),
+tagged AS (
+  SELECT value, (t_us < mid_us) AS is_exp FROM ev CROSS JOIN mid),
+cuts AS (SELECT {cut_cols} FROM tagged WHERE is_exp),
+bc AS (
+  SELECT ({bucket}) AS b,
+         CAST(SUM(CASE WHEN is_exp THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+         CAST(SUM(CASE WHEN is_exp THEN 0 ELSE 1 END) AS BIGINT) AS ca
+  FROM tagged CROSS JOIN cuts GROUP BY 1),
+t AS (SELECT CAST(SUM(ce) AS BIGINT) AS ne, CAST(SUM(ca) AS BIGINT) AS na
+      FROM bc),
+s AS (
+  SELECT MAX(ne) AS n_expected, MAX(na) AS n_actual,
+         CAST(SUM(CAST(ROUND(
+           (CAST(ce + 1 AS DOUBLE) / (ne + {_PSI_BUCKETS})
+            - CAST(ca + 1 AS DOUBLE) / (na + {_PSI_BUCKETS}))
+           * ln((CAST(ce + 1 AS DOUBLE) / (ne + {_PSI_BUCKETS}))
+                / (CAST(ca + 1 AS DOUBLE) / (na + {_PSI_BUCKETS})))
+           * 1e6) AS BIGINT)) AS BIGINT) AS psi_micro
+  FROM bc CROSS JOIN t)
+SELECT n_expected, n_actual,
+       ROUND(psi_micro / 1e6, 4) AS psi,
+       CASE WHEN psi_micro / 1e6 < 0.1 THEN 'stable'
+            WHEN psi_micro / 1e6 < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM s
+"""
+
+
 QUERIES = {
     "q179_k_anonymity": q179_k_anonymity,
     "q180_mutual_info": q180_mutual_info,
@@ -1396,9 +1602,13 @@ QUERIES = {
     "q193_incremental_rollup": q193_incremental_rollup,
     "q194_bucketed_join": q194_bucketed_join,
     "q196_budget_waterfill": q196_budget_waterfill,
+    "q197_survival_km": q197_survival_km,
+    "q198_psi": q198_psi,
 }
 
 ORACLES = {
+    "q197_survival_km": _SURVIVAL_KM_SQL,
+    "q198_psi": _psi_sql(),
     "q196_budget_waterfill": _waterfill_sql(),
     "q193_incremental_rollup": _INCR_ROLLUP_SQL,
     "q194_bucketed_join": _BUCKETED_JOIN_SQL,

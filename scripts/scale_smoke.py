@@ -208,6 +208,11 @@ SCALE_QUERIES = [
     # q196's water-level search runs over the |sources| dimension — only
     # the token-count scan grows.
     "q196_budget_waterfill",
+    # q197 runs on the |days| dimension after one per-user max; q198's
+    # decile cut points are the exact-percentile aggregate (single global
+    # buffer like q148 — fine; approx_percentile is the documented swap).
+    "q197_survival_km",
+    "q198_psi",
 ]
 
 
