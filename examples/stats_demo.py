@@ -45,6 +45,10 @@ def main() -> None:
         q187_winsorized_mean,
         q188_cusum_changepoint,
         q189_conversion_lag,
+        q191_cuped,
+        q196_budget_waterfill,
+        q197_survival_km,
+        q198_psi,
     )
     from eventstream_spark.session import get_spark
 
@@ -81,6 +85,16 @@ def main() -> None:
 
     print("== 8. recursive hierarchy rollup (top 4 levels) ==")
     q184_recursive_rollup(spark, SF_DIR).show(16)
+
+    print("== 9. CUPED-adjusted A/B means ==")
+    q191_cuped(spark, SF_DIR).show()
+    print("== 9b. PSI drift verdict (first vs second half) ==")
+    q198_psi(spark, SF_DIR).show()
+
+    print("== 10. retention survival curve (Kaplan-Meier) ==")
+    q197_survival_km(spark, SF_DIR).show(10)
+    print("== 10b. token-budget water-filling across sources ==")
+    q196_budget_waterfill(spark, SF_DIR).show(10)
 
     spark.stop()
 
