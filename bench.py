@@ -161,6 +161,8 @@ HEADLINE = [
     "q192_chi2_keywords",
     "q193_incremental_rollup",
     "q196_budget_waterfill",
+    "q197_survival_km",
+    "q198_psi",
 ]
 
 
