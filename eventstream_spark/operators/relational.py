@@ -624,11 +624,21 @@ def q184_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark guards recursive CTEs with a row-limit circuit breaker
     (spark.sql.cteRecursionRowLimit, default 10⁶) meant to catch
     non-terminating recursions; this recursion provably terminates
-    (anc strictly halves), so the guard is raised to cover
-    |users|·log₂(max id) ancestor rows — the level limit (default 100)
-    stays, which at log-depth still catches any runaway."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    (anc strictly halves), so the guard is raised ONLY as far as the
+    data requires: |users|·(log₂(max id)+2) ancestor rows, measured with
+    one tiny aggregate before planning (never below the 10⁶ default, so
+    the session's breaker is never tightened). A later runaway recursion
+    in the same session still trips at roughly the same order of
+    magnitude instead of the old unconditional 10⁹ blanket; the level
+    limit (default 100) stays too."""
+    ev = load(spark, sf_dir, "events")
+    n_users, max_id = ev.agg(
+        F.countDistinct("user_id"), F.max("user_id")
+    ).first()
+    depth = max(int(max_id or 2), 2).bit_length() + 2
+    bound = max(1_000_000, (int(n_users or 1)) * depth)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
+    ev.createOrReplaceTempView("events")
     return spark.sql(_RECURSIVE_SQL)
 
 

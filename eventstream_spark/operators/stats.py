@@ -570,12 +570,17 @@ def q186_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = col("x") - qv * col("scale")
     terms = e.join(sc, "dim").select(
+        "vec_id",
+        "dim",
         F.round(err * err * lit(1e12)).cast("long").alias("e2_pico"),
         F.round(F.abs(err) * lit(1e9)).cast("long").alias("ea_nano"),
     )
+    # n_vecs / dim are DERIVED from the data (distinct vec ids, max
+    # subscript) — not a mirrored fixture literal, so a fixture-dimension
+    # change surfaces as a real differential instead of silently agreeing.
     return terms.agg(
-        (F.count("*") / lit(64)).cast("long").alias("n_vecs"),
-        lit(64).alias("dim"),
+        F.count_distinct("vec_id").alias("n_vecs"),
+        F.max("dim").cast("int").alias("dim"),
         F.round(
             F.sqrt(F.sum("e2_pico") / lit(1e12) / F.count("*")), 8
         ).alias("rmse"),
@@ -592,7 +597,8 @@ sc AS (
   SELECT dim, GREATEST(MAX(ABS(x)), 1e-12) / 127.0 AS scale
   FROM e GROUP BY 1),
 terms AS (
-  SELECT CAST(ROUND(
+  SELECT vec_id, dim,
+         CAST(ROUND(
            (x - LEAST(GREATEST(ROUND(x / scale), -127.0), 127.0) * scale)
            * (x - LEAST(GREATEST(ROUND(x / scale), -127.0), 127.0) * scale)
            * 1e12) AS BIGINT) AS e2_pico,
@@ -600,8 +606,8 @@ terms AS (
            x - LEAST(GREATEST(ROUND(x / scale), -127.0), 127.0) * scale)
            * 1e9) AS BIGINT) AS ea_nano
   FROM e JOIN sc USING (dim))
-SELECT CAST(COUNT(*) / 64 AS BIGINT) AS n_vecs,
-       64 AS dim,
+SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(MAX(dim) AS INTEGER) AS dim,
        ROUND(sqrt(SUM(e2_pico) / 1e12 / COUNT(*)), 8) AS rmse,
        ROUND(MAX(ea_nano) / 1e9, 6) AS max_abs_err
 FROM terms
@@ -1022,7 +1028,7 @@ g AS (
          ROUND(SUM(am) / 1e3 / COUNT(*), 4) AS mean_adj,
          ROUND(MAX(theta), 4) AS theta,
          MAX(var_y) AS vy,
-         CAST(SUM(am * am) AS HUGEINT) AS saa,
+         SUM(CAST(am AS HUGEINT) * am) AS saa,
          CAST(SUM(am) AS BIGINT) AS sa
   FROM a GROUP BY 1)
 SELECT grp, n, mean_post, mean_adj, theta,
@@ -1216,7 +1222,13 @@ def q194_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    # Table names carry BOTH the sf_dir and the Spark applicationId: two
+    # suites running concurrently on the same sf_dir (each its own session)
+    # get disjoint table paths instead of racing on one DROP/rmtree/write
+    # cycle (an observed failure mode). Within one session the name is
+    # stable, so re-runs still hit the drop-and-rewrite path below.
+    app = "".join(c if c.isalnum() else "_" for c in spark.sparkContext.applicationId)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir) + "_" + app
     to, tc = f"t_orders_bk{tag}", f"t_cust_bk{tag}"
     # A fresh session can find the managed location on disk without the
     # table in its catalog (saveAsTable then refuses the name) — drop both.
