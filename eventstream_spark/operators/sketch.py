@@ -63,14 +63,22 @@ def _bloom_positions(key: F.Column, seed: int) -> F.Column:
 
 
 def build_bloom_bytes(keys: DataFrame, key_col: str) -> bytes:
-    """Aggregate the build side to its distinct bit positions (partial-
-    agg'd map-side; <= min(3·|keys|, 2^20) ints cross the wire — the same
-    driver budget class as the IVF centroid seed fetch) and fold them into
-    a BINARY bitmap sized to the data: m = smallest power of two >= 8 bits
-    per observed position, clamped to [2^13, 2^20]. Growing m with the
-    build side keeps the false-positive rate roughly constant as the data
-    scales — the grow-bits-with-N rule (same argument as the q44b LSH
-    planes).
+    """Build the bitmap DISTRIBUTIVELY: the build side reduces to distinct
+    bit positions (partial-agg'd map-side), the position count sizes m
+    (smallest power of two >= 8 bits per position, clamped to
+    [2^13, 2^20] — growing m with the build side keeps the false-positive
+    rate roughly constant as the data scales, the q44b grow-bits rule),
+    and the folded positions aggregate to per-byte masks via BIT_OR, so
+    the driver receives at most m/8 = 2^17 (byte_idx, mask) rows — a
+    bound set by the BITMAP size, never by the build-side key count. A
+    fact-sized build side (billions of keys) funnels exactly the same
+    <=128 KiB of aggregate state through the driver as a dimension does;
+    the old form collected the raw position list (O(min(3·|keys|, 2^20))
+    rows) and assembled bits in a Python loop.
+
+    The positions intermediate is persisted because two jobs read it
+    (count to size m, then the byte fold); released with the operator
+    working set via cache.release_cached.
 
     The bitmap MUST stay binary, not a hex string: Spark's substring on a
     StringType literal walks the UTF8 bytes linearly to find the char
@@ -78,19 +86,29 @@ def build_bloom_bytes(keys: DataFrame, key_col: str) -> bytes:
     single-core stall at m = 2^19 over 150k probe rows. BinaryType
     substring is a positional byte slice, O(1) per probe."""
     pos_cols = [_bloom_positions(col(key_col), s).alias(f"p{s}") for s in range(_BLOOM_K)]
-    positions = [
-        int(r.pos)
-        for r in keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
-        .distinct()
-        .collect()
-    ]
+    positions = persist_tracked(
+        keys.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct()
+    )
+    n_pos = positions.count()
     m = _BLOOM_M_MIN
-    while m < _BLOOM_M_MAX and m < 8 * max(len(positions), 1):
+    while m < _BLOOM_M_MAX and m < 8 * max(n_pos, 1):
         m *= 2
+    # fold to m, split into (byte index, single-bit mask), OR the masks
+    # per byte — one partial-aggregated shuffle of <= m/8 groups. 2^(p%8)
+    # via pow is exact (exponent <= 7).
+    p = F.pmod(col("pos"), lit(m))
+    segs = (
+        positions.select(
+            (p / 8).cast("long").alias("byte_idx"),
+            F.pow(lit(2.0), F.pmod(p, lit(8)).cast("double")).cast("int").alias("mask"),
+        )
+        .groupBy("byte_idx")
+        .agg(F.bit_or("mask").alias("b"))
+        .collect()
+    )
     bits = bytearray(m // 8)
-    for p in positions:
-        p %= m
-        bits[p // 8] |= 1 << (p % 8)
+    for r in segs:
+        bits[r.byte_idx] = r.b
     return bytes(bits)
 
 

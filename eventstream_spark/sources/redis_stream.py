@@ -37,14 +37,20 @@ cross-stream order (like any sharded bus) is not. ``count`` pages XRANGE
 so a bursty stream never materializes in one reply.
 
 Trigger.AvailableNow caveat: Spark's Python micro-batch stream reader does
-not implement the AvailableNow contract, so ``trigger(availableNow=True)``
-falls back to SINGLE-BATCH execution — one batch covering
-(checkpointed offset, latestOffset-at-start]. With a fresh checkpoint that
-is a full drain (what q115/q115b rely on); when RESTARTING from a
-checkpoint that has an uncommitted batch, the rerun finishes that batch
-only and entries appended after the original offset capture need one more
-run to land. Production continuous triggers are unaffected (offsets
-advance every micro-batch).
+not implement the AvailableNow contract (PythonMicroBatchStream implements
+MicroBatchStream + AcceptsLatestSeenOffset only — verified against the
+Spark 4.1 jar — so neither DataSourceStreamReader nor
+SimpleDataSourceStreamReader can opt in from the Python side), and
+``trigger(availableNow=True)`` falls back to SINGLE-BATCH execution — one
+batch covering (checkpointed offset, latestOffset-at-start]. With a fresh
+checkpoint that is a full drain (what q115/q115b rely on); when RESTARTING
+from a checkpoint that has an uncommitted batch, the rerun finishes that
+batch only and entries appended after the original offset capture need one
+more run to land. For catch-up jobs that need TRUE drain-to-end semantics
+across restarts, use :func:`drain_available_now`, which re-runs the query
+to a zero-new-rows fixed point (restart semantics pinned in
+tests/test_redis_source.py). Production continuous triggers are unaffected
+(offsets advance every micro-batch).
 """
 
 from __future__ import annotations
@@ -433,3 +439,47 @@ class RedisWireDataSource(DataSource):
 
 def register_rediswire(spark) -> None:
     spark.dataSource.register(RedisWireDataSource)
+
+
+def drain_available_now(start_query, await_secs: float = 300.0, max_runs: int = 1000) -> int:
+    """Run an availableNow (single-batch fallback) query to a TRUE
+    drain-to-end fixed point — the catch-up semantics availableNow promises
+    but the Python stream reader cannot deliver across restarts (module
+    docstring).
+
+    ``start_query`` is a zero-arg callable that STARTS the query against
+    the same checkpoint and returns the StreamingQuery (re-invoking it must
+    be safe — the checkpoint carries the cursor). The loop re-runs until a
+    run ingests ZERO rows; the first run is never trusted as the fixed
+    point because a restart may merely be finishing a recovered uncommitted
+    batch (whose offsets were captured before the entries being drained
+    were appended) — a second run is always taken to confirm, which is also
+    what picks up anything appended DURING a run. Returns the summed
+    numInputRows across runs: a drain-progress indicator, not an
+    exactly-once count (a recovered batch's rows count again here; the
+    SINK stays exactly-once via its batch-id log).
+
+    Cost model: each extra run is one empty micro-batch plan (two XREVRANGE
+    round-trips per stream) — negligible next to the drain itself; the
+    common already-drained case costs exactly two empty runs."""
+    total = 0
+    runs = 0
+    while True:
+        runs += 1
+        if runs > max_runs:
+            raise RuntimeError(
+                f"drain_available_now: no fixed point after {max_runs} runs "
+                "(is a producer still appending faster than the drain?)"
+            )
+        q = start_query()
+        q.awaitTermination(await_secs)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                f"drain_available_now: run {runs} still active after "
+                f"{await_secs}s — raise await_secs for large backlogs"
+            )
+        n = sum(int(p.numInputRows) for p in (q.recentProgress or []))
+        total += n
+        if n == 0 and runs > 1:
+            return total

@@ -87,6 +87,19 @@ def kafka_stream(
     the source-not-found error — so a connector supplied via ``--jars``,
     ``--packages``, or a fat classpath all work; only a genuinely missing
     connector raises, with guidance instead of a deep JVM stack.
+
+    Exact bootstrap recipe for THIS build (pyspark 4.1.2 / Scala 2.13; the
+    connector version must match the Spark version):
+
+        spark-submit --packages \\
+            org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 app.py
+        # or, on an offline cluster, pre-fetch the same coordinates plus
+        # their transitive deps (kafka-clients, commons-pool2,
+        # spark-token-provider-kafka-0-10) and pass them via --jars
+
+    tests/test_sources.py::test_kafka_stream_connector_gate activates the
+    real-schema assertion automatically when the connector is present and
+    pins the friendly gate otherwise.
     """
     reader = (
         spark.readStream.format("kafka")
@@ -104,8 +117,10 @@ def kafka_stream(
         msg = str(exc)
         if "Failed to find" in msg and "kafka" in msg.lower():
             raise NotImplementedError(
-                "Kafka connector not on classpath; add it via --jars or "
-                "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<version>"
+                "Kafka connector not on classpath; add it via --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 (match the "
+                "connector version to your Spark version) or pre-fetched "
+                "--jars on offline clusters — recipe in this docstring"
             ) from exc
         raise
 

@@ -121,12 +121,17 @@ SCALE_QUERIES = [
     "q129_quality_report",
     "q130_value_outliers",
     "q134_trend_per_type",
-    # q133 (triangle count) is excluded: the replica construction puts 100x
-    # more users into the SAME (event_type, hour) blocks, so co-occurrence
-    # pairs grow quadratically — a property of this synthetic scaling (real
-    # growth spreads across time), not of the blocked-join plan. q139
-    # (PageRank) shares the same edge builder and is excluded for the same
-    # reason.
+    # q133 (triangle count) and q139 (PageRank) are NOT run against this
+    # dataset: the shared-hour replica construction puts 100x more users
+    # into the SAME (event_type, hour) blocks, so co-occurrence pairs grow
+    # quadratically — synthetic skew, not scale (real growth spreads across
+    # time). They run instead against the GRAPH variant below
+    # (GRAPH_QUERIES), whose replicas are time-shifted so blocks stay
+    # replica-disjoint and the edge list grows linearly.
+    # q131 (BPE training): replica vocabularies are disjoint, so the
+    # pair-count shuffle grows linearly with the corpus while merge rounds
+    # stay driver-coordinated — the measured iterative-training shape.
+    "q131_bpe_learn",
     # round 4 (cont.): sketch / sampling / CDC / index additions. q138
     # (MAD) is excluded BY DESIGN at 100x: exact per-group medians buffer
     # the whole group in the aggregate state (12M values per event_type
@@ -215,6 +220,20 @@ SCALE_QUERIES = [
     "q198_psi",
 ]
 
+# Graph queries measure against a SEPARATE events replica set: each replica
+# keeps the base per-user timelines but is time-shifted by rep·1000 days, so
+# (event_type, hour) co-occurrence blocks are replica-DISJOINT — the graph
+# becomes N disjoint copies of the base graph (edges grow linearly), which is
+# what organic growth looks like (new users co-occur with their contemporaries,
+# not with all of history). Shared-hour replication would instead densify
+# every block 100x (quadratic pairs — synthetic skew the degree-ordered
+# orientation is not meant to absorb; the hub property is unit-tested in
+# tests/test_graph.py).
+GRAPH_QUERIES = [
+    "q133_triangle_count",
+    "q139_pagerank",
+]
+
 
 def _replicate(df, n, offsets):
     rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
@@ -296,6 +315,31 @@ def build(spark, n: int) -> str:
     return out
 
 
+def build_graph(spark, n: int) -> str:
+    """Graph-variant events replica set (see GRAPH_QUERIES): user ids offset
+    AND timestamps shifted by rep·1000 days per replica, so co-occurrence
+    blocks are replica-disjoint and the co-occurrence graph is n disjoint
+    copies of the base graph. Only events.parquet is written — q133/q139
+    read nothing else."""
+    out = f"/tmp/es_scale{n}_graph"
+    marker = os.path.join(out, "_BUILT_v1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    shifted = (
+        ev.select("*", rep)
+        .withColumn("event_id", col("event_id") + col("rep").cast("long") * OFF_EVENT)
+        .withColumn("user_id", col("user_id") + col("rep").cast("long") * OFF_USER)
+        .withColumn("ts", F.timestamp_add("HOUR", col("rep") * 24_000, col("ts")))
+        .drop("rep")
+    )
+    shifted.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    open(marker, "w").close()
+    return out
+
+
 def _run(queries, name, spark, sf_dir) -> float:
     runs = []
     for _ in range(2):
@@ -314,10 +358,15 @@ def main() -> None:
     selected = [
         q for q in SCALE_QUERIES if not wanted or any(w in q for w in wanted)
     ]
+    g_selected = [
+        q for q in GRAPH_QUERIES if not wanted or any(w in q for w in wanted)
+    ]
+    g_scaled = build_graph(spark, n) if g_selected else None
     base_t, scaled_t, ratio = {}, {}, {}
-    for name in selected:
+    for name in selected + g_selected:
+        sdir = g_scaled if name in g_selected else scaled
         base_t[name] = _run(queries, name, spark, BASE)
-        scaled_t[name] = _run(queries, name, spark, scaled)
+        scaled_t[name] = _run(queries, name, spark, sdir)
         ratio[name] = round(scaled_t[name] / max(base_t[name], 1e-9), 1)
     print(
         json.dumps(

@@ -137,6 +137,66 @@ def test_stream_read_is_incremental_and_replay_safe(spark, tmp_path):
         client.close()
 
 
+def test_drain_available_now_reaches_end_across_uncommitted_restart(spark, tmp_path):
+    """THE availableNow sharp edge (module docstring): restarting from a
+    checkpoint holding an UNCOMMITTED batch makes the single-batch fallback
+    finish that stale batch only — entries appended after its offsets were
+    captured would need another manual run. drain_available_now must land
+    ALL of them in one call. The uncommitted batch is manufactured exactly
+    as a crash would leave it: offsets/N written, commits/N missing."""
+    import os
+
+    from eventstream_spark.sources.redis_stream import drain_available_now
+
+    with FakeRedisServer() as server:
+        client = RedisStreamClient("127.0.0.1", server.port)
+        ids = _fill(client, n=3)
+        register_rediswire(spark)
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def start():
+            return (
+                spark.readStream.format("rediswire")
+                .option("host", "127.0.0.1")
+                .option("port", str(server.port))
+                .option("stream", "EVENTS")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        q.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == 3
+
+        # crash simulation: batch 0's offsets exist but its commit is gone
+        # (the .crc checksum sidecar must go too, or the local ChecksumFs
+        # fails the commit rewrite as a concurrent-writer rename clash)
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        crc = os.path.join(ckpt, "commits", ".0.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        # ...and MORE entries land after those offsets were captured
+        new_ids = [
+            client.xadd("EVENTS", {"event": "purchase", "value": str(i)})
+            for i in range(2)
+        ]
+
+        # a single plain run would only re-finish batch 0 (the documented
+        # sharp edge); ONE drain call must reach the true end of stream
+        drain_available_now(start, await_secs=120)
+        got = spark.read.parquet(out_dir)
+        assert got.select("message_id").distinct().count() == 5
+        assert {
+            r.message_id for r in got.select("message_id").distinct().collect()
+        } == set(ids) | set(new_ids)
+        client.close()
+
+
 def test_sharded_reader_one_input_partition_per_stream():
     """The 100 TB ingest posture: N streams → N InputPartitions in ONE
     micro-batch, each with its own cursor in the composite offset."""

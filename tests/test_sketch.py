@@ -42,6 +42,35 @@ def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
     assert n_build <= n_candidates < n_all  # superset of matches, real pruning
 
 
+def test_bloom_build_is_distributed_and_bit_identical(spark):
+    """The distributed build (distinct positions -> per-byte BIT_OR fold,
+    <= m/8 rows to the driver regardless of key count) must produce the
+    EXACT bitmap a sequential reference construction does — bit-identity
+    is what guarantees the probe path (and therefore q136's oracle) is
+    untouched by the build-path change. 20k keys exercise the m-growth
+    ladder well past the 2^13 floor; a fact-sized build differs only in
+    the (distributed) position-dedup volume, never in driver transfer."""
+    import hashlib
+
+    keys = list(range(1, 20_001))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = build_bloom_bytes(df, "k")
+
+    positions = {
+        int(hashlib.md5(f"b{s}:{k}".encode()).hexdigest()[:12], 16) % (1 << 20)
+        for k in keys
+        for s in range(3)
+    }
+    m = 8192
+    while m < (1 << 20) and m < 8 * len(positions):
+        m *= 2
+    want = bytearray(m // 8)
+    for p in positions:
+        p %= m
+        want[p // 8] |= 1 << (p % 8)
+    assert got == bytes(want)
+
+
 def test_bloom_filter_is_map_side(spark, sf_dir):
     """The bloom membership test must sit in the probe's scan-side Filter,
     before any Exchange — pruning after the shuffle would defeat it."""

@@ -124,9 +124,18 @@ def test_events_file_stream_yields_envelope(spark, sf_dir, tmp_path):
     assert row.application_name == "app" and row.event is not None
 
 
-def test_kafka_stream_requires_connector(spark):
-    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
-        kafka_stream(spark, "localhost:9092", "events")
+def test_kafka_stream_connector_gate(spark):
+    """Dual-mode: with the connector on the classpath (--packages
+    org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2) the factory must
+    return the standard kafka schema (no broker needed — load() is lazy);
+    without it, the friendly actionable gate, never a raw JVM stack."""
+    try:
+        df = kafka_stream(spark, "localhost:9092", "events")
+    except NotImplementedError as e:
+        assert "spark-sql-kafka-0-10_2.13:4.1.2" in str(e)  # pinned recipe
+    else:
+        assert df.isStreaming
+        assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
 
 
 def test_rate_stream_schema(spark):
