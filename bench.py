@@ -163,6 +163,11 @@ HEADLINE = [
     "q196_budget_waterfill",
     "q197_survival_km",
     "q198_psi",
+    # round 5: corpus-curation additions — the saturation curve shares q126's
+    # vocabulary-bounded shuffle class; the leakage-safe split runs q55's CC
+    # machinery plus one AQE-broadcast label join.
+    "q199_novelty_curve",
+    "q200_leakage_safe_split",
 ]
 
 

@@ -948,7 +948,114 @@ def q155_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q199_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-saturation (novelty) curve: bucket the corpus into 10
+    contiguous doc_id ranges and count, per bucket, the word-3-gram
+    shingles appearing there for the FIRST time, plus the cumulative
+    distinct-shingle count — the diminishing-returns diagnostic behind
+    "is more of this crawl still adding new content?" decisions (the
+    n-gram-novelty analog of scaling-law data curation: when new_shingles
+    flattens, additional ingest from this source is mostly duplication).
+
+    One pass: shingle explode → MIN(doc_id) per shingle (hash agg,
+    vocabulary-bounded shuffle — the same key class as q126's vocab
+    stats) → bucket by the first-seer's decile → 10-row rollup; the
+    cumulative sum is a window over those 10 rows. Bucketing uses exact
+    integer division against max(doc_id) so both engines cut identically.
+
+    Scale: nothing holds per-doc state; the only corpus-wide shuffle is
+    the shingle agg, and its key domain is the shingle vocabulary (grows
+    sublinearly with corpus size — which is exactly what this query
+    measures)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    first = (
+        shingle_table(docs)
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    counts = (
+        first.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.expr("first_doc * 10 div (mx + 1)"), lit(9))
+            .cast("int")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_shingles"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.withColumn("cum_shingles", F.sum("new_shingles").over(w))
+        .select("decile", "new_shingles", "cum_shingles")
+        .orderBy("decile")
+    )
+
+
+def q200_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document is routed to
+    a split by hashing its near-dup CLUSTER representative (the q55
+    connected-component label over the MinHash-LSH pair graph; singletons
+    represent themselves) — so near-duplicate twins can NEVER straddle the
+    split boundary, the contamination mode that silently inflates eval
+    scores when splits hash raw doc ids. Buckets 0-7 train, 8 val, 9 test
+    (hash48 of the representative id, mod 10 — deterministic, so re-runs
+    and incremental ingests route consistently).
+
+    Cluster integrity (every cluster wholly inside one split) is pinned in
+    tests/test_new_ops_properties.py.
+
+    Scale: cc_labels is q55's two-phase union-find contraction (its 100x
+    smoke row); the label table is near-dup-pairs-sized — a tiny fraction
+    of the corpus — so AQE broadcasts the left join and the corpus never
+    shuffles; everything after is one hash aggregate over 3 split rows."""
+    docs = load(spark, sf_dir, "documents")
+    labels = cc_labels(docs)
+    rep = F.coalesce(col("label"), col("doc_id"))
+    bucket = F.pmod(hash48(rep.cast("string")), lit(10))
+    split = (
+        F.when(bucket <= 7, lit("train"))
+        .when(bucket == 8, lit("val"))
+        .otherwise(lit("test"))
+    )
+    return (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 ORACLES = {
+    "q199_novelty_curve": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+b AS (SELECT LEAST(first_doc * 10 // (mx + 1), 9) AS decile
+      FROM first CROSS JOIN mx),
+c AS (SELECT CAST(decile AS INT) AS decile, COUNT(*) AS new_shingles
+      FROM b GROUP BY 1)
+SELECT decile, CAST(new_shingles AS BIGINT) AS new_shingles,
+       CAST(SUM(new_shingles) OVER (ORDER BY decile) AS BIGINT) AS cum_shingles
+FROM c ORDER BY decile
+""",
+    "q200_leakage_safe_split": f"""
+WITH RECURSIVE {_cc_ctes()},
+assigned AS (
+  SELECT d.n_chars, COALESCE(f.label, d.doc_id) AS rep
+  FROM documents d LEFT JOIN final f ON f.node = d.doc_id),
+b AS (SELECT n_chars,
+             {hash48_sql("CAST(rep AS VARCHAR)")} % 10 AS bucket
+      FROM assigned)
+SELECT CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1 ORDER BY 1
+""",
     "q155_fuzzy_blocked_match": """
 WITH pairs AS (
   SELECT a.p_brand AS brand, levenshtein(a.p_name, b.p_name) AS d
@@ -1047,6 +1154,8 @@ ORDER BY 1, 2
 }
 
 QUERIES = {
+    "q199_novelty_curve": q199_novelty_curve,
+    "q200_leakage_safe_split": q200_leakage_safe_split,
     "q155_fuzzy_blocked_match": q155_fuzzy_blocked_match,
     "q141_cdc_chunk_dedup": q141_cdc_chunk_dedup,
     "q40_dedup_exact": q40_dedup_exact,

@@ -33,16 +33,49 @@ from ..catalog import EVENTS_RAW_SCHEMA, fix_nanos_ts
 from ..sources.stream import file_stream
 
 
-def _events_stream_dir(sf_dir: str) -> str:
-    """The Spark file source tails directories; the fixture is one file.
-    Symlink it into a per-sf temp directory (read-only fixture untouched)."""
+def _link_table(sf_dir: str, table: str, prefix: str) -> str:
+    """Stage ``sf_dir/<table>.parquet`` into a landing directory the file
+    source can tail (read-only fixture untouched). A single-file fixture
+    symlinks as one file; a Spark-WRITTEN dataset (a directory of part
+    files, e.g. the 100x scale replicas) symlinks each part file FLAT into
+    the landing dir — which is also what a real landing zone looks like,
+    and what gives maxFilesPerTrigger real batches to bound."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
     tag = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"es_stream_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # prune symlinks whose target was rewritten/removed (a rebuilt scale
+    # dataset leaves stale part-file names behind otherwise)
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        if os.path.islink(p) and not os.path.exists(p):
+            os.unlink(p)
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                link = os.path.join(d, f"{table}-{f}")
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(d, f"{table}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
+
+
+def _max_files() -> int | None:
+    """Optional micro-batch size bound for the file-stream queries
+    (``SPARK_GRAFT_STREAM_MAX_FILES``): unset → drain in as few batches as
+    the source plans (the oracle-gate default); set → each micro-batch
+    reads at most N files, the catch-up knob a backlogged landing zone
+    needs (used by scripts/scale_smoke.py's streaming rows so the 100x
+    drain runs as a sequence of bounded batches, not one giant one)."""
+    v = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    return int(v) if v else None
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _link_table(sf_dir, "events", "es_stream")
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,8 +84,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return fix_nanos_ts(
-        file_stream(spark, _events_stream_dir(sf_dir), EVENTS_RAW_SCHEMA)
+        file_stream(
+            spark,
+            _events_stream_dir(sf_dir),
+            EVENTS_RAW_SCHEMA,
+            max_files_per_trigger=_max_files(),
+        )
     )
+
+
+#: Progress of the most recent _run_to_table drain: n_batches, input rows,
+#: and the peak stateful-operator row count — the numbers a capacity plan
+#: needs (scripts/scale_smoke.py records them at 100x).
+LAST_RUN_INFO: dict = {}
 
 
 def _run_to_table(agg: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
@@ -68,7 +112,22 @@ def _run_to_table(agg: DataFrame, spark: SparkSession, mode: str = "complete") -
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
+    progs = q.recentProgress or []
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(
+        {
+            "n_batches": len(progs),
+            "input_rows": sum(int(p.numInputRows or 0) for p in progs),
+            "state_rows_peak": max(
+                (
+                    sum(int(so.numRowsTotal or 0) for so in (p.stateOperators or []))
+                    for p in progs
+                ),
+                default=0,
+            ),
+        }
+    )
     return spark.table(name)
 
 
@@ -86,14 +145,9 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_chars", LongType()),
         ]
     )
-    tag = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"es_docstream_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    d = _link_table(sf_dir, "documents", "es_docstream")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return file_stream(spark, d, schema)
+    return file_stream(spark, d, schema, max_files_per_trigger=_max_files())
 
 
 def q128_stream_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,14 +233,9 @@ def q132_stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("label", IntegerType()),
         ]
     )
-    tag = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"es_vecstream_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "embeddings.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    d = _link_table(sf_dir, "embeddings", "es_vecstream")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    emb = file_stream(spark, d, schema)
+    emb = file_stream(spark, d, schema, max_files_per_trigger=_max_files())
 
     planes = plane_weights()
     v = as_double_array(col("embedding"))

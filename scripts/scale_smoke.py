@@ -234,6 +234,19 @@ GRAPH_QUERIES = [
     "q139_pagerank",
 ]
 
+# Streaming (availableNow file-source) pipelines, drained at 100x with
+# maxFilesPerTrigger bounding each micro-batch (SPARK_GRAFT_STREAM_MAX_FILES
+# — the catch-up knob a backlogged landing zone needs); per-run micro-batch
+# counts and peak stateful-operator rows are recorded alongside the timings
+# (streaming_queries.LAST_RUN_INFO). State stays bounded by construction:
+# these aggregate into per-source / per-bucket grids, never per-row state.
+STREAM_QUERIES = [
+    "q128_stream_scrub",
+    "q132_stream_vector_ingest",
+    "q135_stream_incremental_dedup",
+]
+_STREAM_MAX_FILES = "4"
+
 
 def _replicate(df, n, offsets):
     rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
@@ -246,8 +259,11 @@ def _replicate(df, n, offsets):
 def build(spark, n: int) -> str:
     out = f"/tmp/es_scale{n}"
     # v2: documents/embeddings now scale with disjoint replicas (the v1
-    # dataset kept them 1x); bumping the marker rebuilds in place.
-    marker = os.path.join(out, "_BUILT_v2")
+    # dataset kept them 1x); v3: documents/embeddings are written as
+    # 16-file datasets (a realistic landing-zone layout — and what gives
+    # the streaming rows' maxFilesPerTrigger real batches to bound).
+    # Bumping the marker rebuilds in place.
+    marker = os.path.join(out, "_BUILT_v3")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -290,7 +306,7 @@ def build(spark, n: int) -> str:
         )
         .drop("rep")
     )
-    wr(docs, "documents")
+    wr(docs.repartition(16, "doc_id"), "documents")
     # embeddings: per-replica ±1 sign mask preserves within-replica cosine
     # bit-exactly and decorrelates replicas (see module docstring).
     emb = (
@@ -308,7 +324,7 @@ def build(spark, n: int) -> str:
         )
         .drop("rep")
     )
-    wr(emb, "embeddings")
+    wr(emb.repartition(16, "vec_id"), "embeddings")
     for t in ("region", "nation", "supplier", "part"):
         wr(rd(t), t)
     open(marker, "w").close()
@@ -361,13 +377,28 @@ def main() -> None:
     g_selected = [
         q for q in GRAPH_QUERIES if not wanted or any(w in q for w in wanted)
     ]
+    s_selected = [
+        q for q in STREAM_QUERIES if not wanted or any(w in q for w in wanted)
+    ]
     g_scaled = build_graph(spark, n) if g_selected else None
-    base_t, scaled_t, ratio = {}, {}, {}
+    base_t, scaled_t, ratio, stream_info = {}, {}, {}, {}
     for name in selected + g_selected:
         sdir = g_scaled if name in g_selected else scaled
         base_t[name] = _run(queries, name, spark, BASE)
         scaled_t[name] = _run(queries, name, spark, sdir)
         ratio[name] = round(scaled_t[name] / max(base_t[name], 1e-9), 1)
+    if s_selected:
+        from eventstream_spark.operators import streaming_queries as sq
+
+        os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = _STREAM_MAX_FILES
+        try:
+            for name in s_selected:
+                base_t[name] = _run(queries, name, spark, BASE)
+                scaled_t[name] = _run(queries, name, spark, scaled)
+                ratio[name] = round(scaled_t[name] / max(base_t[name], 1e-9), 1)
+                stream_info[name] = dict(sq.LAST_RUN_INFO)
+        finally:
+            os.environ.pop("SPARK_GRAFT_STREAM_MAX_FILES", None)
     print(
         json.dumps(
             {
@@ -378,6 +409,7 @@ def main() -> None:
                 "time_ratio": ratio,
                 "base_total": round(sum(base_t.values()), 2),
                 "scaled_total": round(sum(scaled_t.values()), 2),
+                **({"streaming": stream_info} if stream_info else {}),
             }
         )
     )

@@ -238,3 +238,71 @@ def test_waterfill_allocation_is_exact_and_feasible(spark, sf_dir):
     )
     if uncapped_min is not None:
         assert uncapped_min >= capped_max
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark, sf_dir):
+    """q200's invariant: every near-dup cluster lands WHOLLY inside one
+    split (the leakage mode it exists to prevent), totals cover the corpus
+    exactly once, and the split of each doc equals hash48(representative)
+    % 10 recomputed independently in Python (md5 is engine-neutral)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.dedup import (
+        cc_labels,
+        q200_leakage_safe_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rows = q200_leakage_safe_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+
+    labels = {r.node: r.label for r in cc_labels(docs).collect()}
+    doc_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    def split_of(doc_id: int) -> str:
+        rep = labels.get(doc_id, doc_id)
+        b = int(hashlib.md5(str(rep).encode()).hexdigest()[:12], 16) % 10
+        return "train" if b <= 7 else ("val" if b == 8 else "test")
+
+    want = {"train": 0, "val": 0, "test": 0}
+    for d in doc_ids:
+        want[split_of(d)] += 1
+    got = {r.split: r.n_docs for r in rows}
+    for s in want:
+        assert got.get(s, 0) == want[s], s
+
+    # cluster integrity: all members of one label share one split
+    by_label: dict[int, set[str]] = {}
+    for node, label in labels.items():
+        by_label.setdefault(label, set()).add(split_of(node))
+    assert all(len(s) == 1 for s in by_label.values())
+
+
+def test_novelty_curve_is_cumulative_and_complete(spark, sf_dir):
+    """q199's invariants: cum_shingles is the running sum of new_shingles,
+    the final cumulative count equals the corpus's distinct-shingle count,
+    and every decile is within [0, 9]."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.operators.dedup import (
+        q199_novelty_curve,
+        shingle_table,
+    )
+
+    rows = q199_novelty_curve(spark, sf_dir).collect()
+    run = 0
+    for r in rows:
+        assert 0 <= r.decile <= 9
+        run += r.new_shingles
+        assert r.cum_shingles == run
+    distinct = (
+        shingle_table(spread(load(spark, sf_dir, "documents")))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert rows[-1].cum_shingles == distinct
