@@ -218,6 +218,11 @@ SCALE_QUERIES = [
     # buffer like q148 — fine; approx_percentile is the documented swap).
     "q197_survival_km",
     "q198_psi",
+    # round 5: corpus-curation additions. q199's only corpus-wide shuffle is
+    # the shingle first-seer agg (vocabulary-bounded, the q126 key class);
+    # q200 runs q55's CC contraction plus one AQE-broadcast label join.
+    "q199_novelty_curve",
+    "q200_leakage_safe_split",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica
