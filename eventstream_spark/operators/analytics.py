@@ -502,7 +502,7 @@ def cooccurrence_edges(ev: DataFrame) -> DataFrame:
     )
 
 
-def orient_edges_by_degree(edges: DataFrame) -> DataFrame:
+def orient_edges_by_degree(edges: DataFrame, broadcast_degrees: bool = True) -> DataFrame:
     """Orient each undirected edge (u, v) from its lower-(degree, id)
     endpoint to its higher one: columns (a, b, db) with
     (deg(a), a) < (deg(b), b) lexicographically, db = deg(b). The
@@ -514,16 +514,28 @@ def orient_edges_by_degree(edges: DataFrame) -> DataFrame:
     bounds the wedge-join fan-out on hub vertices — a degree-10⁶ hub has
     out-degree ~0 because every neighbor ranks below it, where id
     orientation could give it 10⁶ out-edges and 10¹² wedges.
-    Property-tested on a hub graph in tests/test_graph.py."""
+    Property-tested on a hub graph in tests/test_graph.py.
+
+    The degree table is vertex-class — orders of magnitude smaller than
+    the edge list it annotates (two (x, d) longs per vertex) — so by
+    default both annotation joins BROADCAST it and the orientation rides
+    the edge list without re-shuffling it (this is what reclaimed the
+    3 s the r5 degree-ordering change had cost at sf0.1). On a graph
+    whose vertex set itself exceeds the broadcast budget (billions of
+    vertices), pass ``broadcast_degrees=False`` to fall back to shuffle
+    joins — the arboricity bound on the wedge join is unaffected either
+    way."""
     deg = (
         edges.select(col("u").alias("x"))
         .unionAll(edges.select(col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").alias("d"))
     )
-    e = edges.join(
-        deg.select(col("x").alias("u"), col("d").alias("du")), "u"
-    ).join(deg.select(col("x").alias("v"), col("d").alias("dv")), "v")
+    du = deg.select(col("x").alias("u"), col("d").alias("du"))
+    dv = deg.select(col("x").alias("v"), col("d").alias("dv"))
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    e = edges.join(du, "u").join(dv, "v")
     fwd = F.struct(col("du"), col("u")) < F.struct(col("dv"), col("v"))
     return e.select(
         F.when(fwd, col("u")).otherwise(col("v")).alias("a"),
@@ -540,8 +552,14 @@ def triangle_count_df(edges: DataFrame) -> DataFrame:
     b→c. Each triangle {x, y, z} with rank x < y < z is counted exactly
     once — as the wedge at its LOWEST-ranked vertex x — and the wedge
     count per vertex is C(out-degree, 2), bounded by arboricity instead
-    of hub degree. Returns a 1-row count frame."""
-    o = orient_edges_by_degree(edges)
+    of hub degree. Returns a 1-row count frame.
+
+    The oriented list is persisted: three plan legs read it (both wedge
+    sides + the closing probe), and without the persist each leg would
+    redo the degree aggregation + annotation joins."""
+    from ..cache import persist_tracked
+
+    o = persist_tracked(orient_edges_by_degree(edges))
     o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
     wedges = o1.join(
         o2,

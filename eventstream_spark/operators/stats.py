@@ -1228,11 +1228,25 @@ def q194_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cycle (an observed failure mode). Within one session the name is
     # stable, so re-runs still hit the drop-and-rewrite path below.
     app = "".join(c if c.isalnum() else "_" for c in spark.sparkContext.applicationId)
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir) + "_" + app
+    sftag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    tag = sftag + "_" + app
     to, tc = f"t_orders_bk{tag}", f"t_cust_bk{tag}"
     # A fresh session can find the managed location on disk without the
     # table in its catalog (saveAsTable then refuses the name) — drop both.
+    # Also age out PRIOR sessions' tables for this sf_dir (their app id
+    # differs, so nothing else ever drops them and warehouse data would
+    # accumulate unboundedly across runs). A table whose suffix is a
+    # DIFFERENT app id belongs to a dead session — a live concurrent suite
+    # is the one race this could lose, and losing it only costs that suite
+    # a rewrite of its own layout, never wrong results (its query re-writes
+    # the tables before reading them).
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            for pref in (f"t_orders_bk{sftag}_", f"t_cust_bk{sftag}_"):
+                if d.startswith(pref) and d != pref + app:
+                    spark.sql(f"DROP TABLE IF EXISTS {d}")
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
     for t in (to, tc):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)

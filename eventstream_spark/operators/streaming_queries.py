@@ -49,18 +49,27 @@ def _link_table(sf_dir: str, table: str, prefix: str) -> str:
     for f in os.listdir(d):
         p = os.path.join(d, f)
         if os.path.islink(p) and not os.path.exists(p):
-            os.unlink(p)
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass  # a concurrent session pruned it first
     if os.path.isdir(src):
         for f in sorted(os.listdir(src)):
             if f.endswith(".parquet"):
-                link = os.path.join(d, f"{table}-{f}")
-                if not os.path.exists(link):
-                    os.symlink(os.path.join(src, f), link)
+                _symlink_idempotent(os.path.join(src, f), os.path.join(d, f"{table}-{f}"))
     else:
-        link = os.path.join(d, f"{table}.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        _symlink_idempotent(src, os.path.join(d, f"{table}.parquet"))
     return d
+
+
+def _symlink_idempotent(src: str, link: str) -> None:
+    # Two concurrent sessions share one landing dir per sf_dir; both can
+    # pass an exists() check before either links (TOCTOU). Either winner
+    # produces the identical link, so losing the race is success.
+    try:
+        os.symlink(src, link)
+    except FileExistsError:
+        pass
 
 
 def _max_files() -> int | None:
@@ -69,9 +78,27 @@ def _max_files() -> int | None:
     the source plans (the oracle-gate default); set → each micro-batch
     reads at most N files, the catch-up knob a backlogged landing zone
     needs (used by scripts/scale_smoke.py's streaming rows so the 100x
-    drain runs as a sequence of bounded batches, not one giant one)."""
+    drain runs as a sequence of bounded batches, not one giant one).
+
+    Spark rejects maxFilesPerTrigger < 1 at stream start, so '0' or a
+    non-integer here would fail every stream query at plan time for a
+    config typo — treat both as unset (with a warning) instead."""
     v = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
-    return int(v) if v else None
+    if not v:
+        return None
+    try:
+        n = int(v)
+    except ValueError:
+        n = 0
+    if n < 1:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_STREAM_MAX_FILES={v!r} is not an integer >= 1; "
+            "ignoring (micro-batch size unbounded)"
+        )
+        return None
+    return n
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -104,6 +131,11 @@ def _run_to_table(agg: DataFrame, spark: SparkSession, mode: str = "complete") -
     table and return it as a batch DataFrame."""
     name = "s" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="es_ckpt_")
+    # recentProgress is capped at numRecentProgressUpdates entries (default
+    # 100); a many-file landing zone with a small maxFilesPerTrigger drains
+    # in more micro-batches than that and LAST_RUN_INFO would silently
+    # undercount. Raise the cap well past any drain this harness runs.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -113,6 +145,12 @@ def _run_to_table(agg: DataFrame, spark: SparkSession, mode: str = "complete") -
         .start()
     )
     q.awaitTermination(600)
+    if q.isActive:
+        # availableNow should have terminated; on a pathologically slow
+        # host a partial in-memory table must not masquerade as the full
+        # drain inside oracle gates / SCALE_SMOKE timings.
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 600s")
     progs = q.recentProgress or []
     LAST_RUN_INFO.clear()
     LAST_RUN_INFO.update(
