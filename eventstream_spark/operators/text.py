@@ -1211,7 +1211,216 @@ FROM perq
 """
 
 
+# --- q201: literal-weight quality classifier ---------------------------------
+
+_CLF_DIM = 4096  # hashed n-gram feature space (hashing trick)
+_CLF_BIAS_MICRO = -50_000  # intercept, micro-logits
+
+#: DCLM/FineWeb-class linear quality model with LITERAL weights: a tiny
+#: fastText-style logistic regression over hashed token uni+bigrams, shipped
+#: as micro-logit literals (the weights a real pipeline would train offline
+#: and broadcast). Stopword-bearing grams vote clean; repetition grams
+#: ("x x" bigrams, filler tokens) vote spam — the dominant low-quality
+#: signature in crawled corpora.
+_CLF_WEIGHTS_MICRO = {
+    "the": 400_000,
+    "a": 250_000,
+    "data": 120_000,
+    "customer": 80_000,
+    "the table": 150_000,
+    "dup": -450_000,
+    "dup dup": -800_000,
+    "slow slow": -600_000,
+    "value value": -600_000,
+    "spark spark": -600_000,
+    "table table": -600_000,
+    "key key": -600_000,
+    "a a": -350_000,
+    "the the": -350_000,
+}
+
+
+def _clf_bucket_weights() -> dict[int, int]:
+    """bucket -> summed micro-weight under the SAME 48-bit md5 hash both
+    engines use (hash48 % _CLF_DIM); colliding model grams sum, exactly as
+    the hashing trick prescribes."""
+    import hashlib
+
+    out: dict[int, int] = {}
+    for gram, w in _CLF_WEIGHTS_MICRO.items():
+        b = int(hashlib.md5(gram.encode()).hexdigest()[:12], 16) % _CLF_DIM
+        out[b] = out.get(b, 0) + w
+    return out
+
+
+def _clf_grams_expr() -> str:
+    """Spark SQL: uni+bigram array over token array ``w``."""
+    return (
+        "concat(w, zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " slice(w, 2, greatest(size(w) - 1, 0)),"
+        " (x, y) -> concat(x, ' ', y)))"
+    )
+
+
+def classifier_logit_micro() -> Column:
+    """Per-document micro-logit of the literal-weight classifier over a
+    token-array column ``w``: bias + floor(dot(counts, weights)/n_grams).
+    The dot product is an exact integer fold (micro-weights × occurrence),
+    and the single division happens on exact doubles < 2^53 — the score is
+    engine-exact, never a float accumulation. Pure map-side expression:
+    zero shuffle, whole-stage codegen, no UDF."""
+    h = "CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % " + str(_CLF_DIM)
+    arms = " ".join(
+        f"WHEN {b} THEN {w}L" for b, w in sorted(_clf_bucket_weights().items())
+    )
+    case = f"CASE ({h}) {arms} ELSE 0L END"
+    grams = _clf_grams_expr()
+    return F.expr(
+        f"{_CLF_BIAS_MICRO}L + CAST(FLOOR(CAST("
+        f"aggregate({grams}, 0L, (acc, g) -> acc + {case})"
+        f" AS DOUBLE) / size({grams})) AS BIGINT)"
+    )
+
+
+def q201_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the DCLM/FineWeb-class filter): a
+    literal-weight logistic regression over hashed token uni+bigrams scores
+    every document map-side; docs with negative logit are the spam class.
+    Complements q31 (hand-tuned heuristic) and q148 (corpus-calibrated
+    percentile filter) — this is the third rung, a TRAINED model applied at
+    ingest, which is how production pipelines (CCNet, DCLM, FineWeb-Edu)
+    actually gate a crawl.
+
+    Determinism: weights are micro-logit literals; the gram dot product is
+    an exact integer fold over hashed buckets (hashing trick, hash48 %
+    4096), so both engines agree bit-for-bit before the one rounded output
+    division.
+
+    Scale: pure per-row expression — no explode, no join, no shuffle until
+    the final per-source rollup (partial-agg combines map-side). At 100 TB
+    a bigger model rides along as a broadcast map instead of a CASE; the
+    plan shape is unchanged."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", "source", tokens("text").alias("w")
+    ).select("doc_id", "source", classifier_logit_micro().alias("lm"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((col("lm") < 0).cast("long")).alias("n_spam"),
+            F.round(F.sum("lm").cast("double") / F.count("*") / lit(1e6), 4).alias(
+                "avg_logit"
+            ),
+            F.round(F.min("lm") / lit(1e6), 4).alias("min_logit"),
+        )
+        .orderBy("source")
+    )
+
+
+def _clf_score_sql() -> str:
+    h = f"CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % {_CLF_DIM}"
+    arms = " ".join(
+        f"WHEN {b} THEN {w}" for b, w in sorted(_clf_bucket_weights().items())
+    )
+    case = f"CASE ({h}) {arms} ELSE 0 END"
+    grams = (
+        "flatten([w, list_transform(range(1, len(w)),"
+        " i -> w[i] || ' ' || w[i + 1])])"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+g AS (SELECT doc_id, source, {grams} AS grams FROM tok),
+dotp AS (
+  SELECT doc_id, source, len(grams) AS n_grams,
+         COALESCE(CAST(list_sum(list_transform(grams, g -> {case})) AS BIGINT), 0)
+           AS dot
+  FROM g),
+scored AS (
+  SELECT doc_id, source,
+         {_CLF_BIAS_MICRO} + CAST(FLOOR(CAST(dot AS DOUBLE) / n_grams) AS BIGINT)
+           AS lm
+  FROM dotp)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spam,
+       ROUND(CAST(SUM(lm) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_logit,
+       ROUND(MIN(lm) / 1e6, 4) AS min_logit
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q202: deterministic epoch shuffle ---------------------------------------
+
+_EPOCHS = (0, 1)
+_EPOCH_SHARDS = 8
+
+
+def q202_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch reshuffle for training export: every epoch
+    permutes the corpus differently, yet any epoch is reproducible forever —
+    order key = hash48(epoch ':' doc_id), shard = key % n_shards. This is
+    the layout step between q82's token packing and q106's partitioned
+    write: each (epoch, shard) group is one output file, written in hash
+    order, so a training job streams shard files sequentially and sees an
+    epoch-specific order without ever materializing a global sort.
+
+    The result proves the order, not just membership: ``order_sum`` is the
+    position-weighted checksum SUM(pos * (doc_id + 1)) inside each shard —
+    any transposition changes it — and ``head_doc`` pins the first element.
+    A property test (tests/test_text_ops.py) asserts epoch 0 and epoch 1
+    produce different permutations while each remains a full permutation of
+    the corpus.
+
+    Scale: the hash key is map-side; the only shuffle is the partition-by-
+    shard ordering — exactly the physical exchange the epoch's file write
+    needs anyway, so the operator costs nothing beyond the write it plans.
+    Shard count scales with corpus size (files of ~target HDFS block size);
+    the per-shard window sort is the per-file writer sort."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(F.array(*[lit(e) for e in _EPOCHS])).alias("epoch")
+    )
+    k = hash48(
+        F.concat_ws(":", col("epoch").cast("string"), col("doc_id").cast("string"))
+    )
+    d = d.select("epoch", "doc_id", k.alias("k"), (k % _EPOCH_SHARDS).alias("shard"))
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    r = d.select("epoch", "shard", "doc_id", F.row_number().over(w).alias("pos"))
+    return (
+        r.groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(col("pos").cast("long") * (col("doc_id") + 1)).alias("order_sum"),
+            F.min(F.when(col("pos") == 1, col("doc_id"))).alias("head_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH e AS (
+  SELECT doc_id, epoch
+  FROM documents CROSS JOIN (VALUES (0), (1)) AS ep(epoch)),
+k AS (
+  SELECT epoch, doc_id,
+         {hash48_sql("CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+           AS k
+  FROM e),
+r AS (
+  SELECT epoch, k % {_EPOCH_SHARDS} AS shard, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY epoch, k % {_EPOCH_SHARDS} ORDER BY k, doc_id) AS pos
+  FROM k)
+SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos * (doc_id + 1)) AS BIGINT) AS order_sum,
+       MIN(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ORACLES = {
+    "q201_classifier_score": _clf_score_sql(),
+    "q202_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "q158_bm25_topk": _BM25_SQL,
     "q173_ir_eval": _IR_EVAL_SQL,
     "q162_bpe_encode": _bpe_encode_sql(),
@@ -1458,6 +1667,8 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 }
 
 QUERIES = {
+    "q201_classifier_score": q201_classifier_score,
+    "q202_epoch_shuffle": q202_epoch_shuffle,
     "q158_bm25_topk": q158_bm25_topk,
     "q173_ir_eval": q173_ir_eval,
     "q117_doc_chunking": q117_doc_chunking,

@@ -168,3 +168,47 @@ def test_source_drift_kl_nonnegative(spark, sf_dir):
     assert rows  # fixture has sources
     for r in rows:
         assert r.kl_nats >= -1e-4, r
+
+
+def test_classifier_spam_scores_below_clean(spark):
+    """q201's literal-weight model must rank an injected known-spammy doc
+    (pure filler repetition) below a known-clean one (stopword-bearing
+    prose), and flag only the spammy one negative."""
+    from eventstream_spark.functions import tokens
+    from eventstream_spark.operators.text import classifier_logit_micro
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="dup dup dup dup dup dup dup dup dup dup"),
+            Row(doc_id=2, text="the customer data joins the table and the query is fast"),
+        ]
+    )
+    out = {
+        r.doc_id: r.lm
+        for r in df.select(
+            "doc_id", tokens("text").alias("w")
+        ).select("doc_id", classifier_logit_micro().alias("lm")).collect()
+    }
+    assert out[1] < out[2], out
+    assert out[1] < 0 <= out[2], out
+
+
+def test_epoch_shuffle_distinct_reproducible_permutations(spark, sf_dir):
+    """Each epoch is a full permutation of the corpus; epoch 0 and epoch 1
+    order differently; re-running reproduces the identical layout."""
+    from eventstream_spark.operators.text import q202_epoch_shuffle
+
+    rows = q202_epoch_shuffle(spark, sf_dir).collect()
+    again = q202_epoch_shuffle(spark, sf_dir).collect()
+    assert rows == again  # reproducible forever
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    by_epoch = {}
+    for r in rows:
+        e = by_epoch.setdefault(r.epoch, {"n": 0, "sums": []})
+        e["n"] += r.n_docs
+        e["sums"].append((r.shard, r.order_sum, r.head_doc))
+    assert set(by_epoch) == {0, 1}
+    for e in by_epoch.values():
+        assert e["n"] == n_docs  # a permutation loses nothing
+    # different epochs -> different shard layout/order
+    assert by_epoch[0]["sums"] != by_epoch[1]["sums"]
