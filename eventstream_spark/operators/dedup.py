@@ -39,7 +39,7 @@ from ..functions import (
     tokens,
     tokens_sql,
 )
-from .similarity import lsh_bucket_bits_sql, lsh_bucketed, plane_weights
+from .similarity import lsh_bucketed, lsh_sig_cte_sql
 
 # Fixed MinHash permutation parameters: h' = (a*h + b) mod P over the 48-bit
 # shingle hash. a < 2^14 keeps a*h inside int64. 16 hashes → 8 bands of 2.
@@ -603,8 +603,9 @@ def embedding_neardup_bucketed(
     100× scale smoke, where the 6-plane form's pair count grows ~100×
     per bucket (the pigeonhole, not a plan defect).
     """
-    planes = None if n_planes is None else plane_weights(n_planes)
-    b = persist_tracked(lsh_bucketed(emb, planes))
+    from .similarity import _N_PLANES
+
+    b = persist_tracked(lsh_bucketed(emb, n_planes or _N_PLANES))
     a = b.alias("a")
     c = b.alias("c")
     cos = dot(col("a.v"), col("c.v")) / F.sqrt(col("a.nsq") * col("c.nsq"))
@@ -1134,20 +1135,18 @@ GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1
     "q58_dedup_keep": _dedup_keep_sql(),
     "q43_simhash": _simhash_sql(),
     "q44_embedding_neardup": f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-b AS (SELECT vec_id, v, CAST({lsh_bucket_bits_sql('v')} AS BIGINT) AS bucket FROM e)
+WITH {lsh_sig_cte_sql()}
 SELECT a.vec_id AS d1, c.vec_id AS d2,
        ROUND({cosine_sql('a.v', 'c.v')}, 4) AS cos
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+FROM s a JOIN s c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ROUND({cosine_sql('a.v', 'c.v')}, 4) >= 0.4
 ORDER BY 1, 2
 """,
     "q44b_embedding_neardup_scaled": f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-b AS (SELECT vec_id, v, CAST({lsh_bucket_bits_sql('v', 12)} AS BIGINT) AS bucket FROM e)
+WITH {lsh_sig_cte_sql(12)}
 SELECT a.vec_id AS d1, c.vec_id AS d2,
        ROUND({cosine_sql('a.v', 'c.v')}, 4) AS cos
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+FROM s a JOIN s c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ROUND({cosine_sql('a.v', 'c.v')}, 4) >= 0.4
 ORDER BY 1, 2
 """,

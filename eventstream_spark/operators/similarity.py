@@ -39,7 +39,6 @@ from ..functions import (
     sq_l2_sql,
 )
 
-_DIM = 64
 _N_PLANES = 6  # 2^6 = 64 buckets
 
 
@@ -48,8 +47,22 @@ def _h48_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
 
 
-def plane_weights(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim."""
+def embedding_dim(emb: DataFrame) -> int:
+    """Data-derived embedding dimensionality: a one-row driver read at
+    plan-build time (bounded, like the IVF/PQ seed collects). Every plane /
+    projection / codebook literal sizes itself from THIS, never from a
+    fixture constant — a mirrored dim literal lets both engines agree on
+    the fixture by construction while silently breaking on any other
+    corpus (the q186 bug class; the whole embedding family had it until
+    the round-6 re-seeded fixture run surfaced it)."""
+    return int(emb.select(F.size("embedding")).head()[0])
+
+
+def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim. ``dim``
+    must come from :func:`embedding_dim` (data-derived), not a constant;
+    the md5 formula here is mirrored verbatim by ``planes_cte_sql`` so the
+    duckdb oracle rebuilds the identical matrix in-engine."""
     return [
         [(_h48_py(f"p{j}_{d}") % 2001 - 1000) / 1000.0 for d in range(dim)]
         for j in range(n_planes)
@@ -71,8 +84,38 @@ def auto_planes(n_rows: int, target_occupancy: int = 8) -> int:
     return min(48, max(1, math.ceil(math.log2(n_rows / target_occupancy))))
 
 
-def _plane_sql_literal(w: list[float]) -> str:
-    return "[" + ", ".join(repr(x) for x in w) + "]"
+def planes_cte_sql(n_planes: int) -> str:
+    """duckdb CTEs (``dims``, ``planes``) building the SAME deterministic
+    hyperplane matrix as :func:`plane_weights`, with the dimensionality
+    DERIVED IN SQL from the data (len(embedding) — constant across the
+    table). Weight values are bit-identical to the Python/Spark side:
+    48-bit md5 ints are exact doubles and /1000.0 rounds identically."""
+    return f"""dims AS (SELECT len(embedding) AS nd FROM embeddings LIMIT 1),
+planes AS (
+  SELECT j, list((CAST('0x' || substr(md5('p' || j || '_' || d), 1, 12)
+                       AS BIGINT) % 2001 - 1000) / 1000.0 ORDER BY d) AS w
+  FROM (SELECT tj.j, unnest(range(0, nd)) AS d
+        FROM range(0, {n_planes}) tj(j), dims)
+  GROUP BY j)"""
+
+
+def lsh_sig_cte_sql(n_planes: int = _N_PLANES) -> str:
+    """CTE chain ending in ``s(vec_id, v, bucket)`` — the duckdb twin of
+    :func:`lsh_bucketed` (planes data-derived via ``planes_cte_sql``).
+    Also leaves ``proj(vec_id, j, pd)`` in scope for multi-probe oracles.
+    Shared by the q52/q163/q114 oracles here, the q44/q44b oracles in
+    dedup.py, and the q132 streaming-ingest oracle."""
+    from ..functions import as_double_array_sql as _ad, dot_sql as _dot
+
+    return f"""{planes_cte_sql(n_planes)},
+e AS (SELECT vec_id, {_ad('embedding')} AS v FROM embeddings),
+proj AS (SELECT vec_id, j, {_dot('v', 'w')} AS pd FROM e, planes),
+bk AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pd >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id),
+s AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))"""
 
 
 # --- exact k-NN ------------------------------------------------------------
@@ -129,11 +172,12 @@ def q51_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- hyperplane-LSH ANN ----------------------------------------------------
 
-def lsh_bucketed(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
+def lsh_bucketed(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
     """(vec_id, v, bucket) — map-side signature. Plane weights ride as ONE
     2-D literal + transform (same small-expression-tree trick as
-    _centroid_dists — identical projections, cheaper codegen)."""
-    planes = planes or plane_weights()
+    _centroid_dists — identical projections, cheaper codegen); their width
+    is the data-derived dim, never a fixture constant."""
+    planes = plane_weights(n_planes, embedding_dim(emb))
     e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
     pmat = matrix_literal(planes)
     powers = F.array(*[lit(1 << j) for j in range(len(planes))])
@@ -198,9 +242,7 @@ def q163_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mutual_ann(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
-    b = persist_tracked(
-        lsh_bucketed(emb, plane_weights(n_planes) if n_planes else None)
-    )
+    b = persist_tracked(lsh_bucketed(emb, n_planes or _N_PLANES))
     a = b.where(col("vec_id") % 2 == 0).alias("a")
     c = b.where(col("vec_id") % 2 == 1).alias("c")
     cand = a.join(c, col("a.bucket") == col("c.bucket")).select(
@@ -252,7 +294,7 @@ def q171_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(emb).select(
         col("vec_id"), as_double_array(col("embedding")).alias("v")
     )
-    pmat = matrix_literal(plane_weights(_JL_K))
+    pmat = matrix_literal(plane_weights(_JL_K, embedding_dim(emb)))
     p = e.withColumn(
         "pv", F.transform(pmat, lambda w: dot(col("v"), w) * lit(_JL_INV))
     )
@@ -292,7 +334,7 @@ def lsh_multiprobe_ann(emb: DataFrame, k: int = 3, n_planes: int | None = None) 
     ``n_planes`` is the same bucket-occupancy knob as q44/q44b: bits must
     grow with log2(N) for constant per-bucket pair counts; the default 6 is
     the small-corpus oracle-parity form, q114b pins the grown-bits form."""
-    planes = plane_weights(n_planes) if n_planes is not None else plane_weights()
+    planes = plane_weights(n_planes or _N_PLANES, embedding_dim(emb))
     n = len(planes)
     e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
     pmat = matrix_literal(planes)
@@ -455,16 +497,16 @@ def q53_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- product quantization (PQ) ANN ----------------------------------------
 
 _PQ_M = 8  # subspaces
-_PQ_DSUB = _DIM // _PQ_M  # dims per subspace
 _PQ_K = 16  # codes per subspace
 
 
-def pq_seed_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+def pq_seed_codebooks(emb: DataFrame, dsub: int) -> list[list[list[float]]]:
     """codebooks[m][k] = subvector m of seed vector k. Seeds are the
     ``_PQ_K`` lowest vec_ids (ordered LIMIT — no dense-id assumption) —
     deterministic (no k-means training) so the duckdb oracle reproduces the
     exact codebooks; training better codebooks changes recall, not the
-    plan. Collecting them is K × dim doubles — trivial."""
+    plan. ``dsub`` = data-derived dim // _PQ_M (never a fixture constant).
+    Collecting them is K × dim doubles — trivial."""
     seeds = (
         emb.orderBy("vec_id")
         .limit(_PQ_K)
@@ -473,12 +515,14 @@ def pq_seed_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     )
     seeds = sorted(seeds, key=lambda r: r.vec_id)
     return [
-        [list(r.v[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]) for r in seeds]
+        [list(r.v[m * dsub : (m + 1) * dsub]) for r in seeds]
         for m in range(_PQ_M)
     ]
 
 
-def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+def pq_encode(
+    emb: DataFrame, codebooks: list[list[list[float]]], dsub: int
+) -> DataFrame:
     """(vec_id, v, c0..c{M-1}): each vector's per-subspace nearest-codeword
     ids (ties → smaller code). Codebooks ride as literals, so encoding is
     pure map work — the PQ scale property: the corpus compresses to M small
@@ -496,7 +540,7 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
 
     for m, cb in enumerate(codebooks):
         cmat = matrix_literal(cb)
-        sub = F.slice(col("v"), m * _PQ_DSUB + 1, _PQ_DSUB)
+        sub = F.slice(col("v"), m * dsub + 1, dsub)
         dists = F.transform(cmat, dist_to(sub))
         best = F.array_min(
             F.zip_with(dists, codes, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
@@ -512,8 +556,9 @@ def pq_ann(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     no per-pair vector math at all. The ADC sum is a fixed left-to-right
     chain over subspaces, mirrored exactly in the oracle, so even the
     approximate ranking is bit-reproducible across engines."""
-    cbs = pq_seed_codebooks(emb)
-    enc = persist_tracked(pq_encode(emb, cbs))
+    dsub = embedding_dim(emb) // _PQ_M
+    cbs = pq_seed_codebooks(emb, dsub)
+    enc = persist_tracked(pq_encode(emb, cbs, dsub))
     q = enc.where(query_pred).select(col("vec_id").alias("q_id"), col("v").alias("qv"))
     def dist_to(sub):
         return lambda cv: sq_l2(sub, cv)
@@ -521,7 +566,7 @@ def pq_ann(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     lut_cols = []
     for m, cb in enumerate(cbs):
         cmat = matrix_literal(cb)
-        qsub = F.slice(col("qv"), m * _PQ_DSUB + 1, _PQ_DSUB)
+        qsub = F.slice(col("qv"), m * dsub + 1, dsub)
         lut_cols.append(F.transform(cmat, dist_to(qsub)).alias(f"lut{m}"))
     qt = q.select("q_id", *lut_cols)
     adc = None
@@ -796,46 +841,22 @@ def q51b_matmul_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracles ---------------------------------------------------------------
 
-def lsh_bucket_bits_sql(vec_expr: str = "v", n_planes: int = _N_PLANES) -> str:
-    """duckdb spelling of the hyperplane-LSH bucket id over ``vec_expr`` —
-    the exact mirror of ``lsh_bucketed``'s signature column, shared by the
-    q52 oracle here and the q44/q44b bucketed near-dup oracles in
-    dedup.py."""
-    planes = plane_weights(n_planes)
-    return " + ".join(
-        f"(CASE WHEN {dot_sql(vec_expr, _plane_sql_literal(w))} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j, w in enumerate(planes)
-    )
-
-
 def _lsh_multiprobe_sql(k: int = 3, n_planes: int | None = None) -> str:
-    """q114 mirror: same plane projections spelled per-column so the flip
-    bit (argmin |margin|, first index on ties) matches the Spark
-    struct-array_min rule exactly."""
-    planes = plane_weights(n_planes) if n_planes is not None else plane_weights()
-    n = len(planes)
-    bits = lsh_bucket_bits_sql("v", n)
-    d_cols = ",\n       ".join(
-        f"{dot_sql('v', _plane_sql_literal(w))} AS d{j}" for j, w in enumerate(planes)
-    )
-    least = "LEAST(" + ", ".join(f"ABS(d{j})" for j in range(n)) + ")"
-    flip_case = (
-        "CASE " + " ".join(f"WHEN ABS(d{j}) = mm THEN {j}" for j in range(n)) + " END"
-    )
+    """q114 mirror: the flip bit is the struct-MIN argmin over (|margin|,
+    j) — duckdb struct comparison is lexicographic, the same
+    smallest-j-on-ties rule as Spark's array_min over (m, j) structs."""
     return f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-b AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket,
-       {d_cols}
-      FROM e),
-m AS (SELECT *, {least} AS mm FROM b),
-pr AS (SELECT vec_id, v, bucket, {flip_case} AS flip FROM m),
+WITH {lsh_sig_cte_sql(n_planes or _N_PLANES)},
+fl AS (SELECT vec_id, MIN({{'m': ABS(pd), 'j': j}})['j'] AS flip
+       FROM proj GROUP BY vec_id),
+pr AS (SELECT s.vec_id, s.v, s.bucket, fl.flip FROM s JOIN fl USING (vec_id)),
 probes AS (
   SELECT vec_id AS q_id, v AS qv, bucket AS probe FROM pr
   UNION ALL
   SELECT vec_id, v, xor(bucket, CAST(1 AS BIGINT) << flip) FROM pr),
 cand AS (
   SELECT p.q_id, c.vec_id AS neighbor_id, {cosine_sql('p.qv', 'c.v')} AS cos_raw
-  FROM probes p JOIN b c ON p.probe = c.bucket AND p.q_id <> c.vec_id),
+  FROM probes p JOIN s c ON p.probe = c.bucket AND p.q_id <> c.vec_id),
 ranked AS (
   SELECT q_id, neighbor_id, cos_raw,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id) AS rank
@@ -846,17 +867,13 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
 
 
 def _random_projection_sql() -> str:
-    planes = plane_weights(_JL_K)
-    proj = (
-        "["
-        + ", ".join(
-            f"{dot_sql('v', _plane_sql_literal(w))} * {_JL_INV!r}" for w in planes
-        )
-        + "]"
-    )
     return f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-p AS (SELECT vec_id, v, {proj} AS pv FROM e),
+WITH {planes_cte_sql(_JL_K)},
+e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+proj AS (SELECT vec_id, j, {dot_sql('v', 'w')} * {_JL_INV!r} AS pd
+         FROM e, planes),
+pv AS (SELECT vec_id, list(pd ORDER BY j) AS pv FROM proj GROUP BY vec_id),
+p AS (SELECT e.vec_id, e.v, pv.pv FROM e JOIN pv USING (vec_id)),
 pairs AS (
   SELECT CAST(ROUND(ABS(sqrt({sq_l2_sql('a.pv', 'b.pv')})
                     - sqrt({sq_l2_sql('a.v', 'b.v')}))
@@ -872,10 +889,8 @@ FROM pairs
 
 
 def _mutual_ann_sql(n_planes: int | None = None) -> str:
-    bits = lsh_bucket_bits_sql("v", n_planes) if n_planes else lsh_bucket_bits_sql("v")
     return f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-s AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM e),
+WITH {lsh_sig_cte_sql(n_planes or _N_PLANES)},
 cand AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          {cosine_sql('a.v', 'b.v')} AS cos_raw
@@ -892,14 +907,12 @@ FROM rk WHERE ra = 1 AND rb = 1 ORDER BY a_id
 
 
 def _lsh_sql(k: int = 3) -> str:
-    bits = lsh_bucket_bits_sql("v")
     return f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
-b AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM e),
+WITH {lsh_sig_cte_sql()},
 cand AS (
   SELECT a.vec_id AS q_id, c.vec_id AS neighbor_id,
          {cosine_sql('a.v', 'c.v')} AS cos_raw
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+  FROM s a JOIN s c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
 ranked AS (
   SELECT q_id, neighbor_id, cos_raw,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id) AS rank
@@ -913,10 +926,12 @@ def _pq_sql(k: int = 5) -> str:
     """q85 mirror. Codeword argmins use MIN over {'d','c'} structs (duckdb
     struct comparison is lexicographic — same order as Spark's array_min
     over (d, c) structs); the ADC sum is the same left-associative + chain
-    as the Spark column expression, so raw distances are bit-identical."""
+    as the Spark column expression, so raw distances are bit-identical.
+    Subspace width ``dsub`` derives in SQL from the data dim (len // M),
+    mirroring pq_ann's embedding_dim-derived slicing."""
 
     def sl(expr: str, m: int) -> str:
-        return f"list_slice({expr}, {m * _PQ_DSUB + 1}, {(m + 1) * _PQ_DSUB})"
+        return f"list_slice({expr}, {m} * dsub + 1, ({m} + 1) * dsub)"
 
     code_aggs = ",\n         ".join(
         f"MIN({{'d': {sq_l2_sql(sl('e.v', m), sl('s.v', m))}, 'c': s.k}})['c'] AS c{m}"
@@ -931,16 +946,17 @@ def _pq_sql(k: int = 5) -> str:
         for m in range(_PQ_M)
     )
     return f"""
-WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+WITH dims AS (SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1),
+e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
 seeds AS (SELECT vec_id AS k, v FROM e ORDER BY vec_id LIMIT {_PQ_K}),
 codes AS (
   SELECT e.vec_id,
          {code_aggs}
-  FROM e, seeds s GROUP BY e.vec_id),
+  FROM e, seeds s, dims GROUP BY e.vec_id),
 luts AS (
   SELECT q.vec_id AS q_id, s.k,
          {lut_cols}
-  FROM e q, seeds s WHERE q.vec_id IN (100, 101, 102)),
+  FROM e q, seeds s, dims WHERE q.vec_id IN (100, 101, 102)),
 qs AS (SELECT DISTINCT q_id FROM luts),
 cand AS (
   SELECT qs.q_id, c.vec_id AS neighbor_id, {adc} AS adc_raw
@@ -1038,7 +1054,7 @@ FROM m LEFT JOIN d USING (cell) ORDER BY cell
     "q59_label_centroids": f"""
 WITH e AS (SELECT label, {as_double_array_sql('embedding')} AS v FROM embeddings)
 SELECT label, i, COUNT(*) AS n_members, ROUND(AVG(v[i]), 4) AS mean_x
-FROM e, UNNEST(range(1, {_DIM + 1})) AS t(i)
+FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
 GROUP BY label, i ORDER BY label, i
 """,
     "q69_doc_vec_join": f"""
@@ -1063,7 +1079,7 @@ a1 AS (
     FROM e, c0) t WHERE rn = 1),
 c1 AS (
   SELECT cell, i, ROUND(AVG(v[i]), 4) AS mean_x
-  FROM a1, UNNEST(range(1, {_DIM + 1})) AS t(i)
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY cell, i),
 c1v AS (SELECT cell, list(mean_x ORDER BY i) AS cv FROM c1 GROUP BY cell),
 a2 AS (
@@ -1073,7 +1089,7 @@ a2 AS (
              ORDER BY {sq_l2_sql('e.v', 'c1v.cv')}, c1v.cell) AS rn
     FROM e, c1v) t WHERE rn = 1)
 SELECT cell, i, COUNT(*) AS n_members, ROUND(AVG(v[i]), 4) AS mean_x
-FROM a2, UNNEST(range(1, {_DIM + 1})) AS t(i)
+FROM a2, UNNEST(range(1, len(v) + 1)) AS t(i)
 GROUP BY cell, i ORDER BY cell, i
 """,
     "q54_kmeans_step": f"""
@@ -1086,7 +1102,7 @@ a AS (
              ORDER BY {sq_l2_sql('e.v', 'c.cv')}, c.cell) AS rn
     FROM e, c) t WHERE rn = 1)
 SELECT cell, i, COUNT(*) AS n_members, ROUND(AVG(v[i]), 4) AS mean_x
-FROM a, UNNEST(range(1, {_DIM + 1})) AS t(i)
+FROM a, UNNEST(range(1, len(v) + 1)) AS t(i)
 GROUP BY cell, i ORDER BY cell, i
 """,
 }

@@ -262,7 +262,7 @@ def q132_stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from ..functions import as_double_array, dot, matrix_literal
-    from .similarity import plane_weights
+    from .similarity import _N_PLANES, embedding_dim, plane_weights
 
     schema = StructType(
         [
@@ -275,7 +275,11 @@ def q132_stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = file_stream(spark, d, schema, max_files_per_trigger=_max_files())
 
-    planes = plane_weights()
+    # Dim derives from a one-row BATCH read of the same landing dir at
+    # plan-build (a stream can't be head()-ed); plane width then matches
+    # whatever corpus is landing, never a fixture constant.
+    dim = embedding_dim(spark.read.schema(schema).parquet(d))
+    planes = plane_weights(_N_PLANES, dim)
     v = as_double_array(col("embedding"))
     pmat = matrix_literal(planes)
     powers = F.array(*[F.lit(1 << j) for j in range(len(planes))])
@@ -520,14 +524,12 @@ FROM scored WHERE q >= 0.5 AND nb = 0 GROUP BY 1 ORDER BY 1
 
 
 def _vector_ingest_oracle_sql() -> str:
-    from ..functions import as_double_array_sql
-    from .similarity import lsh_bucket_bits_sql
+    from .similarity import lsh_sig_cte_sql
 
     return f"""
-WITH e AS (SELECT {as_double_array_sql('embedding')} AS v FROM embeddings)
-SELECT CAST({lsh_bucket_bits_sql('v')} AS BIGINT) AS bucket,
-       COUNT(*) AS n_vectors
-FROM e GROUP BY 1 ORDER BY 1
+WITH {lsh_sig_cte_sql()}
+SELECT bucket, COUNT(*) AS n_vectors
+FROM s GROUP BY 1 ORDER BY 1
 """
 
 

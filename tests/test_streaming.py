@@ -336,3 +336,79 @@ def test_stream_topk_state_spans_batches(spark, sf_dir):
     # final leaderboard cannot come from one micro-batch's rows alone
     chunks = {r.event_id % 4 for r in got}
     assert len(chunks) > 1
+
+
+def test_file_sink_exactly_once_across_doctored_restart(spark, sf_dir, tmp_path):
+    """Sink-side twin of the doctored SOURCE restart test
+    (test_redis_source.test_drain_available_now_reaches_end_across_
+    uncommitted_restart): a crash AFTER the parquet FileStreamSink
+    transaction-logs a micro-batch but BEFORE the checkpoint records its
+    commit forces the engine to REPLAY that batch on restart. The sink's
+    batch-id log (_spark_metadata) must dedupe the replay — the output
+    gains no duplicate rows — and the stream must keep delivering NEW
+    data exactly-once afterwards. The crash is manufactured exactly as
+    the source test does it: commits/N (and its .crc sidecar) deleted,
+    offsets/N left in place."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    land = tmp_path / "land"
+    land.mkdir()
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 40)
+
+    def add_file(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.rename(part, str(land / f"{name}.parquet"))
+
+    for i in range(4):  # 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+        add_file(ev.where(F.col("event_id") % 4 == i), f"c{i}")
+
+    schema = spark.read.parquet(str(land)).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(land))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run()
+    n0 = spark.read.parquet(out).count()
+    assert n0 == 40
+
+    commits = sorted(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    assert commits[-1] >= 1  # genuinely multi-batch
+    os.remove(os.path.join(ckpt, "commits", str(commits[-1])))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    run()  # restart replays the uncommitted batch; sink log must skip it
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n0
+    assert replayed.select("event_id").distinct().count() == n0
+
+    # new data after the recovery still lands exactly once
+    extra = load(spark, sf_dir, "events").where(
+        (F.col("event_id") >= 40) & (F.col("event_id") < 50)
+    )
+    add_file(extra, "c4")
+    run()
+    final = spark.read.parquet(out)
+    assert final.count() == n0 + 10
+    assert final.select("event_id").distinct().count() == n0 + 10
