@@ -168,6 +168,10 @@ HEADLINE = [
     # machinery plus one AQE-broadcast label join.
     "q199_novelty_curve",
     "q200_leakage_safe_split",
+    # round 6: model-based quality scoring (pure map-side) and the
+    # epoch-shuffle export layout (one shard-key exchange).
+    "q201_classifier_score",
+    "q202_epoch_shuffle",
 ]
 
 

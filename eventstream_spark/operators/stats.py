@@ -1235,18 +1235,25 @@ def q194_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table in its catalog (saveAsTable then refuses the name) — drop both.
     # Also age out PRIOR sessions' tables for this sf_dir (their app id
     # differs, so nothing else ever drops them and warehouse data would
-    # accumulate unboundedly across runs). A table whose suffix is a
-    # DIFFERENT app id belongs to a dead session — a live concurrent suite
-    # is the one race this could lose, and losing it only costs that suite
-    # a rewrite of its own layout, never wrong results (its query re-writes
-    # the tables before reading them).
+    # accumulate unboundedly across runs). Only dirs untouched for >1h are
+    # removed: a LIVE concurrent suite's tables are seconds old (q194
+    # writes then immediately joins), so the age guard keeps the
+    # per-app-id isolation the names were introduced for.
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     if os.path.isdir(wh):
+        import time
+
+        cutoff = time.time() - 3600
         for d in os.listdir(wh):
             for pref in (f"t_orders_bk{sftag}_", f"t_cust_bk{sftag}_"):
-                if d.startswith(pref) and d != pref + app:
+                p = os.path.join(wh, d)
+                try:
+                    stale = d.startswith(pref) and d != pref + app and os.path.getmtime(p) < cutoff
+                except OSError:
+                    stale = False  # pruned by a concurrent session already
+                if stale:
                     spark.sql(f"DROP TABLE IF EXISTS {d}")
-                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+                    shutil.rmtree(p, ignore_errors=True)
     for t in (to, tc):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
