@@ -172,6 +172,10 @@ HEADLINE = [
     # epoch-shuffle export layout (one shard-key exchange).
     "q201_classifier_score",
     "q202_epoch_shuffle",
+    # round 6 additions: held-out bigram-LM perplexity gate (two token
+    # shuffles + bigram-key join) and the alpha-mixing dimension rollup.
+    "q203_bigram_backoff_lm",
+    "q204_temperature_mix",
 ]
 
 

@@ -1203,6 +1203,29 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # --- q194: bucketed co-located join ------------------------------------------
 
 _BUCKETS = 16
+_BUCKET_TARGET_BYTES = 32 << 20  # ~32 MB of source parquet per bucket
+
+
+def _bucket_count(sf_dir: str, table: str) -> int:
+    """Size the bucket count from the big side's on-disk bytes: one bucket
+    per ~32 MB of source parquet, floor 16, capped at 1024, rounded up to a
+    power of two (so a later 2x table can still co-join via
+    coalesceBucketsInJoin). A FIXED count is the scale trap the 100x smoke
+    exposed: 16 buckets cap the join read at 16 tasks forever, so the
+    bucketed plan that exists to win at scale loses exactly there."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+    else:
+        total = os.path.getsize(p) if os.path.exists(p) else 0
+    n = _BUCKETS
+    while n < 1024 and total > n * _BUCKET_TARGET_BYTES:
+        n *= 2
+    return n
 
 
 def q194_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,8 +1280,9 @@ def q194_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in (to, tc):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-    write_bucketed(orders.select("o_custkey", "o_totalprice"), to, "o_custkey", _BUCKETS)
-    write_bucketed(cust.select("c_custkey", "c_mktsegment"), tc, "c_custkey", _BUCKETS)
+    nb = _bucket_count(sf_dir, "orders")
+    write_bucketed(orders.select("o_custkey", "o_totalprice"), to, "o_custkey", nb)
+    write_bucketed(cust.select("c_custkey", "c_mktsegment"), tc, "c_custkey", nb)
     ob, cb = read_bucketed(spark, to), read_bucketed(spark, tc)
     return (
         ob.join(cb, ob.o_custkey == cb.c_custkey)

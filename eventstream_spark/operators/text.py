@@ -1418,9 +1418,233 @@ FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- q203: bigram backoff LM perplexity filter -------------------------------
+
+_BG_TRAIN_MOD = 4  # docs with doc_id % 4 == 0 train the LM; everything scores
+_BG_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+_BG_FLAG = -6.0  # docs with mean bigram log-score below this are flagged
+
+
+def bigram_backoff_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram log-score under a stupid-backoff LM trained
+    on a held-in corpus slice (doc_id % 4 == 0) — the CCNet/Wenzek-style
+    perplexity filter: train a small LM on trusted text, score the crawl,
+    and low-likelihood docs are the junk tail. Unlike q125 (unigram over
+    the WHOLE corpus, where every token is by construction in-vocabulary),
+    the held-out split makes backoff and OOV paths real:
+
+        score(w2 | w1) = ln(bc / uc1)                   bigram seen in train
+                       = ln((0.4 * coalesce(uc2, 1)) / T)   else (backoff;
+                                                         OOV w2 counts as 1)
+
+    Determinism: each bigram TYPE's score quantizes to integer micro-units
+    (round(ln * 1e6)), so the per-doc accumulation is an exact integer sum
+    under any fold order; floats reappear only in the final division.
+
+    Scale: LM counts are one (w1, w2) groupBy over the train slice with
+    map-side partial agg; scoring joins per-doc bigram counts to the LM on
+    the well-distributed bigram key. The two unigram legs are vocab-
+    dimension (AQE broadcasts when they fit); the total is a 1-row
+    broadcast. Nothing all-pairs, nothing driver-side.
+
+    Returns (doc_id, source, n_bg, doc_logp) for docs with >= 1 bigram."""
+    w = tokens("text")
+    m = F.greatest(F.size(w) - 1, lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, m),
+        F.slice(w, 2, m),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = docs.select("doc_id", "source", F.explode(pairs).alias("b")).select(
+        "doc_id", "source", col("b.w1").alias("w1"), col("b.w2").alias("w2")
+    )
+    tf = bg.groupBy("doc_id", "source", "w1", "w2").agg(F.count("*").alias("c"))
+    train = docs.where(col("doc_id") % _BG_TRAIN_MOD == 0)
+    uni = (
+        train.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("uc"))
+    )
+    total = uni.agg(F.sum("uc").cast("double").alias("t"))
+    bgc = (
+        bg.where(col("doc_id") % _BG_TRAIN_MOD == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("bc"))
+    )
+    u1 = uni.select(col("term").alias("w1"), col("uc").alias("uc1"))
+    u2 = uni.select(col("term").alias("w2"), col("uc").alias("uc2"))
+    scored = (
+        tf.join(bgc, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            "c",
+            F.round(
+                lit(1e6)
+                * F.when(col("bc").isNotNull(), F.log(col("bc") / col("uc1"))).otherwise(
+                    F.log((lit(_BG_BACKOFF) * F.coalesce(col("uc2"), lit(1))) / col("t"))
+                )
+            )
+            .cast("long")
+            .alias("llmicro"),
+        )
+    )
+    return scored.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_bg"),
+        (F.sum(col("c") * col("llmicro")) / F.sum("c") / lit(1e6)).alias("doc_logp"),
+    )
+
+
+def q203_bigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of the stupid-backoff bigram LM score (see
+    bigram_backoff_logprob): mean/min doc log-score and the count of docs
+    below the junk threshold — the decision table a CCNet-style perplexity
+    gate reads."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = bigram_backoff_logprob(docs)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("doc_logp"), 4).alias("avg_logp"),
+            F.round(F.min("doc_logp"), 4).alias("min_logp"),
+            F.sum((col("doc_logp") < _BG_FLAG).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+bg0 AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w)),
+                               i -> {{'w1': w[i], 'w2': w[i + 1]}})) AS b
+  FROM tok),
+bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+tf AS (SELECT doc_id, source, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3, 4),
+uni AS (
+  SELECT term, COUNT(*) AS uc
+  FROM (SELECT unnest(w) AS term FROM tok WHERE doc_id % {_BG_TRAIN_MOD} = 0)
+  GROUP BY 1),
+tot AS (SELECT CAST(SUM(uc) AS DOUBLE) AS t FROM uni),
+bgc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg
+        WHERE doc_id % {_BG_TRAIN_MOD} = 0 GROUP BY 1, 2),
+sc AS (
+  SELECT f.doc_id, f.source, f.c,
+         CAST(ROUND(1e6 * CASE
+             WHEN b.bc IS NOT NULL THEN ln(b.bc / u1.uc)
+             ELSE ln((CAST({_BG_BACKOFF} AS DOUBLE) * COALESCE(u2.uc, 1)) / t.t)
+           END) AS BIGINT) AS llmicro
+  FROM tf f
+  LEFT JOIN bgc b ON f.w1 = b.w1 AND f.w2 = b.w2
+  LEFT JOIN uni u1 ON f.w1 = u1.term
+  LEFT JOIN uni u2 ON f.w2 = u2.term
+  CROSS JOIN tot t),
+doc AS (
+  SELECT doc_id, source, SUM(c) AS n_bg,
+         SUM(c * llmicro) / SUM(c) / 1e6 AS doc_logp
+  FROM sc GROUP BY 1, 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(doc_logp), 4) AS avg_logp,
+       ROUND(MIN(doc_logp), 4) AS min_logp,
+       CAST(SUM(CASE WHEN doc_logp < {_BG_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM doc GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q204: temperature-scaled source mixing ----------------------------------
+
+_MIX_ALPHA = 0.3  # mT5 / multilingual-T5 sampling temperature
+
+
+def q204_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/XLM-R alpha-sampling rule):
+    source s with p_s of the corpus tokens trains with weight
+    q_s ∝ p_s^alpha (alpha = 0.3), which up-samples small sources and
+    down-samples dominant ones. The complement of q196's water-filling
+    (max-min fair under caps) — this is the power-law reweight production
+    multilingual mixes actually use. Output: each source's natural share,
+    its mixture weight, the token allocation for a one-corpus-sized budget,
+    and the implied epoch count over that source.
+
+    Determinism: weights quantize to integer micro-units via
+    round(1e6 * exp(alpha * ln(n_tok))) — exp/ln composed identically in
+    both engines — so the normalizing sum is an exact integer sum; the
+    final ratios are single divisions of integers.
+
+    Scale: ONE map-side-partial groupBy(source) absorbs the corpus; all
+    math after runs on the |sources| dimension table against a 1-row
+    broadcast total. Zero additional shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokens("text")).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(lit(1e6) * F.exp(lit(_MIX_ALPHA) * F.log(col("n_tokens"))))
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tok"), F.sum("w_micro").alias("tot_w")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(col("n_tokens") / col("tot_tok"), 4).alias("p_share"),
+            F.round(col("w_micro") / col("tot_w"), 4).alias("mix_weight"),
+            F.floor((col("tot_tok") * col("w_micro")) / col("tot_w"))
+            .cast("long")
+            .alias("alloc_tokens"),
+            F.round(
+                F.floor((col("tot_tok") * col("w_micro")) / col("tot_w"))
+                / col("n_tokens"),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEMPERATURE_MIX_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({tokens_sql()})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+wt AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(1e6 * exp({_MIX_ALPHA} * ln(n_tokens))) AS BIGINT) AS w_micro
+  FROM per),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tok,
+               CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM wt)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / CAST(tot_tok AS DOUBLE), 4) AS p_share,
+       ROUND(w_micro / CAST(tot_w AS DOUBLE), 4) AS mix_weight,
+       CAST(FLOOR((tot_tok * w_micro) / CAST(tot_w AS DOUBLE)) AS BIGINT)
+         AS alloc_tokens,
+       ROUND(FLOOR((tot_tok * w_micro) / CAST(tot_w AS DOUBLE)) / n_tokens, 4)
+         AS epochs
+FROM wt CROSS JOIN tot ORDER BY source
+"""
+
+
 ORACLES = {
     "q201_classifier_score": _clf_score_sql(),
     "q202_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
+    "q203_bigram_backoff_lm": _BIGRAM_LM_SQL,
+    "q204_temperature_mix": _TEMPERATURE_MIX_SQL,
     "q158_bm25_topk": _BM25_SQL,
     "q173_ir_eval": _IR_EVAL_SQL,
     "q162_bpe_encode": _bpe_encode_sql(),
@@ -1669,6 +1893,8 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 QUERIES = {
     "q201_classifier_score": q201_classifier_score,
     "q202_epoch_shuffle": q202_epoch_shuffle,
+    "q203_bigram_backoff_lm": q203_bigram_backoff_lm,
+    "q204_temperature_mix": q204_temperature_mix,
     "q158_bm25_topk": q158_bm25_topk,
     "q173_ir_eval": q173_ir_eval,
     "q117_doc_chunking": q117_doc_chunking,

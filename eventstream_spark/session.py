@@ -54,6 +54,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle-partition sizing: measured, not assumed. A/B at the 100x
+        # smoke on q158 (the one spilling query): initialPartitionNum=256
+        # halves the agg spill (19.3 -> 10.7 GB) but DOUBLES shuffle bytes
+        # (worse per-segment compression) and wall clock (43 -> 105 s) on
+        # this one-JVM harness, where spill goes to local NVMe. So the
+        # static 32 stays; SPARK_GRAFT_INITIAL_PARTITIONS overrides for
+        # experiments, and on a real cluster shuffle.partitions is sized
+        # per workload (SCALING.md "Outlier triage", round-6 pass).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions)),
+        )
         # Arrow batches for every pandas_udf / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Local-mode niceties; harmless on a cluster.

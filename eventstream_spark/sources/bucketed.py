@@ -29,9 +29,17 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (+sorted) managed table. Sorting within
     buckets additionally removes the Sort from merge joins and enables
-    per-bucket binary search in point lookups."""
+    per-bucket binary search in point lookups.
+
+    The repartition on the bucket columns is load-bearing twice over: a
+    bucketed write has NO exchange of its own, so without it write
+    parallelism = upstream scan tasks (measured: a 136 MB scan fed the
+    whole bucketed write through ~2 tasks at the 100x smoke) — and each
+    input task writes a file per bucket it touches, so k tasks x n buckets
+    small files. Repartitioning by the bucket hash (same Murmur3 pmod as
+    the bucket id) gives one task per bucket writing exactly one file."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
-    writer = df.write.bucketBy(n_buckets, *cols)
+    writer = df.repartition(n_buckets, *cols).write.bucketBy(n_buckets, *cols)
     if sort:
         writer = writer.sortBy(*cols)
     writer.mode(mode).saveAsTable(table_name)

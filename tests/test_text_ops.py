@@ -212,3 +212,53 @@ def test_epoch_shuffle_distinct_reproducible_permutations(spark, sf_dir):
         assert e["n"] == n_docs  # a permutation loses nothing
     # different epochs -> different shard layout/order
     assert by_epoch[0]["sums"] != by_epoch[1]["sums"]
+
+
+def test_bigram_lm_oov_doc_scores_below_training_doc(spark):
+    """q203's stupid-backoff LM: a doc whose bigrams all appear in the
+    train slice (doc_id % 4 == 0) must outscore a doc of never-seen tokens
+    (every bigram takes the OOV backoff path); both paths must produce
+    finite scores."""
+    import math
+
+    from eventstream_spark.operators.text import bigram_backoff_logprob
+
+    train_text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="a", text=train_text),  # trains the LM
+            Row(doc_id=1, source="a", text=train_text),  # scores in-domain
+            Row(doc_id=2, source="a", text="zzq xxv qqz vvx zzq xxv"),  # OOV
+        ]
+    )
+    out = {r.doc_id: r.doc_logp for r in bigram_backoff_logprob(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(math.isfinite(v) for v in out.values()), out
+    assert out[1] == out[0]  # identical text, identical score
+    assert out[2] < out[1], out  # OOV doc is the junk tail
+
+
+def test_temperature_mix_flattens_shares(spark, tmp_path):
+    """q204: alpha < 1 must up-weight the small source and down-weight the
+    dominant one (mix_weight between uniform and natural share), weights
+    must sum to ~1, and the token allocation must match the budget."""
+    from eventstream_spark.operators.text import q204_temperature_mix
+
+    big = " ".join(["tok"] * 90)
+    small = " ".join(["tok"] * 10)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=big, lang="en", source="big", n_chars=len(big)),
+            Row(doc_id=1, text=small, lang="en", source="small", n_chars=len(small)),
+        ]
+    )
+    d = str(tmp_path / "mix")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = {r.source: r for r in q204_temperature_mix(spark, d).collect()}
+    assert rows["big"].p_share == 0.9 and rows["small"].p_share == 0.1
+    assert 0.5 < rows["big"].mix_weight < 0.9  # flattened toward uniform
+    assert 0.1 < rows["small"].mix_weight < 0.5
+    assert abs(rows["big"].mix_weight + rows["small"].mix_weight - 1.0) < 1e-3
+    total = rows["big"].n_tokens + rows["small"].n_tokens
+    alloc = rows["big"].alloc_tokens + rows["small"].alloc_tokens
+    assert total - 2 <= alloc <= total  # floor() loses < 1 token per source
