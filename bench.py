@@ -176,6 +176,15 @@ HEADLINE = [
     # shuffles + bigram-key join) and the alpha-mixing dimension rollup.
     "q203_bigram_backoff_lm",
     "q204_temperature_mix",
+    # round 6 additions (cont.): rule funnel + span corruption are map-side
+    # single-agg; MMD is one explode shuffle + dimension join; triplets are
+    # one batch-key join + bounded windows; segment dedup is one seg-hash
+    # shuffle + AQE join-back.
+    "q205_gopher_funnel",
+    "q206_mmd_drift",
+    "q207_triplet_mining",
+    "q208_span_corruption",
+    "q209_segment_dedup",
 ]
 
 

@@ -1031,7 +1031,118 @@ def q200_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q209: segment-level cross-document dedup (CCNet line dedup) -------------
+# Wenzek et al. 2020 (CCNet) deduplicate web text at the LINE level before
+# any document-level pass — boilerplate (nav bars, footers, cookie notices)
+# repeats across documents that are otherwise unique. The fixture corpus has
+# no newlines, so the "line" unit is a NON-OVERLAPPING 8-token segment —
+# distinct from q122's sliding positional 5-gram spans (q122 MEASURES copied
+# coverage; this REMOVES repeated units and accounts for the cleaned corpus)
+# and from q141's content-defined chunks (fixed grid vs content boundaries).
+
+_SEG_W = 8  # tokens per segment; the last segment of a doc may be shorter
+
+
+def doc_segments(docs: DataFrame) -> DataFrame:
+    """Explode each document into its non-overlapping _SEG_W-token segments:
+    (doc_id, source, seg_no, seg_hash, n_toks). Pure map-side — the segment
+    array builds per row via transform over ceil(n/_SEG_W) slices."""
+    w = tokens("text")
+    nseg = F.ceil(F.size(w) / lit(_SEG_W)).cast("int")
+    segs = F.transform(
+        F.sequence(lit(0), nseg - 1),
+        lambda k: F.concat_ws(" ", F.slice(w, k * _SEG_W + 1, _SEG_W)),
+    )
+    return docs.select(
+        "doc_id", "source", F.size(w).alias("n"),
+        F.posexplode(segs).alias("seg_no", "seg"),
+    ).select(
+        "doc_id", "source", "seg_no",
+        hash48(col("seg")).alias("seg_hash"),
+        F.least(lit(_SEG_W), col("n") - col("seg_no") * _SEG_W).alias("n_toks"),
+    )
+
+
+def q209_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of segment-level dedup: a segment is REMOVED
+    when its hash occurs in ≥ 2 distinct documents (every occurrence drops,
+    the CCNet rule — boilerplate carries no training signal even once
+    when it defines no document). Reports segments/tokens removed, docs
+    touched, and the surviving token volume.
+
+    Scale: segments explode map-side; ONE shuffle on seg_hash computes the
+    distinct-doc frequency; the duplicated-hash table that joins back is
+    bounded by the volume of *repeated* content (dimension-class for real
+    corpora — AQE broadcasts it when small, shuffles when not); the final
+    rollup is map-side-partial on source."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    # Both the frequency pass and the join-back read the exploded segment
+    # table; persist it so the corpus tokenizes once (the PPJoin contract —
+    # at 100 TB this spills MEMORY_AND_DISK rather than re-parse).
+    seg = persist_tracked(doc_segments(docs))
+    dup = (
+        seg.groupBy("seg_hash")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .where(col("df_docs") >= 2)
+        .select("seg_hash", lit(1).alias("is_dup"))
+    )
+    flagged = seg.join(dup, "seg_hash", "left").select(
+        "source", "doc_id", "n_toks",
+        F.coalesce(col("is_dup"), lit(0)).alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_segments"),
+            F.sum("is_dup").alias("removed_segments"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum(col("is_dup") * col("n_toks")).alias("removed_tokens"),
+            F.countDistinct(F.when(col("is_dup") == 1, col("doc_id"))).alias(
+                "docs_touched"
+            ),
+        )
+        .select(
+            "source", "n_docs", "total_segments", "removed_segments",
+            "total_tokens", "removed_tokens", "docs_touched",
+            F.round(col("removed_tokens") / col("total_tokens"), 4).alias(
+                "removed_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SEG_SLICE = f"list_slice(w, k * {_SEG_W} + 1, (k + 1) * {_SEG_W})"
+
+_SEGMENT_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+seg AS (
+  SELECT doc_id, source, k AS seg_no,
+         {hash48_sql(f"array_to_string({_SEG_SLICE}, ' ')")} AS seg_hash,
+         LEAST({_SEG_W}, len(w) - k * {_SEG_W}) AS n_toks
+  FROM t, UNNEST(range(0, CAST(CEIL(len(w) / {_SEG_W}.0) AS BIGINT))) AS u(k)),
+dup AS (
+  SELECT seg_hash, 1 AS is_dup FROM seg
+  GROUP BY seg_hash HAVING COUNT(DISTINCT doc_id) >= 2),
+flagged AS (
+  SELECT s.source, s.doc_id, s.n_toks, COALESCE(d.is_dup, 0) AS is_dup
+  FROM seg s LEFT JOIN dup d USING (seg_hash))
+SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_segments,
+       CAST(SUM(is_dup) AS BIGINT) AS removed_segments,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(is_dup * n_toks) AS BIGINT) AS removed_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN is_dup = 1 THEN doc_id END) AS BIGINT)
+         AS docs_touched,
+       ROUND(SUM(is_dup * n_toks) / CAST(SUM(n_toks) AS DOUBLE), 4)
+         AS removed_frac
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 ORACLES = {
+    "q209_segment_dedup": _SEGMENT_DEDUP_SQL,
     "q199_novelty_curve": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 mx AS (SELECT MAX(doc_id) AS mx FROM documents),
@@ -1153,6 +1264,7 @@ ORDER BY 1, 2
 }
 
 QUERIES = {
+    "q209_segment_dedup": q209_segment_dedup,
     "q199_novelty_curve": q199_novelty_curve,
     "q200_leakage_safe_split": q200_leakage_safe_split,
     "q155_fuzzy_blocked_match": q155_fuzzy_blocked_match,

@@ -34,6 +34,8 @@ from ..functions import (
     cosine_sql,
     dot,
     dot_sql,
+    hash48,
+    hash48_sql,
     matrix_literal,
     sq_l2,
     sq_l2_sql,
@@ -973,7 +975,204 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
 """
 
 
+# --- q206: embedding-distribution drift via linear-kernel MMD ----------------
+# Gretton et al. JMLR'12: MMD^2 with the linear kernel reduces to
+# ||mean(A) - mean(B)||^2 — the O(n) two-sample test for EMBEDDING
+# distributions, completing the drift family (q146 KL / q181 KS / q198 PSI
+# cover scalar and categorical columns; this covers vector columns — "did
+# the new crawl's embedding distribution move?").
+#
+# Determinism: each element quantizes to integer micro-units BEFORE any sum,
+# so per-(group, dim) sums are exact integers under any partitioning; the
+# per-dim mean difference is (s_a*n_b - s_b*n_a) — still exact integers
+# (|s| ≤ 1e6·n·max|x|, products < 2^53 so the double conversion is exact) —
+# and each dim's squared term quantizes to nano-units before the final
+# integer sum.
+
+
+def q206_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise linear-MMD^2 between every pair of label groups.
+
+    Scale: ONE shuffle — posexplode is map-side, the (label, dim) partial
+    aggregation absorbs the corpus with map-side combine, and everything
+    after runs on the |labels|·dim dimension table (self-join on dim,
+    45-pair output). No per-vector state survives the aggregation."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        "label", F.posexplode(as_double_array(col("embedding"))).alias("pos", "val")
+    )
+    # Persist the (label, dim) aggregate — dimension-class — so the pair
+    # self-join reads it twice without re-exploding the corpus.
+    g = persist_tracked(
+        e.groupBy("label", "pos").agg(
+            F.sum(F.round(col("val") * lit(1e6)).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    a = g.select(
+        col("label").alias("label_a"), "pos", col("s").alias("sa"), col("n").alias("na")
+    )
+    b = g.select(
+        col("label").alias("label_b"),
+        col("pos").alias("pos_b"),
+        col("s").alias("sb"),
+        col("n").alias("nb"),
+    )
+    d = (col("sa") * col("nb") - col("sb") * col("na")) / (
+        col("na") * col("nb") * lit(1e6)
+    )
+    return (
+        a.join(b, (col("pos") == col("pos_b")) & (col("label_a") < col("label_b")))
+        .select(
+            "label_a", "label_b", "na", "nb",
+            F.round(d * d * lit(1e9)).cast("long").alias("nano"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.count("*").alias("dims"),
+            F.round(F.sum("nano") / lit(1e9), 6).alias("mmd2"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+_MMD_SQL = f"""
+WITH e AS (
+  SELECT label, i AS pos,
+         CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS micro
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)),
+g AS (
+  SELECT label, pos, CAST(SUM(micro) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.n AS na, b.n AS nb,
+         CAST(ROUND(
+           ((a.s * b.n - b.s * a.n) / (a.n * b.n * 1e6))
+           * ((a.s * b.n - b.s * a.n) / (a.n * b.n * 1e6)) * 1e9) AS BIGINT)
+           AS nano
+  FROM g a JOIN g b ON a.pos = b.pos AND a.label < b.label)
+SELECT label_a, label_b, MAX(na) AS n_a, MAX(nb) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS dims,
+       ROUND(SUM(nano) / 1e9, 6) AS mmd2
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- q207: in-batch hard triplet mining --------------------------------------
+# Schroff et al. CVPR'15 (FaceNet): metric-learning trains on triplets
+# (anchor, hardest positive, hardest negative) mined WITHIN a mini-batch —
+# global hardest-pair mining is O(n^2) and selects degenerate pairs, so
+# in-batch mining IS the production semantics, and it is exactly what keeps
+# this operator scale-bounded: all-pairs work is (batch size)^2 per batch,
+# linear in corpus size for a fixed batch size.
+
+_TRIPLET_BATCH = 32  # mini-batch size; batches = ceil(N / 32), data-derived
+
+
+def triplet_mine(emb: DataFrame) -> DataFrame:
+    """One row per anchor that has both a positive (same label) and a
+    negative (other label) in its deterministic mini-batch: the hardest
+    positive (LOWEST cosine — the pair the loss must pull together), the
+    hardest negative (HIGHEST cosine — the pair it must push apart), and
+    the hard flag (negative currently closer than the positive).
+
+    Batch assignment is hash48(vec_id) mod ceil(N/32) — reproducible
+    epoch-0 batching, the q143/q202 seedless discipline; the batch count
+    derives from the data (embedding_dim pattern), never a fixture literal.
+
+    Scale: one equi-join shuffle on the uniform batch key (pairs = 32·N
+    rows), two row_number windows over (anchor, same) partitions bounded
+    by the batch size, one groupBy(anchor). No global all-pairs anywhere."""
+    e = spread(emb).select(
+        "vec_id", "label", as_double_array(col("embedding")).alias("v")
+    )
+    n_rows = e.count()  # plan-time scalar (same budget class as embedding_dim)
+    nb = max(1, -(-n_rows // _TRIPLET_BATCH))
+    wb = e.withColumn("batch", F.pmod(hash48(col("vec_id").cast("string")), lit(nb)))
+    a = wb.select(
+        col("vec_id").alias("anchor"), col("label").alias("la"),
+        col("v").alias("va"), "batch",
+    )
+    c = wb.select(
+        col("vec_id").alias("b_id"), col("label").alias("lb"),
+        col("v").alias("vb"), "batch",
+    )
+    pairs = (
+        a.join(c, "batch")
+        .where(col("anchor") != col("b_id"))
+        .select(
+            "anchor", "la", "b_id",
+            (col("la") == col("lb")).alias("same"),
+            cosine(col("va"), col("vb")).alias("cos_raw"),
+        )
+    )
+    wp = Window.partitionBy("anchor", "same").orderBy(col("cos_raw").asc(), "b_id")
+    wn = Window.partitionBy("anchor", "same").orderBy(col("cos_raw").desc(), "b_id")
+    r = pairs.select(
+        "*", F.row_number().over(wp).alias("rp"), F.row_number().over(wn).alias("rn")
+    )
+    g = (
+        r.groupBy("anchor")
+        .agg(
+            F.max("la").alias("label"),
+            F.max(F.when(col("same") & (col("rp") == 1), col("b_id"))).alias("pos_id"),
+            F.max(F.when(col("same") & (col("rp") == 1), col("cos_raw"))).alias("pr"),
+            F.max(F.when(~col("same") & (col("rn") == 1), col("b_id"))).alias("neg_id"),
+            F.max(F.when(~col("same") & (col("rn") == 1), col("cos_raw"))).alias("nr"),
+        )
+        .where(col("pos_id").isNotNull() & col("neg_id").isNotNull())
+    )
+    return g.select(
+        "anchor", "label", "pos_id", "neg_id",
+        F.round("pr", 4).alias("cos_pos"),
+        F.round("nr", 4).alias("cos_neg"),
+        (col("nr") > col("pr")).cast("long").alias("hard"),
+    ).orderBy("anchor")
+
+
+def q207_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triplet_mine(load(spark, sf_dir, "embeddings"))
+
+
+_TRIPLET_SQL = f"""
+WITH e AS (SELECT vec_id, label, {as_double_array_sql('embedding')} AS v
+           FROM embeddings),
+nbt AS (SELECT GREATEST(CAST(CEIL(COUNT(*) / {_TRIPLET_BATCH}.0) AS BIGINT), 1)
+          AS nb FROM e),
+wb AS (SELECT vec_id, label, v,
+              {hash48_sql('CAST(vec_id AS VARCHAR)')} % nbt.nb AS batch
+       FROM e CROSS JOIN nbt),
+pairs AS (
+  SELECT a.vec_id AS anchor, a.label AS la, b.vec_id AS b_id,
+         (a.label = b.label) AS same, {cosine_sql('a.v', 'b.v')} AS cos_raw
+  FROM wb a JOIN wb b ON a.batch = b.batch AND a.vec_id <> b.vec_id),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY anchor, same
+                            ORDER BY cos_raw ASC, b_id) AS rp,
+         ROW_NUMBER() OVER (PARTITION BY anchor, same
+                            ORDER BY cos_raw DESC, b_id) AS rn
+  FROM pairs),
+g AS (
+  SELECT anchor, MAX(la) AS label,
+         MAX(CASE WHEN same AND rp = 1 THEN b_id END) AS pos_id,
+         MAX(CASE WHEN same AND rp = 1 THEN cos_raw END) AS pr,
+         MAX(CASE WHEN NOT same AND rn = 1 THEN b_id END) AS neg_id,
+         MAX(CASE WHEN NOT same AND rn = 1 THEN cos_raw END) AS nr
+  FROM r GROUP BY anchor)
+SELECT anchor, label, pos_id, neg_id,
+       ROUND(pr, 4) AS cos_pos, ROUND(nr, 4) AS cos_neg,
+       CAST(CASE WHEN nr > pr THEN 1 ELSE 0 END AS BIGINT) AS hard
+FROM g WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL ORDER BY anchor
+"""
+
+
 ORACLES = {
+    "q206_mmd_drift": _MMD_SQL,
+    "q207_triplet_mining": _TRIPLET_SQL,
     "q85_pq_ann": _pq_sql(),
     "q50_knn_exact": f"""
 WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
@@ -1108,6 +1307,8 @@ GROUP BY cell, i ORDER BY cell, i
 }
 
 QUERIES = {
+    "q206_mmd_drift": q206_mmd_drift,
+    "q207_triplet_mining": q207_triplet_mining,
     "q50_knn_exact": q50_knn_exact,
     "q51_topk_per_query": q51_topk_per_query,
     "q52_lsh_ann": q52_lsh_ann,

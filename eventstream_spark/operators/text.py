@@ -1640,7 +1640,200 @@ FROM wt CROSS JOIN tot ORDER BY source
 """
 
 
+# --- q205: Gopher-rule quality funnel ---------------------------------------
+# Rae et al. 2021 (Gopher, appendix A1.1): a battery of cheap structural
+# document rules. Reported as a FUNNEL — each rule's independent fire count
+# (which rule does the work) plus the cumulative survivor count when the
+# rules apply in their fixed order (what actually reaches training). The
+# rule SHAPES are Gopher's (word-count bounds, mean-word-length bounds,
+# stopword floor, repetition ceiling, alphabetic floor); the numeric bounds
+# are calibrated to the fixture's distribution so every rule discriminates.
+# Complements q31 (scalar heuristic score), q148 (adaptive band), q201
+# (model-based classifier): this is the RULE-BATTERY stage with per-rule
+# attribution, the form ablation studies need.
+
+_GOPHER_BOUNDS = {
+    "wc_lo": 30, "wc_hi": 90,    # word count ∈ [30, 90]
+    "mwl_lo": 4.2, "mwl_hi": 4.8,  # mean token length (chars) ∈ [4.2, 4.8]
+    "stop_min": 2,               # ≥ 2 English marker stopwords
+    "uniq_min": 0.35,            # distinct-token ratio ≥ 0.35 (repetition)
+    "alpha_min": 0.8,            # ≥ 80% purely-alphabetic tokens
+}
+
+_GOPHER_NAMES = (
+    "R1_word_count", "R2_mean_word_len", "R3_stopwords",
+    "R4_repetition", "R5_alphabetic",
+)
+
+
+def q205_gopher_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule funnel: one row per rule with the independent
+    fail count, the cumulative survivor count after rules 1..k, and the
+    cumulative pass rate.
+
+    Scale: pure map-side flag computation (tokenize once, five boolean
+    expressions) + ONE all-to-one aggregation of ten partial sums —
+    no shuffle of document content, no second corpus pass. The funnel
+    pivot runs on the 1-row aggregate."""
+    b = _GOPHER_BOUNDS
+    docs = load(spark, sf_dir, "documents")
+    w = tokens("text")
+    d = docs.select(
+        F.size(w).alias("n"),
+        (F.aggregate(w, lit(0).cast("long"), lambda a, t: a + F.length(t))
+         / F.size(w)).alias("mwl"),
+        _marker_count(w, "en").alias("stopw"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("uniq"),
+        (F.size(F.filter(w, lambda t: t.rlike("^[a-z]+$"))) / F.size(w)).alias("alpha"),
+    )
+    p1 = (col("n") >= b["wc_lo"]) & (col("n") <= b["wc_hi"])
+    p2 = (col("mwl") >= b["mwl_lo"]) & (col("mwl") <= b["mwl_hi"])
+    p3 = col("stopw") >= b["stop_min"]
+    p4 = col("uniq") >= b["uniq_min"]
+    p5 = col("alpha") >= b["alpha_min"]
+    preds = (p1, p2, p3, p4, p5)
+    aggs = [F.count("*").alias("total")]
+    cum = lit(True)
+    for i, p in enumerate(preds, start=1):
+        cum = cum & p
+        aggs.append(F.sum((~p).cast("long")).alias(f"f{i}"))
+        aggs.append(F.sum(cum.cast("long")).alias(f"c{i}"))
+    stack_args = ", ".join(
+        f"{i}, '{name}', f{i}, c{i}" for i, name in enumerate(_GOPHER_NAMES, start=1)
+    )
+    return (
+        d.agg(*aggs)
+        .select(
+            F.expr(f"stack(5, {stack_args}) AS (rule_id, rule, n_fail, n_pass_cum)"),
+            col("total"),
+        )
+        .select(
+            "rule_id", "rule", "n_fail", "n_pass_cum",
+            F.round(col("n_pass_cum") / col("total"), 4).alias("pass_rate"),
+        )
+        .orderBy("rule_id")
+    )
+
+
+def _gopher_funnel_sql() -> str:
+    b = _GOPHER_BOUNDS
+    flags = f"""
+flags AS (
+  SELECT len(w) AS n,
+         CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT)
+           / CAST(len(w) AS DOUBLE) AS mwl,
+         {_marker_count_sql('en')} AS stopw,
+         len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS uniq,
+         len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$')))
+           / CAST(len(w) AS DOUBLE) AS alpha
+  FROM (SELECT {tokens_sql()} AS w FROM documents) t),
+preds AS (
+  SELECT (n >= {b['wc_lo']} AND n <= {b['wc_hi']}) AS p1,
+         (mwl >= {b['mwl_lo']} AND mwl <= {b['mwl_hi']}) AS p2,
+         (stopw >= {b['stop_min']}) AS p3,
+         (uniq >= {b['uniq_min']}) AS p4,
+         (alpha >= {b['alpha_min']}) AS p5
+  FROM flags),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN NOT p{i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}, "
+             f"CAST(SUM(CASE WHEN {' AND '.join(f'p{j}' for j in range(1, i + 1))} "
+             f"THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+             for i in range(1, 6)
+         )}
+  FROM preds)"""
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS rule_id, '{name}' AS rule, f{i} AS n_fail, "
+        f"c{i} AS n_pass_cum, ROUND(c{i} / CAST(total AS DOUBLE), 4) AS pass_rate "
+        f"FROM agg"
+        for i, name in enumerate(_GOPHER_NAMES, start=1)
+    )
+    return f"WITH {flags.strip()}\n{rows} ORDER BY rule_id"
+
+
+# --- q208: T5 span-corruption masking stats ----------------------------------
+# Raffel et al. 2020 (T5): pre-training corrupts ~15% of tokens in spans of
+# mean length 3. The masking here is DETERMINISTIC — position i starts a
+# span of _SPAN_LEN tokens iff hash48(doc_id:i) ≡ 0 (mod _SPAN_EVERY) — so
+# the realized noise mask is a pure function of the data (reproducible
+# across engines, workers, and reruns; the q143/q202 seedless discipline).
+# Overlapping spans union; spans clip at the document end.
+
+_SPAN_EVERY = 7  # start odds 1/7 → ≈ 3/7 ≈ 43% pre-overlap, ~35% realized
+_SPAN_LEN = 3    # T5's mean span length
+
+
+def q208_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source span-corruption accounting: span starts, masked tokens,
+    realized corruption rate, and mean realized span length (< _SPAN_LEN
+    exactly when spans overlap or clip — the statistic T5 tuning watches).
+
+    Scale: pure map-side — position j is masked iff one of j, j-1, j-2
+    starts a span, three O(1) hash checks per token (no per-position scan
+    of a span list) — then one map-side-partial groupBy(source). Zero
+    extra shuffles; integer counts end to end, so every ratio is one
+    exact-integer division."""
+    docs = load(spark, sf_dir, "documents")
+
+    def is_start(s):
+        return (s >= 0) & (
+            F.pmod(hash48(F.concat_ws(":", col("doc_id"), s)), lit(_SPAN_EVERY)) == 0
+        )
+
+    idx = F.sequence(lit(0), F.size(tokens("text")) - 1)
+    d = docs.select(
+        "source",
+        F.size(tokens("text")).alias("n"),
+        F.size(F.filter(idx, is_start)).alias("n_spans"),
+        F.size(
+            F.filter(idx, lambda j: is_start(j) | is_start(j - 1) | is_start(j - 2))
+        ).alias("n_masked"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_masked").alias("n_masked"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "n_spans", "n_masked",
+            F.round(col("n_masked") / col("n_tokens"), 4).alias("corruption_rate"),
+            F.round(col("n_masked") / col("n_spans"), 4).alias("mean_span_len"),
+        )
+        .orderBy("source")
+    )
+
+
+def _span_corruption_sql() -> str:
+    def start(e: str) -> str:
+        h = hash48_sql(f"CAST(t.doc_id AS VARCHAR) || ':' || CAST(({e}) AS VARCHAR)")
+        return f"(({e}) >= 0 AND {h} % {_SPAN_EVERY} = 0)"
+
+    return f"""
+WITH t AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+d AS (
+  SELECT source, len(w) AS n,
+         len(list_filter(range(0, len(w)), j -> {start('j')})) AS n_spans,
+         len(list_filter(range(0, len(w)),
+             j -> {start('j')} OR {start('j - 1')} OR {start('j - 2')}))
+           AS n_masked
+  FROM t)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(SUM(n_masked) AS BIGINT) AS n_masked,
+       ROUND(SUM(n_masked) / CAST(SUM(n) AS DOUBLE), 4) AS corruption_rate,
+       ROUND(SUM(n_masked) / CAST(SUM(n_spans) AS DOUBLE), 4) AS mean_span_len
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 ORACLES = {
+    "q205_gopher_funnel": _gopher_funnel_sql(),
+    "q208_span_corruption": _span_corruption_sql(),
     "q201_classifier_score": _clf_score_sql(),
     "q202_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "q203_bigram_backoff_lm": _BIGRAM_LM_SQL,
@@ -1891,6 +2084,8 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 }
 
 QUERIES = {
+    "q205_gopher_funnel": q205_gopher_funnel,
+    "q208_span_corruption": q208_span_corruption,
     "q201_classifier_score": q201_classifier_score,
     "q202_epoch_shuffle": q202_epoch_shuffle,
     "q203_bigram_backoff_lm": q203_bigram_backoff_lm,

@@ -306,3 +306,60 @@ def test_novelty_curve_is_cumulative_and_complete(spark, sf_dir):
         .count()
     )
     assert rows[-1].cum_shingles == distinct
+
+
+def test_mmd_zero_for_identical_groups_positive_for_shifted(spark, tmp_path):
+    """q206: linear-kernel MMD^2 is 0 when two label groups hold identical
+    vector sets, and ~dim * shift^2 when one group is a constant shift of
+    the other — the two calibration points that catch a wrong mean or a
+    dropped dimension."""
+    from pyspark.sql import Row
+
+    from eventstream_spark.operators.similarity import q206_mmd_drift
+
+    dim = 4
+    base = [[(i * 7 + j) % 5 / 10.0 for j in range(dim)] for i in range(6)]
+    rows = []
+    vid = 0
+    for label, shift in ((0, 0.0), (1, 0.0), (2, 0.25)):
+        for v in base:
+            rows.append(Row(vec_id=vid, embedding=[x + shift for x in v], label=label))
+            vid += 1
+    d = str(tmp_path / "mmd")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    out = {(r.label_a, r.label_b): r for r in q206_mmd_drift(spark, d).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)].mmd2 == 0.0
+    expect = dim * 0.25**2
+    assert abs(out[(0, 2)].mmd2 - expect) < 1e-4
+    assert abs(out[(1, 2)].mmd2 - expect) < 1e-4
+    assert out[(0, 1)].dims == dim
+
+
+def test_triplet_mining_picks_hardest_pair(spark, tmp_path):
+    """q207 on a corpus that fits one mini-batch: the positive is the
+    same-label vector with the LOWEST cosine, the negative the other-label
+    vector with the HIGHEST cosine, and the hard flag fires exactly when
+    the negative outranks the positive. Anchors with no same-label partner
+    in the batch drop out."""
+    from pyspark.sql import Row
+
+    from eventstream_spark.operators.similarity import q207_triplet_mining
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),   # anchor under test
+        Row(vec_id=1, embedding=[1.0, 0.2], label=0),   # easy positive
+        Row(vec_id=2, embedding=[0.0, 1.0], label=0),   # hardest positive
+        Row(vec_id=3, embedding=[1.0, 0.05], label=1),  # hardest negative
+        Row(vec_id=4, embedding=[-1.0, 0.0], label=1),  # easy negative
+        Row(vec_id=5, embedding=[0.5, 0.5], label=2),   # no same-label peer
+    ]
+    d = str(tmp_path / "triplets")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    out = {r.anchor: r for r in q207_triplet_mining(spark, d).collect()}
+    assert 5 not in out  # lone label has no positive
+    r0 = out[0]
+    assert r0.pos_id == 2 and r0.neg_id == 3
+    assert r0.cos_neg > r0.cos_pos and r0.hard == 1
+    r2 = out[2]  # orthogonal anchor: negatives all score below its positives
+    assert r2.hard in (0, 1)

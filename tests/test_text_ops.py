@@ -262,3 +262,80 @@ def test_temperature_mix_flattens_shares(spark, tmp_path):
     total = rows["big"].n_tokens + rows["small"].n_tokens
     alloc = rows["big"].alloc_tokens + rows["small"].alloc_tokens
     assert total - 2 <= alloc <= total  # floor() loses < 1 token per source
+
+
+def test_gopher_funnel_is_monotone_and_attributable(spark, sf_dir):
+    """q205: the cumulative survivor count can only shrink down the funnel,
+    each stage drops at most that rule's independent fail count, and stage 1
+    is exactly total - f1 (first rule has nothing upstream)."""
+    from eventstream_spark.operators.text import q205_gopher_funnel
+
+    rows = sorted(q205_gopher_funnel(spark, sf_dir).collect(), key=lambda r: r.rule_id)
+    assert [r.rule_id for r in rows] == [1, 2, 3, 4, 5]
+    total = rows[0].n_fail + rows[0].n_pass_cum
+    prev = total
+    for r in rows:
+        assert 0 <= r.n_pass_cum <= prev
+        assert prev - r.n_pass_cum <= r.n_fail  # drop attributable to rule k
+        prev = r.n_pass_cum
+    assert rows[0].n_pass_cum == total - rows[0].n_fail
+
+
+def test_gopher_rules_fire_on_targeted_violations(spark, tmp_path):
+    """Each crafted violation fails exactly its own rule: a 5-token doc
+    fails R1 (word count) alone; a zero-stopword doc fails R3 alone."""
+    from eventstream_spark.operators.text import q205_gopher_funnel
+
+    short = "the is a of to"  # 5 tokens, plenty of stopwords
+    # 40 tokens, mean length in [4.2, 4.8], distinct-ratio high, no stopwords
+    nostop = " ".join(f"word{i:03d}"[:4] + chr(97 + i % 26) for i in range(40))
+    rows = [
+        Row(doc_id=0, text=short, lang="en", source="s", n_chars=len(short)),
+        Row(doc_id=1, text=nostop, lang="en", source="s", n_chars=len(nostop)),
+    ]
+    d = str(tmp_path / "gopher")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {r.rule_id: r for r in q205_gopher_funnel(spark, d).collect()}
+    assert out[1].n_fail == 1  # the short doc
+    assert out[3].n_fail == 1  # the stopword-free doc
+    assert out[5].n_pass_cum == 0  # each doc died somewhere in the funnel
+
+
+def test_span_corruption_bounds_and_determinism(spark, sf_dir):
+    """q208: every span start masks 1.._SPAN_LEN tokens (clip/overlap only
+    shrink), so n_spans <= n_masked <= 3*n_spans and n_masked <= n_tokens;
+    the mask is a pure function of the data, so two runs agree exactly."""
+    from eventstream_spark.operators.text import q208_span_corruption
+
+    rows = q208_span_corruption(spark, sf_dir).collect()
+    assert rows == q208_span_corruption(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_spans <= r.n_masked <= 3 * r.n_spans, r
+        assert r.n_masked <= r.n_tokens, r
+        assert 1.0 <= r.mean_span_len <= 3.0, r
+
+
+def test_segment_dedup_removes_shared_boilerplate_only(spark, tmp_path):
+    """q209: an 8-token boilerplate segment shared by two docs is removed
+    from BOTH (CCNet drops every occurrence), unique tails survive, and a
+    fully-unique doc is untouched."""
+    from eventstream_spark.operators.dedup import q209_segment_dedup
+
+    boiler = "cookie notice click accept to continue reading site"  # 8 tokens
+    a = boiler + " " + " ".join(f"ua{i}" for i in range(8))
+    b = boiler + " " + " ".join(f"ub{i}" for i in range(8))
+    c = " ".join(f"uc{i}" for i in range(16))
+    rows = [
+        Row(doc_id=0, text=a, lang="en", source="dup", n_chars=len(a)),
+        Row(doc_id=1, text=b, lang="en", source="dup", n_chars=len(b)),
+        Row(doc_id=2, text=c, lang="en", source="clean", n_chars=len(c)),
+    ]
+    d = str(tmp_path / "segdedup")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {r.source: r for r in q209_segment_dedup(spark, d).collect()}
+    assert out["dup"].removed_segments == 2  # one boilerplate hit per doc
+    assert out["dup"].removed_tokens == 16
+    assert out["dup"].docs_touched == 2
+    assert out["dup"].total_segments == 4  # 2 docs x (boiler + unique tail)
+    assert out["clean"].removed_segments == 0
+    assert out["clean"].docs_touched == 0
