@@ -693,7 +693,108 @@ FROM scalars
 """
 
 
+# --- q210: mergeable bottom-k quantile sketch --------------------------------
+# The missing member of the mergeable-sketch family (bloom q136 /
+# Misra-Gries q137 / CMS q165 / KMV q166+q169 / HLL q178): QUANTILES.
+# Production engines use KLL/t-digest; this is the deterministic
+# priority-sample form — keep the K rows with the smallest hash48(row-id)
+# priority, estimate quantiles from the sample. Mergeable exactly like KMV:
+# bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) (property-tested),
+# so shards sketch independently and a coordinator merges K-row states.
+# Because priorities are md5-deterministic, both engines select the
+# IDENTICAL sample — a hard differential gate on an approximate quantile
+# operator, plus the exact decile in the same row for the error column.
+
+_QSK_K = 512  # sample size: decile std-err ~ sqrt(0.1*0.9/512) ~ 1.3 pp of rank
+
+
+def bottomk_sample(lineitem: DataFrame, k: int = _QSK_K) -> DataFrame:
+    """The K lowest-priority lineitem rows: priority = hash48 of the
+    (l_orderkey, l_linenumber) row identity — a fixed, seedless coin.
+    orderBy().limit() compiles to TakeOrdered (per-partition heaps + one
+    K-row driver merge), never a global sort."""
+    return (
+        lineitem.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            hash48(
+                F.concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+            ).alias("pri"),
+        )
+        .orderBy("pri", "l_orderkey", "l_linenumber")
+        .limit(k)
+    )
+
+
+def q210_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile estimates of l_extendedprice from the bottom-k sample vs the
+    exact percentile, with the rank error the sample bound promises.
+
+    Estimate = nearest-rank-below pick from the sorted sample:
+    sample_sorted[floor((n-1)·d/10) + 1] — pure integer indexing, no
+    interpolation, so the estimate is an actual data value and the oracle
+    comparison is exact. The exact side is one percentile aggregate
+    (single global buffer — approx_percentile is the documented 100 TB
+    swap; the SKETCH side is the scale path being demonstrated).
+
+    Scale: TakeOrdered sample (K-row driver state) + one exact-percentile
+    pass for the error column; the sketch itself never shuffles the fact
+    table."""
+    li = load(spark, sf_dir, "lineitem")
+    samp = bottomk_sample(li).agg(
+        F.sort_array(F.collect_list("l_extendedprice")).alias("sv")
+    )
+    exact = li.agg(
+        F.percentile(
+            col("l_extendedprice"),
+            F.array(*[lit(d / 10.0) for d in range(1, 10)]),
+        ).alias("ev")
+    )
+    d = col("decile")
+    idx = (F.floor(((F.size(col("sv")) - 1) * d) / 10) + 1).cast("int")
+    return (
+        samp.crossJoin(exact)
+        .select(
+            F.explode(F.sequence(lit(1), lit(9))).alias("decile"), "sv", "ev"
+        )
+        .select(
+            "decile",
+            F.round(F.element_at(col("sv"), idx), 2).alias("est"),
+            F.round(F.element_at(col("ev"), d.cast("int")), 2).alias("exact"),
+            F.round(
+                (F.element_at(col("sv"), idx) - F.element_at(col("ev"), d.cast("int")))
+                * 100.0
+                / F.element_at(col("ev"), d.cast("int")),
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("decile")
+    )
+
+
+_QSK_SQL = f"""
+WITH samp AS (
+  SELECT l_extendedprice
+  FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+               {hash48_sql("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")}
+                 AS pri
+        FROM lineitem)
+  ORDER BY pri, l_orderkey, l_linenumber LIMIT {_QSK_K}),
+sv AS (SELECT list(l_extendedprice ORDER BY l_extendedprice) AS sv FROM samp),
+ev AS (SELECT [{", ".join(f"quantile_cont(l_extendedprice, {d / 10.0})" for d in range(1, 10))}]
+         AS ev FROM lineitem),
+d AS (SELECT unnest(range(1, 10)) AS decile)
+SELECT d.decile,
+       ROUND(sv.sv[CAST(((len(sv.sv) - 1) * d.decile) // 10 + 1 AS INT)], 2) AS est,
+       ROUND(ev.ev[CAST(d.decile AS INT)], 2) AS exact,
+       ROUND((sv.sv[CAST(((len(sv.sv) - 1) * d.decile) // 10 + 1 AS INT)]
+              - ev.ev[CAST(d.decile AS INT)]) * 100.0
+             / ev.ev[CAST(d.decile AS INT)], 2) AS err_pct
+FROM d CROSS JOIN sv CROSS JOIN ev ORDER BY d.decile
+"""
+
+
 ORACLES: dict[str, str] = {
+    "q210_quantile_sketch": _QSK_SQL,
     "q178_hll_distinct": _hll_sql(),
     "q165_count_min": _count_min_sql(),
     "q166_kmv_distinct": _kmv_sql(),
@@ -741,6 +842,7 @@ ORDER BY cnt DESC, bigram
 }
 
 QUERIES = {
+    "q210_quantile_sketch": q210_quantile_sketch,
     "q136_bloom_semi_join": q136_bloom_semi_join,
     "q137_heavy_hitters": q137_heavy_hitters,
     "q152_bigram_lm": q152_bigram_lm,

@@ -223,6 +223,22 @@ SCALE_QUERIES = [
     # q200 runs q55's CC contraction plus one AQE-broadcast label join.
     "q199_novelty_curve",
     "q200_leakage_safe_split",
+    # round 6: q201/q205/q208 are map-side flag/score passes (one 1-row or
+    # per-source agg); q203's bigram table is vocabulary-bounded (replica
+    # vocabularies disjoint → linear growth, the q131 key class); q202's
+    # shuffle is the shard-key exchange; q204 is one groupBy(source).
+    # q206's aggregation state is |labels|·dim; q207's batch count grows
+    # with N so in-batch pairs stay linear; q209's dup table is bounded by
+    # repeated-content volume (replica-disjoint segments).
+    "q201_classifier_score",
+    "q202_epoch_shuffle",
+    "q203_bigram_backoff_lm",
+    "q204_temperature_mix",
+    "q205_gopher_funnel",
+    "q206_mmd_drift",
+    "q207_triplet_mining",
+    "q208_span_corruption",
+    "q209_segment_dedup",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica
