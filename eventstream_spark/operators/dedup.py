@@ -1049,10 +1049,17 @@ def doc_segments(docs: DataFrame) -> DataFrame:
     array builds per row via transform over ceil(n/_SEG_W) slices."""
     w = tokens("text")
     nseg = F.ceil(F.size(w) / lit(_SEG_W)).cast("int")
-    segs = F.transform(
-        F.sequence(lit(0), nseg - 1),
-        lambda k: F.concat_ws(" ", F.slice(w, k * _SEG_W + 1, _SEG_W)),
-    )
+    # nseg=0 (empty/whitespace-only doc) must yield NO segments: a bare
+    # sequence(0, nseg-1) would produce the DESCENDING array [0,-1] and two
+    # phantom segments (one with negative n_toks) — the oracle's range(0,0)
+    # correctly emits nothing, so guard the empty case explicitly.
+    segs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(lit(0), nseg - 1),
+            lambda k: F.concat_ws(" ", F.slice(w, k * _SEG_W + 1, _SEG_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id", "source", F.size(w).alias("n"),
         F.posexplode(segs).alias("seg_no", "seg"),

@@ -56,8 +56,27 @@ def embedding_dim(emb: DataFrame) -> int:
     fixture constant — a mirrored dim literal lets both engines agree on
     the fixture by construction while silently breaking on any other
     corpus (the q186 bug class; the whole embedding family had it until
-    the round-6 re-seeded fixture run surfaced it)."""
-    return int(emb.select(F.size("embedding")).head()[0])
+    the round-6 re-seeded fixture run surfaced it).
+
+    Empty table fails LOUD (a streaming landing dir that hasn't received
+    its first batch otherwise dies with an opaque ``None[0]`` TypeError at
+    plan-build, e.g. q132). The one-row probe is cached per logical plan
+    (semanticHash) so repeated plane/codebook builds over the same input
+    don't each launch a driver job."""
+    key = emb.semanticHash()
+    if key in _DIM_CACHE:
+        return _DIM_CACHE[key]
+    row = emb.select(F.size("embedding")).head()
+    if row is None:
+        raise ValueError(
+            "embeddings table is empty — cannot derive embedding dim "
+            "(streaming landing dir not yet populated?)"
+        )
+    _DIM_CACHE[key] = int(row[0])
+    return _DIM_CACHE[key]
+
+
+_DIM_CACHE: dict[int, int] = {}
 
 
 def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
@@ -984,10 +1003,14 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
 #
 # Determinism: each element quantizes to integer micro-units BEFORE any sum,
 # so per-(group, dim) sums are exact integers under any partitioning; the
-# per-dim mean difference is (s_a*n_b - s_b*n_a) — still exact integers
-# (|s| ≤ 1e6·n·max|x|, products < 2^53 so the double conversion is exact) —
-# and each dim's squared term quantizes to nano-units before the final
-# integer sum.
+# per-dim mean difference is computed as (s_a/n_a - s_b/n_b)/1e6 in DOUBLES
+# (long/long division, bit-identical IEEE in both engines). The double form
+# is deliberate: the integer cross-product s_a*n_b overflows int64 once a
+# label group holds ~1e6+ unit-norm vectors — Spark (ANSI off) would wrap
+# silently while duckdb errors, a scale-path cross-engine divergence. The
+# division is exact to ~1 ulp of the true mean (sums < 2^53 for groups up
+# to ~8e9 vectors at micro-unit precision); each dim's squared term then
+# quantizes to nano-units before the final integer sum.
 
 
 def q206_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,9 +1041,9 @@ def q206_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("s").alias("sb"),
         col("n").alias("nb"),
     )
-    d = (col("sa") * col("nb") - col("sb") * col("na")) / (
-        col("na") * col("nb") * lit(1e6)
-    )
+    # (sa/na - sb/nb)/1e6, NOT the cross-product (sa*nb - sb*na): see the
+    # overflow note above — this form never leaves the exact-double range.
+    d = (col("sa") / col("na") - col("sb") / col("nb")) / lit(1e6)
     return (
         a.join(b, (col("pos") == col("pos_b")) & (col("label_a") < col("label_b")))
         .select(
@@ -1050,8 +1073,8 @@ g AS (
 p AS (
   SELECT a.label AS label_a, b.label AS label_b, a.n AS na, b.n AS nb,
          CAST(ROUND(
-           ((a.s * b.n - b.s * a.n) / (a.n * b.n * 1e6))
-           * ((a.s * b.n - b.s * a.n) / (a.n * b.n * 1e6)) * 1e9) AS BIGINT)
+           ((a.s / a.n - b.s / b.n) / 1e6)
+           * ((a.s / a.n - b.s / b.n) / 1e6) * 1e9) AS BIGINT)
            AS nano
   FROM g a JOIN g b ON a.pos = b.pos AND a.label < b.label)
 SELECT label_a, label_b, MAX(na) AS n_a, MAX(nb) AS n_b,
@@ -1086,10 +1109,16 @@ def triplet_mine(emb: DataFrame) -> DataFrame:
     Scale: one equi-join shuffle on the uniform batch key (pairs = 32·N
     rows), two row_number windows over (anchor, same) partitions bounded
     by the batch size, one groupBy(anchor). No global all-pairs anywhere."""
-    e = spread(emb).select(
-        "vec_id", "label", as_double_array(col("embedding")).alias("v")
+    # Persist the decoded projection FIRST: the count that sizes the batch
+    # key then doubles as the cache materializer (no separate full scan),
+    # and both legs of the batch self-join read the cached rows instead of
+    # re-running the decode lineage twice.
+    e = persist_tracked(
+        spread(emb).select(
+            "vec_id", "label", as_double_array(col("embedding")).alias("v")
+        )
     )
-    n_rows = e.count()  # plan-time scalar (same budget class as embedding_dim)
+    n_rows = e.count()  # plan-time scalar; also materializes the persist
     nb = max(1, -(-n_rows // _TRIPLET_BATCH))
     wb = e.withColumn("batch", F.pmod(hash48(col("vec_id").cast("string")), lit(nb)))
     a = wb.select(

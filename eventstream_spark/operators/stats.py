@@ -38,6 +38,7 @@ Scale notes per operator live on the docstrings; the common discipline:
 from __future__ import annotations
 
 import os
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1267,16 +1268,28 @@ def q194_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import time
 
         cutoff = time.time() - 3600
+        # Only names matching the exact sanitized shape we generate are
+        # touched (a stray dir with non-identifier chars would otherwise
+        # break the DROP parse), and cleanup must never fail the query.
+        ident = re.compile(r"^[a-z0-9_]+$")
         for d in os.listdir(wh):
             for pref in (f"t_orders_bk{sftag}_", f"t_cust_bk{sftag}_"):
                 p = os.path.join(wh, d)
                 try:
-                    stale = d.startswith(pref) and d != pref + app and os.path.getmtime(p) < cutoff
+                    stale = (
+                        d.startswith(pref)
+                        and d != pref + app
+                        and ident.match(d)
+                        and os.path.getmtime(p) < cutoff
+                    )
                 except OSError:
                     stale = False  # pruned by a concurrent session already
                 if stale:
-                    spark.sql(f"DROP TABLE IF EXISTS {d}")
-                    shutil.rmtree(p, ignore_errors=True)
+                    try:
+                        spark.sql(f"DROP TABLE IF EXISTS `{d}`")
+                        shutil.rmtree(p, ignore_errors=True)
+                    except Exception:
+                        pass  # stale-table GC is best-effort by design
     for t in (to, tc):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)

@@ -1769,26 +1769,51 @@ def q208_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     realized corruption rate, and mean realized span length (< _SPAN_LEN
     exactly when spans overlap or clip — the statistic T5 tuning watches).
 
-    Scale: pure map-side — position j is masked iff one of j, j-1, j-2
-    starts a span, three O(1) hash checks per token (no per-position scan
-    of a span list) — then one map-side-partial groupBy(source). Zero
-    extra shuffles; integer counts end to end, so every ratio is one
+    Scale: pure map-side — the per-doc START-FLAG array is hashed ONCE
+    (one md5 per token position, the dominant cost of this query), then
+    padded with two leading falses so position j is masked iff
+    padded[j+3] | padded[j+2] | padded[j+1] — pure array lookups, no
+    re-hashing — then one map-side-partial groupBy(source). Zero extra
+    shuffles; integer counts end to end, so every ratio is one
     exact-integer division."""
     docs = load(spark, sf_dir, "documents")
 
-    def is_start(s):
-        return (s >= 0) & (
-            F.pmod(hash48(F.concat_ws(":", col("doc_id"), s)), lit(_SPAN_EVERY)) == 0
+    # sequence(0, n-1) with n=0 would yield the DESCENDING [0, -1] (two
+    # phantom positions) — guard the empty-doc case to an empty array, as
+    # the oracle's range(0, 0) does.
+    def positions(n):
+        return F.when(n > 0, F.sequence(lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
         )
 
-    idx = F.sequence(lit(0), F.size(tokens("text")) - 1)
-    d = docs.select(
-        "source",
-        F.size(tokens("text")).alias("n"),
-        F.size(F.filter(idx, is_start)).alias("n_spans"),
-        F.size(
-            F.filter(idx, lambda j: is_start(j) | is_start(j - 1) | is_start(j - 2))
-        ).alias("n_masked"),
+    flags = F.transform(
+        positions(F.size(tokens("text"))),
+        lambda s: F.pmod(
+            hash48(F.concat_ws(":", col("doc_id"), s)), lit(_SPAN_EVERY)
+        )
+        == 0,
+    )
+    d = (
+        docs.select(
+            "source",
+            F.size(tokens("text")).alias("n"),
+            # two leading falses: element_at is 1-indexed, so the j-1/j-2
+            # lookbacks at the doc start read the padding, never index 0
+            F.concat(F.array(lit(False), lit(False)), flags).alias("p"),
+        )
+        .select(
+            "source",
+            "n",
+            F.size(F.filter(col("p"), lambda x: x)).alias("n_spans"),
+            F.size(
+                F.filter(
+                    positions(col("n")),
+                    lambda j: F.element_at(col("p"), j + 3)
+                    | F.element_at(col("p"), j + 2)
+                    | F.element_at(col("p"), j + 1),
+                )
+            ).alias("n_masked"),
+        )
     )
     return (
         d.groupBy("source")
@@ -1808,19 +1833,23 @@ def q208_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _span_corruption_sql() -> str:
-    def start(e: str) -> str:
-        h = hash48_sql(f"CAST(t.doc_id AS VARCHAR) || ':' || CAST(({e}) AS VARCHAR)")
-        return f"(({e}) >= 0 AND {h} % {_SPAN_EVERY} = 0)"
-
+    # Mirrors the Spark side's one-hash-per-position form: the start-flag
+    # list is built once, padded with two leading falses, and the mask test
+    # is pure list indexing (1-based in duckdb, as element_at is in Spark).
+    h = hash48_sql("CAST(t.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
     return f"""
 WITH t AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
-d AS (
+f AS (
   SELECT source, len(w) AS n,
-         len(list_filter(range(0, len(w)), j -> {start('j')})) AS n_spans,
-         len(list_filter(range(0, len(w)),
-             j -> {start('j')} OR {start('j - 1')} OR {start('j - 2')}))
-           AS n_masked
-  FROM t)
+         [false, false] || list_transform(range(0, len(w)),
+                                          j -> {h} % {_SPAN_EVERY} = 0) AS p
+  FROM t),
+d AS (
+  SELECT source, n,
+         len(list_filter(p, x -> x)) AS n_spans,
+         len(list_filter(range(0, n),
+             j -> p[j + 3] OR p[j + 2] OR p[j + 1])) AS n_masked
+  FROM f)
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS n_tokens,
        CAST(SUM(n_spans) AS BIGINT) AS n_spans,
