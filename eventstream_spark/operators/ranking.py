@@ -96,3 +96,40 @@ def scalable_ntile(
     via range partitioning, then the closed-form bucket assignment."""
     ranked, n = _ranked_with_total(df, order_cols, "_gr")
     return ranked.withColumn(out_col, ntile_from_rank(col("_gr"), n, k)).drop("_gr")
+
+
+def scalable_ntile_multi(
+    df: DataFrame, tie_col: str, specs: list, k: int
+) -> DataFrame:
+    """Several NTILE(k) columns over DIFFERENT total orders of the SAME
+    rows with ONE range exchange (three separate scalable_ntile calls pay
+    three): melt each row into len(specs) (metric, sortval) rows, rank the
+    melted table once — the metric index leads the range key, so each
+    metric's block is contiguous and its within-metric rank is the global
+    rank minus metric_index·n — then pivot back on the unique tie-break.
+
+    ``specs`` is ``[(out_col, ascending_sort_col), ...]``; descending
+    metrics pass a negated column. Sort values are cast to double (exact
+    for ints < 2^53; monotone, so bucket boundaries are unchanged). All
+    other input columns are carried through the pivot via max() — they are
+    constant per tie_col row by construction."""
+    base_cols = df.columns
+    melted = df.select(
+        *base_cols,
+        F.posexplode(
+            F.array(*[s.cast("double") for _, s in specs])
+        ).alias("_m", "_v"),
+    )
+    ranked, total = _ranked_with_total(
+        melted, [col("_m").asc(), col("_v").asc(), col(tie_col).asc()], "_gr"
+    )
+    n = total // len(specs)
+    tiled = ranked.withColumn(
+        "_tile", ntile_from_rank(col("_gr") - col("_m") * lit(n), n, k)
+    )
+    carry = [F.max(c).alias(c) for c in base_cols if c != tie_col]
+    tiles = [
+        F.max(F.when(col("_m") == i, col("_tile"))).alias(out)
+        for i, (out, _) in enumerate(specs)
+    ]
+    return tiled.groupBy(tie_col).agg(*carry, *tiles)

@@ -648,14 +648,12 @@ def q127_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tokenizer TRAINING, not just application (q34 applies a pre-tokenizer):
 # the classic byte-pair-encoding loop (Sennrich et al., ACL'16) — count
 # adjacent symbol pairs over the word-frequency table, merge the most
-# frequent pair everywhere, repeat. Each round is two shuffles (pair count;
-# word rebuild); the argmax pair is a driver scalar (like the k-means
-# centroid handoff). Greedy left-to-right merge semantics are expressed
-# POSITIONALLY (qualifying position runs + odd-rank parity), which is the
-# formulation both engines can evaluate identically: when pa != pb
-# qualifying positions are never adjacent and every one merges; when
-# pa == pb a run of k overlapping candidates merges at ranks 1,3,5,… —
-# exactly the left-to-right scan.
+# frequent pair everywhere, repeat. Each round is ONE shuffle (the pair
+# count); the merge itself is a per-word array fold over the cached
+# vocabulary (no shuffle — see _bpe_merge), and the argmax pair is a
+# driver scalar (like the k-means centroid handoff). Greedy left-to-right
+# semantics hold exactly, including the pa == pb overlap case (a run of k
+# candidates merges at ranks 1, 3, 5, …).
 
 _BPE_LEARN_ITERS = 2
 
@@ -685,42 +683,47 @@ def _bpe_pair_freqs(words: DataFrame) -> DataFrame:
 
 
 def _bpe_merge(words: DataFrame, pa: str, pb: str, merged: str) -> DataFrame:
-    """Apply one merge greedily left-to-right in every word (positional
-    parity form; see module comment)."""
-    wj = Window.partitionBy("word").orderBy("j")
-    pos = words.select(
-        "word", "freq", F.posexplode("syms").alias("j", "sym")
-    ).withColumn("nxt", F.lead("sym").over(wj))
-    qual = pos.where((col("sym") == pa) & (col("nxt") == pb)).select(
-        "word", "j", (col("j") - F.row_number().over(wj)).alias("run")
-    )
-    keep = qual.select(
-        "word",
-        "j",
-        F.row_number().over(Window.partitionBy("word", "run").orderBy("j")).alias("rr"),
-    ).where(col("rr") % 2 == 1)
-    marked = (
-        pos.join(keep.select("word", "j", lit(1).alias("m")), ["word", "j"], "left")
-        .withColumn("pm", F.lag("m").over(wj))
-        .where(col("pm").isNull())
-        .select(
-            "word",
-            "freq",
-            "j",
-            F.when(col("m") == 1, lit(merged)).otherwise(col("sym")).alias("sym_out"),
+    """Apply one merge greedily left-to-right in every word as a PURE
+    ARRAY FOLD — zero shuffle, zero window, zero join (the r6 form
+    posexploded into three word-partitioned windows plus a join-back,
+    three vocabulary shuffles per merge round). The fold holds one
+    pending symbol: when (pending, current) == (pa, pb) emit ``merged``
+    and clear, else flush pending and hold current — exactly the greedy
+    left-to-right scan, including the pa == pb overlap parity (runs of k
+    candidates merge at ranks 1, 3, 5, …)."""
+
+    def step(acc, s):
+        hit = acc["cand"].isNotNull() & (acc["cand"] == pa) & (s == pb)
+        return F.struct(
+            F.when(hit, F.concat(acc["out"], F.array(lit(merged))))
+            .when(acc["cand"].isNotNull(), F.concat(acc["out"], F.array(acc["cand"])))
+            .otherwise(acc["out"])
+            .alias("out"),
+            F.when(hit, lit(None).cast("string")).otherwise(s).alias("cand"),
         )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        lit(None).cast("string").alias("cand"),
     )
-    return marked.groupBy("word", "freq").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(col("j"), col("sym_out")))),
-            lambda s: s["sym_out"],
-        ).alias("syms")
+    syms2 = F.aggregate(
+        col("syms"),
+        init,
+        step,
+        lambda acc: F.when(
+            acc["cand"].isNotNull(), F.concat(acc["out"], F.array(acc["cand"]))
+        ).otherwise(acc["out"]),
     )
+    return words.select("word", "freq", syms2.alias("syms"))
 
 
 def bpe_learn(docs: DataFrame, iters: int = _BPE_LEARN_ITERS) -> list[tuple[int, str, str, int]]:
-    """Learn ``iters`` BPE merges; returns [(iteration, pair, merged, pair_freq)]."""
-    words = _bpe_words(docs)
+    """Learn ``iters`` BPE merges; returns [(iteration, pair, merged, pair_freq)].
+
+    The word-frequency table persists across rounds (vocabulary-class,
+    dimension-bounded): each iteration's pair count and the array-fold
+    merge both read the cache instead of re-tokenizing the corpus."""
+    words = persist_tracked(_bpe_words(docs))
     learned: list[tuple[int, str, str, int]] = []
     for it in range(1, iters + 1):
         best = (
@@ -800,7 +803,7 @@ def bpe_apply(
     """Learn AND apply ``iters`` merges: (learned rows, vocabulary with
     post-merge symbol arrays) — q131's loop continued one application
     further so the final state is usable for encoding."""
-    words = _bpe_words(docs)
+    words = persist_tracked(_bpe_words(docs))
     learned: list[tuple[int, str, str, int]] = []
     for it in range(1, iters + 1):
         best = (
@@ -822,11 +825,11 @@ def q162_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     does right after learning merges (compression tracking).
 
     Scale: merges apply over the VOCABULARY (word types, not occurrences) —
-    the merge windows partition by word; occurrences then join the encoded
-    vocab on word (AQE-sized, same class as q125's vocab join) and roll up
-    per source. All stats from integer counts; the two ratios are single
-    IEEE divisions. Reference: tokenizer apply is the missing half of
-    Sennrich ACL'16 training (q131)."""
+    each merge is a per-word array fold (no shuffle; see _bpe_merge);
+    occurrences then join the encoded vocab on word (AQE-sized, same class
+    as q125's vocab join) and roll up per source. All stats from integer
+    counts; the two ratios are single IEEE divisions. Reference: tokenizer
+    apply is the missing half of Sennrich ACL'16 training (q131)."""
     docs = spread(load(spark, sf_dir, "documents"))
     _, words = bpe_apply(docs, 2)
     enc = words.select("word", F.size("syms").cast("long").alias("n_syms"))

@@ -713,13 +713,13 @@ def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ntile assignment depends on total row order, so every
     ORDER BY carries c_custkey as the tie-break — both engines quartile
     identically. Scale: one groupBy over orders (partial-agg'd), the
-    anchor is a scalar crossJoin, and the three quartile assignments run
-    through ``scalable_ntile`` (operators/ranking.py): range partition +
-    per-partition rank + exclusive prefix offsets — NTILE semantics
-    bit-identical to the single-task window (pinned in
+    anchor is a scalar crossJoin, and ALL THREE quartile assignments ride
+    ONE range exchange via ``scalable_ntile_multi`` (operators/ranking.py):
+    melt to (metric, sortval), range partition once, per-partition rank +
+    exclusive prefix offsets, closed-form bucket, pivot back — NTILE
+    semantics bit-identical to the single-task window (pinned in
     tests/test_ranking.py) with no single-task window anywhere."""
-    from ..cache import persist_tracked
-    from .ranking import scalable_ntile
+    from .ranking import scalable_ntile_multi
 
     orders = load(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
@@ -738,10 +738,16 @@ def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_sum",
         )
     )
-    t = persist_tracked(per_cust)
-    t = scalable_ntile(t, [col("r_days").asc(), col("c_custkey").asc()], 4, "r_tile")
-    t = scalable_ntile(t, [col("f_cnt").desc(), col("c_custkey").asc()], 4, "f_tile")
-    t = scalable_ntile(t, [col("m_sum").desc(), col("c_custkey").asc()], 4, "m_tile")
+    t = scalable_ntile_multi(
+        per_cust,
+        "c_custkey",
+        [
+            ("r_tile", col("r_days")),
+            ("f_tile", -col("f_cnt")),  # desc ≡ negated asc (ints exact)
+            ("m_tile", -col("m_sum")),
+        ],
+        4,
+    )
     return (
         t.select("c_custkey", "r_days", "f_cnt", "m_sum", "r_tile", "f_tile", "m_tile")
         .withColumn(
