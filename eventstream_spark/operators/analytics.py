@@ -1057,43 +1057,48 @@ def q164_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q168_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU/MAU + stickiness per day — the growth-metrics rollup next
-    to q119's cohort retention. Trailing-window distinct counts avoid the
-    range join entirely: each (day, user) activity row CONTRIBUTES itself
-    to the 7 (resp. 30) trailing windows it falls in via a map-side
-    sequence explode, then one distinct-agg per day. Days are integer
-    epoch-days end to end.
+    to q119's cohort retention. ONE trailing-window contribution explode
+    serves all three horizons: each (day, user) activity row contributes
+    (target_day, user, offset) for offsets 0..29; the per-(target_day,
+    user) MIN offset then classifies the user into every window at once
+    (0 → active today, <7 → in the trailing week, <30 → in the trailing
+    month), so dau/wau/mau are conditional counts over one deduped table
+    — no countDistinct, no per-horizon passes, no join of three
+    aggregates (the r6 form ran 1×/7×/30× explodes through three
+    distinct-aggs and two joins). Days are integer epoch-days end to end.
 
-    Scale: contribution explode multiplies the deduped (day, user) table
-    by 7/30 — rows, not state; the distinct aggregation hash-partitions
-    on day. The alternative (day-spine range join) makes every day a
-    broadcast probe; this form is the one that stays shuffle-bounded when
-    the activity table is 100 TB."""
+    Scale: the explode multiplies the deduped (day, user) table by 30 —
+    rows, not state; shuffle 1 hash-partitions on (day, user) with
+    map-side MIN combine, shuffle 2 rolls up the user-day table on day.
+    The alternative (day-spine range join) makes every day a broadcast
+    probe; this form is the one that stays shuffle-bounded when the
+    activity table is 100 TB."""
     ev = load(spark, sf_dir, "events")
-    ud = (
+    ud = persist_tracked(
         ev.select(
             F.floor(F.unix_micros(col("ts")) / lit(86_400_000_000)).alias("day"),
             "user_id",
-        )
-        .distinct()
+        ).distinct()
     )
-    ud = persist_tracked(ud)
     spine = ud.select("day").distinct()
-
-    def trailing(n: int, name: str) -> DataFrame:
-        contrib = ud.select(
-            F.explode(F.sequence(col("day"), col("day") + lit(n - 1))).alias("day"),
-            "user_id",
-        )
-        return (
-            contrib.join(spine, "day")
-            .groupBy("day")
-            .agg(F.countDistinct("user_id").alias(name))
-        )
-
-    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        col("day").alias("d0"),
+        F.explode(F.sequence(col("day"), col("day") + lit(29))).alias("day"),
+    )
+    per_user_day = (
+        contrib.select("day", "user_id", (col("day") - col("d0")).alias("k"))
+        .groupBy("day", "user_id")
+        .agg(F.min("k").alias("mk"))
+    )
     return (
-        dau.join(trailing(7, "wau"), "day")
-        .join(trailing(30, "mau"), "day")
+        per_user_day.join(spine, "day")
+        .groupBy("day")
+        .agg(
+            F.sum((col("mk") == 0).cast("long")).alias("dau"),
+            F.sum((col("mk") < 7).cast("long")).alias("wau"),
+            F.count("*").alias("mau"),
+        )
         .select(
             "day",
             "dau",
@@ -1262,26 +1267,39 @@ def q175_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass behind recommendations ("customers who bought X..."). Top-10
     pairs by lift at min-support 3.
 
-    Scale: baskets block the pair join on l_orderkey (never all-pairs
-    over items); the HAVING floor prunes before the statistics joins;
-    item supports are a dimension-class table (AQE sizes those joins).
-    The basket table persists — three consumers (N, supports, pairs)."""
-    b = persist_tracked(
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    Scale: ONE shuffle builds the basket arrays (collect_set dedups
+    map-side, fusing the r6 form's distinct + groupBy double exchange);
+    pair generation is then a per-basket array expansion — C(k,2) rows,
+    bounded by basket size squared (baskets are order-sized, never
+    corpus-sized), with no self-join machinery. The HAVING floor prunes
+    before the statistics joins; item supports are a dimension-class
+    table (AQE sizes those joins). The basket table persists — three
+    consumers (N, supports, pairs)."""
+    arr = persist_tracked(
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    s1 = b.groupBy("l_partkey").agg(F.count("*").alias("s"))
-    a = b.alias("a")
-    c = b.alias("c")
+    n = arr.agg(F.count("*").alias("n_orders"))
+    s1 = (
+        arr.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("s"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            col("ps"),
+            lambda x, i: F.transform(
+                F.slice(col("ps"), i + 2, F.size(col("ps"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            c,
-            (col("a.l_orderkey") == col("c.l_orderkey"))
-            & (col("a.l_partkey") < col("c.l_partkey")),
-        )
-        .groupBy(
-            col("a.l_partkey").alias("p1"), col("c.l_partkey").alias("p2")
-        )
+        arr.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count("*").alias("sup"))
         .where(col("sup") >= 3)
     )

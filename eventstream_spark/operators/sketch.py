@@ -549,26 +549,27 @@ def q169_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     along so the one-draw estimation error is visible. Deterministic
     hashes → both engines build the identical sketch → hard oracle.
 
-    Scale: per-set distinct + one union groupBy; the min-k selection is a
-    TakeOrdered-class top-k, never a global sort; everything after is
-    scalar algebra over ≤k rows."""
+    Scale: ONE scan of orders — per-custkey membership flags fold both
+    set filters into a single groupBy (the r6 form scanned orders twice,
+    persisted two hash tables, and ran five scalar jobs); the min-k
+    selection is a TakeOrdered-class top-k, never a global sort;
+    everything after is scalar algebra over ≤k rows. The exact
+    intersection counts IDs in both sets (not hash-join pairs — the
+    id-level count is the honest "exact" label under collisions)."""
     orders = load(spark, sf_dir, "orders")
-    a = (
-        orders.where(col("o_orderpriority") == "1-URGENT")
-        .select(col("o_custkey").alias("id"))
-        .distinct()
+    pri = col("o_orderpriority")
+    g = persist_tracked(
+        orders.where(pri.isin("1-URGENT", "5-LOW"))
+        .select(
+            col("o_custkey").alias("id"),
+            (pri == "1-URGENT").cast("int").alias("fa"),
+            (pri == "5-LOW").cast("int").alias("fb"),
+        )
+        .groupBy("id")
+        .agg(F.max("fa").alias("in_a"), F.max("fb").alias("in_b"))
     )
-    b = (
-        orders.where(col("o_orderpriority") == "5-LOW")
-        .select(col("o_custkey").alias("id"))
-        .distinct()
-    )
-    hv = hash48(col("id").cast("string"))
-    ha = persist_tracked(a.select("id", hv.alias("hv")))
-    hb = persist_tracked(b.select("id", hv.alias("hv")))
-    hu = (
-        ha.select("hv", lit(1).alias("in_a"), lit(0).alias("in_b"))
-        .unionByName(hb.select("hv", lit(0).alias("in_a"), lit(1).alias("in_b")))
+    hu = persist_tracked(
+        g.select(hash48(col("id").cast("string")).alias("hv"), "in_a", "in_b")
         .groupBy("hv")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
@@ -580,10 +581,12 @@ def q169_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.count("*") == _KMV_SET_K, F.max("hv")).alias("theta_hv"),
         )
         .crossJoin(hu.agg(F.count("*").alias("n_union_exact")))
-        .crossJoin(ha.agg(F.count("*").alias("n_a")))
-        .crossJoin(hb.agg(F.count("*").alias("n_b")))
         .crossJoin(
-            ha.join(hb, "hv").agg(F.count("*").alias("n_inter_exact"))
+            g.agg(
+                F.sum("in_a").cast("long").alias("n_a"),
+                F.sum("in_b").cast("long").alias("n_b"),
+                F.sum(col("in_a") * col("in_b")).cast("long").alias("n_inter_exact"),
+            )
         )
     )
     u_est = F.round(
@@ -662,15 +665,16 @@ ORDER BY e.event_type
 def _kmv_set_ops_sql() -> str:
     k = _KMV_SET_K
     return f"""
-WITH a AS (SELECT DISTINCT o_custkey AS id FROM orders
-           WHERE o_orderpriority = '1-URGENT'),
-b AS (SELECT DISTINCT o_custkey AS id FROM orders
-      WHERE o_orderpriority = '5-LOW'),
-ha AS (SELECT id, {hash48_sql('CAST(id AS VARCHAR)')} AS hv FROM a),
-hb AS (SELECT id, {hash48_sql('CAST(id AS VARCHAR)')} AS hv FROM b),
+WITH g AS (
+  SELECT o_custkey AS id,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS in_b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1),
 hu AS (SELECT hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
-        SELECT hv, 1 AS in_a, 0 AS in_b FROM ha
-        UNION ALL SELECT hv, 0, 1 FROM hb) GROUP BY hv),
+        SELECT {hash48_sql('CAST(id AS VARCHAR)')} AS hv, in_a, in_b FROM g)
+       GROUP BY hv),
 mink AS (SELECT hv, in_a, in_b, row_number() OVER (ORDER BY hv) AS rn FROM hu),
 sk AS (SELECT * FROM mink WHERE rn <= {k}),
 scalars AS (
@@ -679,10 +683,9 @@ scalars AS (
          (SELECT CAST(COUNT(*) AS BIGINT) FROM sk) AS k_used,
          (SELECT hv FROM mink WHERE rn = {k}) AS theta_hv,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM hu) AS n_union_exact,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM ha) AS n_a,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM hb) AS n_b,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM ha JOIN hb USING (hv))
-           AS n_inter_exact)
+         (SELECT CAST(SUM(in_a) AS BIGINT) FROM g) AS n_a,
+         (SELECT CAST(SUM(in_b) AS BIGINT) FROM g) AS n_b,
+         (SELECT CAST(SUM(in_a * in_b) AS BIGINT) FROM g) AS n_inter_exact)
 SELECT n_a, n_b, n_union_exact, n_inter_exact,
        COALESCE(ROUND({k - 1} * 281474976710656.0 / theta_hv, 2),
                 CAST(n_union_exact AS DOUBLE)) AS union_est,
