@@ -185,6 +185,9 @@ HEADLINE = [
     "q207_triplet_mining",
     "q208_span_corruption",
     "q209_segment_dedup",
+    # round 7: bottom-k quantile sketch (TakeOrdered sample + one
+    # exact-percentile pass; no fact-table shuffle).
+    "q210_quantile_sketch",
 ]
 
 

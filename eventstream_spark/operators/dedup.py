@@ -1047,7 +1047,15 @@ def doc_segments(docs: DataFrame) -> DataFrame:
     """Explode each document into its non-overlapping _SEG_W-token segments:
     (doc_id, source, seg_no, seg_hash, n_toks). Pure map-side — the segment
     array builds per row via transform over ceil(n/_SEG_W) slices."""
-    w = tokens("text")
+    return segments_from_tokens(
+        docs.select("doc_id", "source", tokens("text").alias("w"))
+    )
+
+
+def segments_from_tokens(tok: DataFrame) -> DataFrame:
+    """doc_segments over a pre-tokenized (doc_id, source, w) table — the
+    form the composed pipeline (q89b) uses so the corpus tokenizes once."""
+    w = col("w")
     nseg = F.ceil(F.size(w) / lit(_SEG_W)).cast("int")
     # nseg=0 (empty/whitespace-only doc) must yield NO segments: a bare
     # sequence(0, nseg-1) would produce the DESCENDING array [0,-1] and two
@@ -1060,7 +1068,7 @@ def doc_segments(docs: DataFrame) -> DataFrame:
             lambda k: F.concat_ws(" ", F.slice(w, k * _SEG_W + 1, _SEG_W)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    return tok.select(
         "doc_id", "source", F.size(w).alias("n"),
         F.posexplode(segs).alias("seg_no", "seg"),
     ).select(
@@ -1122,13 +1130,22 @@ def q209_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEG_SLICE = f"list_slice(w, k * {_SEG_W} + 1, (k + 1) * {_SEG_W})"
 
-_SEGMENT_DEDUP_SQL = f"""
-WITH t AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
-seg AS (
+
+def seg_select_sql(src: str) -> str:
+    """duckdb SELECT producing the exploded segment rows (doc_id, source,
+    seg_no, seg_hash, n_toks) from a pre-tokenized table ``src`` holding
+    (doc_id, source, w) — shared by the q209 oracle and the composed
+    pipeline (q89b) oracle so both spell the identical segmentation."""
+    return f"""
   SELECT doc_id, source, k AS seg_no,
          {hash48_sql(f"array_to_string({_SEG_SLICE}, ' ')")} AS seg_hash,
          LEAST({_SEG_W}, len(w) - k * {_SEG_W}) AS n_toks
-  FROM t, UNNEST(range(0, CAST(CEIL(len(w) / {_SEG_W}.0) AS BIGINT))) AS u(k)),
+  FROM {src}, UNNEST(range(0, CAST(CEIL(len(w) / {_SEG_W}.0) AS BIGINT))) AS u(k)"""
+
+
+_SEGMENT_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+seg AS ({seg_select_sql('t')}),
 dup AS (
   SELECT seg_hash, 1 AS is_dup FROM seg
   GROUP BY seg_hash HAVING COUNT(DISTINCT doc_id) >= 2),

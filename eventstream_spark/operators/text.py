@@ -1321,7 +1321,11 @@ def q201_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clf_score_sql() -> str:
+def clf_scored_cte_sql(src: str) -> str:
+    """duckdb CTE body computing (doc_id, source, w, lm) — the per-doc
+    classifier micro-logit — from a pre-tokenized table ``src`` holding
+    (doc_id, source, w). Shared by the q201 oracle and the composed
+    pipeline (q89b) oracle so both spell the identical model."""
     h = f"CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % {_CLF_DIM}"
     arms = " ".join(
         f"WHEN {b} THEN {w}" for b, w in sorted(_clf_bucket_weights().items())
@@ -1332,18 +1336,24 @@ def _clf_score_sql() -> str:
         " i -> w[i] || ' ' || w[i + 1])])"
     )
     return f"""
-WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
-g AS (SELECT doc_id, source, {grams} AS grams FROM tok),
-dotp AS (
-  SELECT doc_id, source, len(grams) AS n_grams,
+g_{src} AS (SELECT doc_id, source, w, {grams} AS grams FROM {src}),
+dotp_{src} AS (
+  SELECT doc_id, source, w, len(grams) AS n_grams,
          COALESCE(CAST(list_sum(list_transform(grams, g -> {case})) AS BIGINT), 0)
            AS dot
-  FROM g),
-scored AS (
-  SELECT doc_id, source,
+  FROM g_{src}),
+scored_{src} AS (
+  SELECT doc_id, source, w,
          {_CLF_BIAS_MICRO} + CAST(FLOOR(CAST(dot AS DOUBLE) / n_grams) AS BIGINT)
            AS lm
-  FROM dotp)
+  FROM dotp_{src})"""
+
+
+def _clf_score_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+{clf_scored_cte_sql('tok')},
+scored AS (SELECT doc_id, source, lm FROM scored_tok)
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN lm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spam,
        ROUND(CAST(SUM(lm) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_logit,
@@ -1451,20 +1461,30 @@ def bigram_backoff_logprob(docs: DataFrame) -> DataFrame:
     broadcast. Nothing all-pairs, nothing driver-side.
 
     Returns (doc_id, source, n_bg, doc_logp) for docs with >= 1 bigram."""
-    w = tokens("text")
+    return bigram_logprob_from_tokens(
+        docs.select("doc_id", "source", tokens("text").alias("w"))
+    )
+
+
+def bigram_logprob_from_tokens(tok: DataFrame) -> DataFrame:
+    """bigram_backoff_logprob over a pre-tokenized (doc_id, source, w)
+    table — the form the composed pipeline (q89b) uses so the corpus
+    tokenizes once. Same LM, same held-in slice rule (doc_id % 4 == 0 of
+    the INPUT table), same integer-micro quantization."""
+    w = col("w")
     m = F.greatest(F.size(w) - 1, lit(0))
     pairs = F.zip_with(
         F.slice(w, 1, m),
         F.slice(w, 2, m),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    bg = docs.select("doc_id", "source", F.explode(pairs).alias("b")).select(
+    bg = tok.select("doc_id", "source", F.explode(pairs).alias("b")).select(
         "doc_id", "source", col("b.w1").alias("w1"), col("b.w2").alias("w2")
     )
     tf = bg.groupBy("doc_id", "source", "w1", "w2").agg(F.count("*").alias("c"))
-    train = docs.where(col("doc_id") % _BG_TRAIN_MOD == 0)
+    train = tok.where(col("doc_id") % _BG_TRAIN_MOD == 0)
     uni = (
-        train.select(F.explode(tokens("text")).alias("term"))
+        train.select(F.explode(w).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("uc"))
     )
@@ -1520,43 +1540,55 @@ def q203_bigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BIGRAM_LM_SQL = f"""
-WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
-bg0 AS (
+def bigram_doc_logp_cte_sql(src: str) -> str:
+    """duckdb CTE chain ending in ``doc_{src}(doc_id, source, n_bg,
+    doc_logp)`` — the stupid-backoff bigram-LM doc scores — from a
+    pre-tokenized table ``src`` holding (doc_id, source, w). Shared by the
+    q203 oracle and the composed pipeline (q89b) oracle; the held-in
+    slice rule (doc_id % _BG_TRAIN_MOD == 0 of the INPUT table) rides
+    along."""
+    return f"""
+bg0_{src} AS (
   SELECT doc_id, source,
          unnest(list_transform(range(1, len(w)),
                                i -> {{'w1': w[i], 'w2': w[i + 1]}})) AS b
-  FROM tok),
-bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg0),
-tf AS (SELECT doc_id, source, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3, 4),
-uni AS (
+  FROM {src}),
+bg_{src} AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bg0_{src}),
+tf_{src} AS (SELECT doc_id, source, w1, w2, COUNT(*) AS c
+             FROM bg_{src} GROUP BY 1, 2, 3, 4),
+uni_{src} AS (
   SELECT term, COUNT(*) AS uc
-  FROM (SELECT unnest(w) AS term FROM tok WHERE doc_id % {_BG_TRAIN_MOD} = 0)
+  FROM (SELECT unnest(w) AS term FROM {src} WHERE doc_id % {_BG_TRAIN_MOD} = 0)
   GROUP BY 1),
-tot AS (SELECT CAST(SUM(uc) AS DOUBLE) AS t FROM uni),
-bgc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg
-        WHERE doc_id % {_BG_TRAIN_MOD} = 0 GROUP BY 1, 2),
-sc AS (
+tot_{src} AS (SELECT CAST(SUM(uc) AS DOUBLE) AS t FROM uni_{src}),
+bgc_{src} AS (SELECT w1, w2, COUNT(*) AS bc FROM bg_{src}
+              WHERE doc_id % {_BG_TRAIN_MOD} = 0 GROUP BY 1, 2),
+sc_{src} AS (
   SELECT f.doc_id, f.source, f.c,
          CAST(ROUND(1e6 * CASE
              WHEN b.bc IS NOT NULL THEN ln(b.bc / u1.uc)
              ELSE ln((CAST({_BG_BACKOFF} AS DOUBLE) * COALESCE(u2.uc, 1)) / t.t)
            END) AS BIGINT) AS llmicro
-  FROM tf f
-  LEFT JOIN bgc b ON f.w1 = b.w1 AND f.w2 = b.w2
-  LEFT JOIN uni u1 ON f.w1 = u1.term
-  LEFT JOIN uni u2 ON f.w2 = u2.term
-  CROSS JOIN tot t),
-doc AS (
+  FROM tf_{src} f
+  LEFT JOIN bgc_{src} b ON f.w1 = b.w1 AND f.w2 = b.w2
+  LEFT JOIN uni_{src} u1 ON f.w1 = u1.term
+  LEFT JOIN uni_{src} u2 ON f.w2 = u2.term
+  CROSS JOIN tot_{src} t),
+doc_{src} AS (
   SELECT doc_id, source, SUM(c) AS n_bg,
          SUM(c * llmicro) / SUM(c) / 1e6 AS doc_logp
-  FROM sc GROUP BY 1, 2)
+  FROM sc_{src} GROUP BY 1, 2)"""
+
+
+_BIGRAM_LM_SQL = f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+{bigram_doc_logp_cte_sql('tok')}
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(doc_logp), 4) AS avg_logp,
        ROUND(MIN(doc_logp), 4) AS min_logp,
        CAST(SUM(CASE WHEN doc_logp < {_BG_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_flagged
-FROM doc GROUP BY 1 ORDER BY 1
+FROM doc_tok GROUP BY 1 ORDER BY 1
 """
 
 

@@ -239,6 +239,9 @@ SCALE_QUERIES = [
     "q207_triplet_mining",
     "q208_span_corruption",
     "q209_segment_dedup",
+    # round 7: TakeOrdered sample (per-partition heaps, K-row driver merge)
+    # + one exact-percentile pass — the fact table never shuffles.
+    "q210_quantile_sketch",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

@@ -134,3 +134,57 @@ def test_bloom_grows_bits_with_build_side(spark):
     # and still zero false negatives at this size
     hits = build.where(bloom_might_contain(bmp, col("k"))).count()
     assert hits == 40_000
+
+
+def test_bottomk_sample_merge_property(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    mergeability that lets shards sketch independently and a coordinator
+    merge K-row states (q210's scale contract). Pinned on adversarial
+    splits: every global bottom-k row concentrated in ONE shard, an
+    interleaved split, an extreme-skew split, and an empty shard."""
+    from pyspark.sql.functions import lit
+
+    from eventstream_spark.functions import hash48
+    from eventstream_spark.operators.sketch import bottomk_sample
+
+    k = 64
+    rows = [(i, j, float(i * 7 + j)) for i in range(400) for j in range(1, 4)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_extendedprice double"
+    )
+    pri = hash48(F.concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+
+    def rowset(d):
+        return sorted(
+            (r.l_orderkey, r.l_linenumber, r.l_extendedprice)
+            for r in d.select(
+                "l_orderkey", "l_linenumber", "l_extendedprice"
+            ).collect()
+        )
+
+    expected = rowset(bottomk_sample(df, k))
+    assert len(expected) == k
+
+    # priority cut placing ALL of the global bottom-k inside shard A —
+    # the split where a buggy merge silently agrees unless B's sketch is
+    # truly redundant
+    pris = sorted(r[0] for r in df.select(pri).collect())
+    cut = pris[3 * k]
+    splits = [
+        (df.where(pri <= lit(cut)), df.where(pri > lit(cut))),
+        (df.where(col("l_orderkey") % 2 == 0), df.where(col("l_orderkey") % 2 == 1)),
+        (df.limit(5), df.subtract(df.limit(5))),
+        (df.where(lit(False)), df),  # empty shard merges as identity
+    ]
+    for a, b in splits:
+        merged = bottomk_sample(
+            bottomk_sample(a, k)
+            .drop("pri")
+            .unionByName(bottomk_sample(b, k).drop("pri")),
+            k,
+        )
+        assert rowset(merged) == expected
+
+    # k larger than the data: the sketch degrades to the exact rowset
+    tiny = df.limit(10)
+    assert rowset(bottomk_sample(tiny, k)) == rowset(tiny)
