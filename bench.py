@@ -186,7 +186,10 @@ HEADLINE = [
     "q208_span_corruption",
     "q209_segment_dedup",
     # round 7: bottom-k quantile sketch (TakeOrdered sample + one
-    # exact-percentile pass; no fact-table shuffle).
+    # exact-percentile pass; no fact-table shuffle). q89b (composed
+    # curation pipeline) stays oracle-gated but NOT headlined: it re-runs
+    # the q201/q203/q209/q204/q202 stages end-to-end, all five already
+    # timed individually — the q162/q173 double-count convention.
     "q210_quantile_sketch",
 ]
 

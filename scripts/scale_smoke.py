@@ -240,8 +240,11 @@ SCALE_QUERIES = [
     "q208_span_corruption",
     "q209_segment_dedup",
     # round 7: TakeOrdered sample (per-partition heaps, K-row driver merge)
-    # + one exact-percentile pass — the fact table never shuffles.
+    # + one exact-percentile pass — the fact table never shuffles. q89b
+    # composes the measured q201/q203/q209/q204/q202 stages in one plan —
+    # the smoke checks the composition keeps each stage's bound.
     "q210_quantile_sketch",
+    "q89b_curation_pipeline",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica
@@ -381,11 +384,21 @@ def build_graph(spark, n: int) -> str:
 
 
 def _run(queries, name, spark, sf_dir) -> float:
+    from eventstream_spark.cache import release_cached
+
     runs = []
     for _ in range(2):
+        # Release operator-internal persists BEFORE each timed run: the
+        # second (warm-JIT) run must recompute the persisted lineage, not
+        # read the first run's cache — otherwise any query whose persist
+        # sits upstream of everything (q89b's token projection, the LSH
+        # bucket tables) measures a cache read instead of the plan. Found
+        # in round 7 when q89b's 100x run came back FASTER than 1x.
+        release_cached()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
+    release_cached()
     return round(runs[-1], 3)  # warm: first run compiled the plan
 
 

@@ -490,3 +490,22 @@ def test_q194_bucketed_join_reads_colocated_buckets(spark, sf_dir):
     )
     below = "\n".join(lines[join_idx:])
     assert "Exchange hashpartitioning" not in below
+
+
+def test_q89b_curation_pipeline_tokenizes_once(spark, sf_dir):
+    """The composed curation pipeline (classifier → perplexity → segment
+    dedup → mixing → epoch shuffle) must tokenize the corpus exactly ONCE:
+    the (doc_id, source, w) projection persists and every stage reads the
+    cache. In formatted explain the tokenizer expression appears exactly
+    once (inside the one cached-relation definition) — a second occurrence
+    means some stage re-derived tokens from raw text."""
+    from eventstream_spark.operators.pipeline import q89b_curation_pipeline
+
+    df = q89b_curation_pipeline(spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert p.count("split(") == 1
+    assert "InMemoryTableScan" in p  # the stages read the cached projection
