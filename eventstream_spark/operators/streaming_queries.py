@@ -40,6 +40,11 @@ def _link_table(sf_dir: str, table: str, prefix: str) -> str:
     files, e.g. the 100x scale replicas) symlinks each part file FLAT into
     the landing dir — which is also what a real landing zone looks like,
     and what gives maxFilesPerTrigger real batches to bound."""
+    # abspath: the symlink lives in /tmp, so a RELATIVE sf_dir would
+    # create links whose targets resolve against /tmp — every one broken,
+    # and the file source silently reads zero files (11 streaming queries
+    # "passed" with spark=0 until a relative-path invocation surfaced it).
+    sf_dir = os.path.abspath(sf_dir)
     src = os.path.join(sf_dir, f"{table}.parquet")
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
