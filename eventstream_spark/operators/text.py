@@ -51,14 +51,21 @@ def predicted_lang_sql() -> str:
 
 
 def quality_score_sql() -> str:
-    """SQL mirror of quality_score(); expects columns text and w (tokens)."""
-    return f"""ROUND(
-         LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+    """SQL mirror of quality_score(); expects columns text and w (tokens).
+
+    The 4-decimal quantization is FLOOR(x·10⁴ + 0.5)/10⁴, not ROUND:
+    engine ROUND(double, n) implementations differ at decimal knife edges
+    (Spark rounds the double's exact decimal expansion half-up; duckdb
+    multiplies first) — a real sf0.1 document landed on one (0.8402 vs
+    0.8403). The floor form is bit-deterministic: both engines compute
+    the identical IEEE product, sum, and floor."""
+    return f"""FLOOR(
+         (LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
          + (1.0 - CAST(len(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE)
                   / CAST(len(text) AS DOUBLE)) * 0.3
          + LEAST(CAST({_marker_count_sql('en')} AS DOUBLE)
-                 / CAST(len(w) AS DOUBLE) * 5.0, 1.0) * 0.3,
-         4)"""
+                 / CAST(len(w) AS DOUBLE) * 5.0, 1.0) * 0.3)
+         * 10000.0 + 0.5) / 10000.0"""
 
 
 def q24_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,12 +118,15 @@ def quality_score() -> Column:
     punct = F.length(F.regexp_replace(col("text"), r"[^!?.,;:]", "")).cast("double")
     text_len = F.length("text").cast("double")
     stop_hits = _marker_count(toks, "en").cast("double")
-    return F.round(
+    raw = (
         F.least(n_tokens / lit(100.0), lit(1.0)) * 0.4
         + (lit(1.0) - punct / text_len) * 0.3
-        + F.least(stop_hits / n_tokens * 5.0, lit(1.0)) * 0.3,
-        4,
+        + F.least(stop_hits / n_tokens * 5.0, lit(1.0)) * 0.3
     )
+    # FLOOR(x·10⁴ + 0.5)/10⁴, not ROUND(x, 4): engine ROUND(double)
+    # implementations diverge at decimal knife edges (see
+    # quality_score_sql) — this form is bit-deterministic across engines.
+    return F.floor(raw * lit(10000.0) + lit(0.5)) / lit(10000.0)
 
 
 def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

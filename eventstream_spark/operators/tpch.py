@@ -471,7 +471,12 @@ def q107_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TPC-H Q6): the pure scan-filter-aggregate shape — no join, no group
     key, so the whole query is one map-side partial agg folded into a
     single-row final agg. All three predicates push to the parquet scan.
-    Per-row ROUND → DECIMAL sum so the one global fold is order-exact."""
+    Per-row cents via FLOOR(x·100 + 0.5) — not ROUND(x, 2), whose
+    half-up rule engines implement differently at decimal knife edges
+    (one sf0.1 row landed on one) — then an exact integer cents sum, so
+    the one global fold is order-exact AND the per-row quantization is
+    bit-deterministic (both engines evaluate the identical IEEE product
+    and floor)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -482,13 +487,15 @@ def q107_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(
-                F.round(col("l_extendedprice") * col("l_discount"), 2).cast(
-                    "decimal(18,2)"
+            (
+                F.sum(
+                    F.floor(
+                        col("l_extendedprice") * col("l_discount") * lit(100.0)
+                        + lit(0.5)
+                    ).cast("long")
                 )
-            )
-            .cast("double")
-            .alias("revenue"),
+                / lit(100.0)
+            ).alias("revenue"),
         )
     )
 
@@ -944,7 +951,8 @@ GROUP BY 1 ORDER BY 1
 """,
     "q107_forecast_revenue": """
 SELECT COUNT(*) AS n_lines,
-       CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
