@@ -730,34 +730,50 @@ def bottomk_sample(lineitem: DataFrame, k: int = _QSK_K) -> DataFrame:
 
 def q210_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile estimates of l_extendedprice from the bottom-k sample vs the
-    exact percentile, with the rank error the sample bound promises.
+    exact decile, with the rank error the sample bound promises.
 
-    Estimate = nearest-rank-below pick from the sorted sample:
-    sample_sorted[floor((n-1)·d/10) + 1] — pure integer indexing, no
-    interpolation, so the estimate is an actual data value and the oracle
-    comparison is exact. The exact side is one percentile aggregate
-    (single global buffer — approx_percentile is the documented 100 TB
-    swap; the SKETCH side is the scale path being demonstrated).
+    BOTH columns are nearest-rank-below picks — value at rank
+    floor((n−1)·d/10) + 1 of the (value, row-key)-sorted table — so both
+    are actual data values selected by the SAME integer rule: no
+    interpolation, no float formula, no ROUND knife edges (the q31/q107
+    divergence class), and the error column measures pure sampling error.
 
-    Scale: TakeOrdered sample (K-row driver state) + one exact-percentile
-    pass for the error column; the sketch itself never shuffles the fact
-    table."""
+    Scale: TakeOrdered sample (K-row driver state, no fact shuffle) +
+    ONE range exchange for the exact ranks (global_row_number machinery —
+    the same exchange any global sort pays; Spark's exact `percentile`
+    aggregate was 3× slower at sf0.1 and holds a per-task value-count map
+    that grows with distinct values). The ≤9-row rank pick collects
+    driver-side — the prefix-offset scalar class."""
+    from .ranking import _ranked_with_total
+
     li = load(spark, sf_dir, "lineitem")
     samp = bottomk_sample(li).agg(
         F.sort_array(F.collect_list("l_extendedprice")).alias("sv")
     )
-    exact = li.agg(
-        F.percentile(
-            col("l_extendedprice"),
-            F.array(*[lit(d / 10.0) for d in range(1, 10)]),
-        ).alias("ev")
+    ranked, n = _ranked_with_total(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [
+            col("l_extendedprice").asc(),
+            col("l_orderkey").asc(),
+            col("l_linenumber").asc(),
+        ],
+        "_r",
     )
+    need = sorted({((n - 1) * d) // 10 + 1 for d in range(1, 10)})
+    picked = {
+        r["_r"]: r["l_extendedprice"]
+        for r in ranked.where(col("_r").isin(need))
+        .select("_r", "l_extendedprice")
+        .collect()
+    }
+    ev = F.array(*[lit(picked[((n - 1) * d) // 10 + 1]) for d in range(1, 10)])
     d = col("decile")
     idx = (F.floor(((F.size(col("sv")) - 1) * d) / 10) + 1).cast("int")
     return (
-        samp.crossJoin(exact)
-        .select(
-            F.explode(F.sequence(lit(1), lit(9))).alias("decile"), "sv", "ev"
+        samp.select(
+            F.explode(F.sequence(lit(1), lit(9))).alias("decile"),
+            "sv",
+            ev.alias("ev"),
         )
         .select(
             "decile",
@@ -783,8 +799,16 @@ WITH samp AS (
         FROM lineitem)
   ORDER BY pri, l_orderkey, l_linenumber LIMIT {_QSK_K}),
 sv AS (SELECT list(l_extendedprice ORDER BY l_extendedprice) AS sv FROM samp),
-ev AS (SELECT [{", ".join(f"quantile_cont(l_extendedprice, {d / 10.0})" for d in range(1, 10))}]
-         AS ev FROM lineitem),
+rk AS (SELECT l_extendedprice,
+              ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                 l_linenumber) AS r
+       FROM lineitem),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+ev AS (SELECT list(x.l_extendedprice ORDER BY x.decile) AS ev FROM (
+         SELECT d.decile, r.l_extendedprice
+         FROM (SELECT unnest(range(1, 10)) AS decile) d
+         CROSS JOIN nn
+         JOIN rk r ON r.r = ((nn.n - 1) * d.decile) // 10 + 1) x),
 d AS (SELECT unnest(range(1, 10)) AS decile)
 SELECT d.decile,
        ROUND(sv.sv[CAST(((len(sv.sv) - 1) * d.decile) // 10 + 1 AS INT)], 2) AS est,
