@@ -191,6 +191,13 @@ HEADLINE = [
     # the q201/q203/q209/q204/q202 stages end-to-end, all five already
     # timed individually — the q162/q173 double-count convention.
     "q210_quantile_sketch",
+    # round 7 (cont.): DSIR importance resampling (bucket-stat groupBy +
+    # broadcast scoring + range-partitioned top-fraction), embedding
+    # Gram/covariance (int64 GEMM partials per Arrow batch, one (i,j)
+    # reduce), negative-sampling table (one token groupBy + TakeOrdered).
+    "q211_dsir_select",
+    "q212_embedding_gram",
+    "q213_negative_sampling",
 ]
 
 

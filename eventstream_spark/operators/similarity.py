@@ -860,6 +860,106 @@ def q51b_matmul_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matmul_topk_per_query(emb, col("vec_id") < 10, k=5)
 
 
+# --- q212: embedding Gram / covariance audit ---------------------------------
+# The PCA/whitening PREP step an embedding pipeline runs before
+# dimensionality reduction or ZCA whitening: the d×d Gram matrix X'X and
+# the mean-centered covariance, computed EXACTLY over integer-quantized
+# elements. The eigen-solve itself is the d×d driver/BLAS step (d ≤ a few
+# hundred — scalar class, like the k-means centroid handoff); this
+# operator is the corpus-wide pass that feeds it. Complements q151 (corr
+# over a few chosen scalar columns) with the full outer-product over the
+# VECTOR column, and q186 (INT8 quant audit) with second-moment structure.
+
+
+def q212_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle (i ≤ j) of the d×d Gram and covariance of the
+    embedding corpus, exact: elements quantize to milli-units via the
+    knife-proof FLOOR(x·1000 + 0.5), per-batch partials are int64 numpy
+    matmuls (X'X — exact integer, partial-order-proof), and the final
+    covariance is one FLOOR((n·Sij − Si·Sj)/n² + 0.5) on exact integers.
+
+    Scale: the corpus pass is mapInPandas emitting d(d+1)/2 + d + 1
+    partial rows PER ARROW BATCH (the q51b GEMM pattern — one BLAS-class
+    int64 matmul per batch instead of n·d² expression evaluations); ONE
+    (i, j) shuffle reduces batch partials; everything after is
+    d²-dimension math with broadcast joins. Dim derives from the data
+    per batch — no fixture literal (the q186 bug class)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(as_double_array(col("embedding")).alias("v"))
+
+    def gram_parts(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.floor(
+                np.array(pdf["v"].tolist(), dtype=np.float64) * 1000.0 + 0.5
+            ).astype(np.int64)
+            n, d = X.shape
+            G = X.T @ X  # int64-exact
+            S = X.sum(axis=0)
+            ii, jj = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii, np.arange(d), [-1]]).astype(np.int32),
+                    "j": np.concatenate(
+                        [jj, np.full(d, -1), [-1]]
+                    ).astype(np.int32),
+                    "p": np.concatenate([G[ii, jj], S, [n]]).astype(np.int64),
+                }
+            )
+
+    agg = persist_tracked(
+        e.mapInPandas(gram_parts, schema="i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("p"))
+    )
+    nrow = agg.where(col("i") == -1).select(col("p").alias("n"))
+    s_i = agg.where((col("j") == -1) & (col("i") >= 0)).select(
+        col("i").alias("k"), col("p").alias("s")
+    )
+    return (
+        agg.where(col("j") >= 0)
+        .join(F.broadcast(s_i.select(col("k").alias("i"), col("s").alias("si"))), "i")
+        .join(F.broadcast(s_i.select(col("k").alias("j"), col("s").alias("sj"))), "j")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            "j",
+            col("p").alias("gram"),
+            F.floor(
+                (col("n") * col("p") - col("si") * col("sj")).cast("double")
+                / (col("n") * col("n"))
+                + lit(0.5)
+            )
+            .cast("long")
+            .alias("cov_m2"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+_GRAM_SQL = f"""
+WITH e AS (SELECT {as_double_array_sql('embedding')} AS v FROM embeddings),
+q AS (SELECT list_transform(v, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
+      FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+pair AS (
+  SELECT t.i, t2.j, CAST(SUM(xm[t.i + 1] * xm[t2.j + 1]) AS BIGINT) AS sij
+  FROM q, UNNEST(range(0, len(xm))) AS t(i), UNNEST(range(0, len(xm))) AS t2(j)
+  WHERE t2.j >= t.i GROUP BY 1, 2),
+s AS (SELECT t.i, CAST(SUM(xm[t.i + 1]) AS BIGINT) AS si
+      FROM q, UNNEST(range(0, len(xm))) AS t(i) GROUP BY 1)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.sij AS gram,
+       CAST(FLOOR((nn.n * p.sij - a.si * b.si) * 1.0 / (nn.n * nn.n) + 0.5)
+            AS BIGINT) AS cov_m2
+FROM pair p JOIN s a ON a.i = p.i JOIN s b ON b.i = p.j CROSS JOIN nn
+ORDER BY p.i, p.j
+"""
+
+
 # --- oracles ---------------------------------------------------------------
 
 def _lsh_multiprobe_sql(k: int = 3, n_planes: int | None = None) -> str:
@@ -1200,6 +1300,7 @@ FROM g WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL ORDER BY anchor
 
 
 ORACLES = {
+    "q212_embedding_gram": _GRAM_SQL,
     "q206_mmd_drift": _MMD_SQL,
     "q207_triplet_mining": _TRIPLET_SQL,
     "q85_pq_ann": _pq_sql(),
@@ -1336,6 +1437,7 @@ GROUP BY cell, i ORDER BY cell, i
 }
 
 QUERIES = {
+    "q212_embedding_gram": q212_embedding_gram,
     "q206_mmd_drift": q206_mmd_drift,
     "q207_triplet_mining": q207_triplet_mining,
     "q50_knn_exact": q50_knn_exact,

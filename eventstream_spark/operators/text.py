@@ -1905,9 +1905,219 @@ FROM d GROUP BY source ORDER BY source
 """
 
 
+# --- q211: DSIR importance resampling ----------------------------------------
+# Xie et al. NeurIPS'23 (Data Selection via Importance Resampling): score
+# every raw document by how much more likely its hashed n-gram features are
+# under a TARGET distribution than under the raw-corpus distribution, and
+# keep the top fraction. This is the third rung of model-based selection
+# here and distinct from both neighbors: q201 ships FIXED literal weights
+# (a pre-trained classifier), q203 trains a generative bigram LM and
+# thresholds perplexity — DSIR derives per-bucket log-ratio weights FROM
+# the data (target slice vs whole corpus) and RANKS docs for a budget
+# rather than gating on an absolute threshold. Target = the doc_id % 4
+# held-in slice (q203's trusted-slice convention).
+
+_DSIR_DIM = 4096       # hashed gram buckets (hashing trick; q201's space)
+_DSIR_KEEP_DIV = 4     # keep the global top 1/#, i.e. 25% of docs
+
+
+def q211_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DSIR selection accounting: docs scored by mean hashed
+    uni+bigram importance log-ratio (micro-quantized per bucket via the
+    knife-proof FLOOR(x·1e6 + 0.5) form, exact integer doc sums, one
+    FLOOR division to the per-doc weight), globally ranked, top 25% kept.
+
+    Scale: bucket stats are ONE groupBy over the exploded grams fused for
+    raw and target counts (the λ table is _DSIR_DIM rows — broadcast);
+    scoring is a second pass over the cached token projection with a
+    broadcast join; the global top-K uses the range-partitioned rank
+    (operators/ranking.py), never a single-task window or a driver
+    collect of the corpus. Docs with zero grams are unscorable and never
+    selected (both engines drop them in the gram explode)."""
+    from .ranking import _ranked_with_total
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = persist_tracked(
+        docs.select("doc_id", "source", tokens("text").alias("w"))
+    )
+    gb = tok.select(
+        "doc_id", "source", F.explode(F.expr(_clf_grams_expr())).alias("g")
+    ).select("doc_id", "source", (hash48(col("g")) % _DSIR_DIM).alias("b"))
+    counts = gb.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.sum((col("doc_id") % 4 == 0).cast("long")).alias("tc"),
+    )
+    tots = counts.agg(
+        F.sum("rc").alias("rr"), F.sum("tc").alias("tt")
+    )
+    lam = counts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.floor(
+            lit(1e6)
+            * (
+                F.log((col("tc") + 1) / (col("tt") + lit(_DSIR_DIM)).cast("double"))
+                - F.log((col("rc") + 1) / (col("rr") + lit(_DSIR_DIM)).cast("double"))
+            )
+            + lit(0.5)
+        )
+        .cast("long")
+        .alias("lam"),
+    )
+    sc = (
+        gb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_g"), F.sum("lam").alias("ws"))
+        .select(
+            "doc_id",
+            "source",
+            F.floor(col("ws") / col("n_g").cast("double")).cast("long").alias("w_q"),
+        )
+    )
+    ranked, n = _ranked_with_total(
+        sc, [col("w_q").desc(), col("doc_id").asc()], "_r"
+    )
+    k = -(-n // _DSIR_KEEP_DIV)
+    sel = ranked.select(
+        "source", "w_q", (col("_r") <= k).cast("long").alias("selected")
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("selected").alias("n_selected"),
+            F.round(F.sum("w_q") / F.count("*") / lit(1e6), 4).alias("avg_w"),
+            F.round(
+                F.sum(F.when(col("selected") == 1, col("w_q")))
+                / F.sum("selected")
+                / lit(1e6),
+                4,
+            ).alias("avg_w_sel"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dsir_sql() -> str:
+    grams = (
+        "flatten([w, list_transform(range(1, len(w)),"
+        " i -> w[i] || ' ' || w[i + 1])])"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+g AS (SELECT doc_id, source, unnest({grams}) AS g FROM tok),
+gb AS (SELECT doc_id, source, {hash48_sql('g')} % {_DSIR_DIM} AS b FROM g),
+counts AS (
+  SELECT b, COUNT(*) AS rc,
+         SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS tc
+  FROM gb GROUP BY 1),
+tots AS (SELECT CAST(SUM(rc) AS BIGINT) AS rr, CAST(SUM(tc) AS BIGINT) AS tt
+         FROM counts),
+lam AS (
+  SELECT b,
+         CAST(FLOOR(1e6 * (ln((tc + 1) / CAST(tt + {_DSIR_DIM} AS DOUBLE))
+                           - ln((rc + 1) / CAST(rr + {_DSIR_DIM} AS DOUBLE)))
+                    + 0.5) AS BIGINT) AS lam
+  FROM counts CROSS JOIN tots),
+sc AS (
+  SELECT doc_id, source, COUNT(*) AS n_g, CAST(SUM(lam) AS BIGINT) AS ws
+  FROM gb JOIN lam USING (b) GROUP BY 1, 2),
+wq AS (SELECT doc_id, source,
+              CAST(FLOOR(ws / CAST(n_g AS DOUBLE)) AS BIGINT) AS w_q
+       FROM sc),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY w_q DESC, doc_id) AS r FROM wq),
+nn AS (SELECT CAST(CEIL(COUNT(*) / {_DSIR_KEEP_DIV}.0) AS BIGINT) AS k FROM wq),
+sel AS (SELECT source, w_q,
+               CASE WHEN r <= nn.k THEN 1 ELSE 0 END AS selected
+        FROM rk CROSS JOIN nn)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(selected) AS BIGINT) AS n_selected,
+       ROUND(SUM(w_q) / COUNT(*) / 1e6, 4) AS avg_w,
+       ROUND(SUM(CASE WHEN selected = 1 THEN w_q END)
+             / SUM(selected) / 1e6, 4) AS avg_w_sel
+FROM sel GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q213: negative-sampling candidate table ---------------------------------
+# Mikolov et al. NIPS'13 (word2vec): negative examples draw from the
+# smoothed unigram distribution P(w) ∝ count(w)^0.75 — the candidate-
+# sampling table every embedding/contrastive training job materializes
+# before training. The 0.75 exponent up-weights the tail exactly the way
+# q204's alpha does for SOURCES; this is the TERM-level member. Output is
+# the top-_NS_TOP terms of the table with their sampling probabilities,
+# the cumulative boundary each occupies (the inverse-CDF lookup a sampler
+# binary-searches), and how much of the total sampling mass the table
+# covers.
+
+_NS_TOP = 64
+_NS_ALPHA = 0.75
+
+
+def q213_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE token-count groupBy (map-side partial) absorbs the
+    corpus; weights are w = FLOOR(1e6·exp(0.75·ln c) + 0.5) — exact
+    integers, knife-proof; the top-64 selection is TakeOrdered (count
+    desc, term — never a global sort); the cumulative window runs over
+    the 64-row result (dimension-class); the mass total is a 1-row
+    broadcast."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "term",
+            "cnt",
+            F.floor(lit(1e6) * F.exp(lit(_NS_ALPHA) * F.log(col("cnt"))) + lit(0.5))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    tot = tf.agg(F.sum("w").alias("tot_w"))
+    top = tf.orderBy(col("cnt").desc(), col("term").asc()).limit(_NS_TOP)
+    win = Window.orderBy(col("cnt").desc(), col("term").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(col("cnt").desc(), col("term").asc()))
+            .cast("long")
+            .alias("rank"),
+            "term",
+            "cnt",
+            F.round(col("w") / col("tot_w"), 6).alias("prob"),
+            F.round(F.sum("w").over(win) / col("tot_w"), 6).alias("cum_prob"),
+        )
+        .orderBy("rank")
+    )
+
+
+_NEG_SAMPLING_SQL = f"""
+WITH tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(FLOOR(1e6 * exp({_NS_ALPHA} * ln(COUNT(*))) + 0.5) AS BIGINT) AS w
+  FROM (SELECT unnest({tokens_sql()}) AS term FROM documents)
+  GROUP BY 1),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM tf),
+top AS (SELECT * FROM tf ORDER BY cnt DESC, term LIMIT {_NS_TOP})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+       term, cnt,
+       ROUND(w / CAST(tot_w AS DOUBLE), 6) AS prob,
+       ROUND(CAST(SUM(w) OVER (ORDER BY cnt DESC, term
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) / CAST(tot_w AS DOUBLE), 6) AS cum_prob
+FROM top CROSS JOIN tot
+ORDER BY rank
+"""
+
+
 ORACLES = {
     "q205_gopher_funnel": _gopher_funnel_sql(),
     "q208_span_corruption": _span_corruption_sql(),
+    "q211_dsir_select": _dsir_sql(),
+    "q213_negative_sampling": _NEG_SAMPLING_SQL,
     "q201_classifier_score": _clf_score_sql(),
     "q202_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "q203_bigram_backoff_lm": _BIGRAM_LM_SQL,
@@ -2160,6 +2370,8 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 QUERIES = {
     "q205_gopher_funnel": q205_gopher_funnel,
     "q208_span_corruption": q208_span_corruption,
+    "q211_dsir_select": q211_dsir_select,
+    "q213_negative_sampling": q213_negative_sampling,
     "q201_classifier_score": q201_classifier_score,
     "q202_epoch_shuffle": q202_epoch_shuffle,
     "q203_bigram_backoff_lm": q203_bigram_backoff_lm,

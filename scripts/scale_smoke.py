@@ -245,6 +245,13 @@ SCALE_QUERIES = [
     # the smoke checks the composition keeps each stage's bound.
     "q210_quantile_sketch",
     "q89b_curation_pipeline",
+    # round 7 (cont.): q211's bucket stats are _DSIR_DIM-bounded and the
+    # rank is range-partitioned; q212 emits d² partials per Arrow batch
+    # (the corpus pass is one int64 GEMM per batch); q213's table is
+    # vocabulary-bounded with a TakeOrdered top-64.
+    "q211_dsir_select",
+    "q212_embedding_gram",
+    "q213_negative_sampling",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

@@ -363,3 +363,67 @@ def test_triplet_mining_picks_hardest_pair(spark, tmp_path):
     assert r0.cos_neg > r0.cos_pos and r0.hard == 1
     r2 = out[2]  # orthogonal anchor: negatives all score below its positives
     assert r2.hard in (0, 1)
+
+
+def test_dsir_selects_exact_budget_and_favors_target_like_docs(spark, sf_dir):
+    """DSIR (q211): the global selection is EXACTLY ceil(n/4) docs, and
+    the held-in target slice (doc_id % 4 == 0) scores a higher mean
+    importance weight than the rest — the λ log-ratios are trained to
+    recognize exactly that slice's gram distribution."""
+    import math
+
+    from eventstream_spark.operators.text import q211_dsir_select
+
+    out = q211_dsir_select(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in out)
+    assert sum(r.n_selected for r in out) == math.ceil(n / 4)
+    # selected mean weight dominates the per-source overall mean wherever
+    # anything was selected (selection is a global top-fraction by weight)
+    for r in out:
+        if r.n_selected and r.n_selected < r.n_docs:
+            assert r.avg_w_sel >= r.avg_w
+
+
+def test_embedding_gram_matches_numpy_exactly(spark, sf_dir):
+    """q212's distributed int64-matmul partials reduce to EXACTLY the
+    single-machine quantized Gram/covariance — no float drift anywhere."""
+    import numpy as np
+    from pyspark.sql.functions import col
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import as_double_array
+    from eventstream_spark.operators.similarity import q212_embedding_gram
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    vecs = [
+        list(r.v)
+        for r in emb.select(as_double_array(col("embedding")).alias("v")).collect()
+    ]
+    X = np.floor(np.array(vecs, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
+    n, d = X.shape
+    G = X.T @ X
+    S = X.sum(axis=0)
+    got = q212_embedding_gram(spark, sf_dir).collect()
+    assert len(got) == d * (d + 1) // 2
+    for r in got:
+        assert r.gram == G[r.i, r.j], (r.i, r.j)
+        expect_cov = int(
+            np.floor((n * G[r.i, r.j] - S[r.i] * S[r.j]) * 1.0 / (n * n) + 0.5)
+        )
+        assert r.cov_m2 == expect_cov, (r.i, r.j)
+
+
+def test_negative_sampling_table_is_flattened_and_monotone(spark, sf_dir):
+    """q213: cum_prob is strictly increasing in rank and <= 1; the 0.75
+    exponent FLATTENS the distribution (probability ratios are damped
+    below raw count ratios for every adjacent pair with distinct counts)."""
+    from eventstream_spark.operators.text import q213_negative_sampling
+
+    rows = q213_negative_sampling(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r.rank)
+    cums = [r.cum_prob for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    assert cums[-1] <= 1.0 + 1e-9
+    for a, b in zip(rows, rows[1:]):
+        if a.cnt > b.cnt and b.prob > 0:
+            assert a.prob / b.prob < a.cnt / b.cnt + 1e-9
