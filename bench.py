@@ -198,6 +198,11 @@ HEADLINE = [
     "q211_dsir_select",
     "q212_embedding_gram",
     "q213_negative_sampling",
+    # selection operating curve (one scoring pass + the scalable decile
+    # rank) and the data-constrained scaling audit (one groupBy +
+    # dimension math).
+    "q214_selection_curve",
+    "q215_data_constrained",
 ]
 
 

@@ -2113,11 +2113,186 @@ ORDER BY rank
 """
 
 
+# --- q214: selection operating curve -----------------------------------------
+# The ablation every model-based filter needs BEFORE anyone picks a
+# threshold: sweep the classifier's own score deciles and report, at each
+# cut, how many documents/tokens survive and at what mean quality — the
+# quality-vs-quantity operating curve (how DCLM/FineWeb-Edu calibrate
+# "keep top X%" against the token budget). Complements q201 (the score),
+# q148 (one corpus-calibrated percentile cut), and q211 (one fixed 25%
+# budget): this is the whole frontier, not one point on it.
+
+
+def q214_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per score-decile (1 = best) cumulative selection accounting.
+
+    Determinism: scores are q201's exact integer micro-logits; deciles
+    come from ``scalable_ntile`` (pinned ≡ ANSI NTILE); every cumulative
+    column is an integer sum with a single rounded division at the end.
+
+    Scale: one map-side scoring pass (zero shuffle), ONE range exchange
+    for the global decile rank (the scalable-rank machinery — never a
+    single-task window over the corpus), a 10-row rollup, and a 10-row
+    cumulative window (dimension-class)."""
+    from .ranking import scalable_ntile
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tok"),
+        classifier_logit_micro().alias("lm"),
+    )
+    dec = scalable_ntile(d, [col("lm").desc(), col("doc_id").asc()], 10, "decile")
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tok"),
+        F.min("lm").alias("thr"),
+        F.sum("lm").alias("slm"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(F.sum("n_tok").alias("tt"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            col("decile").cast("long").alias("decile"),
+            F.round(col("thr") / lit(1e6), 4).alias("thr_logit"),
+            F.sum("n_docs").over(cw).alias("cum_docs"),
+            F.sum("n_tok").over(cw).alias("cum_tokens"),
+            F.round(F.sum("n_tok").over(cw) / col("tt"), 4).alias("cum_tok_share"),
+            F.round(
+                F.sum("slm").over(cw) / F.sum("n_docs").over(cw) / lit(1e6), 4
+            ).alias("cum_avg_logit"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _selection_curve_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+{clf_scored_cte_sql('tok')},
+d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, lm,
+             NTILE(10) OVER (ORDER BY lm DESC, doc_id) AS decile
+      FROM scored_tok),
+per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+               MIN(lm) AS thr, CAST(SUM(lm) AS BIGINT) AS slm
+        FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tt FROM per)
+SELECT CAST(decile AS BIGINT) AS decile,
+       ROUND(thr / 1e6, 4) AS thr_logit,
+       CAST(SUM(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+       CAST(SUM(n_tok) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+       ROUND(SUM(n_tok) OVER (ORDER BY decile) / CAST(tt AS DOUBLE), 4)
+         AS cum_tok_share,
+       ROUND(SUM(slm) OVER (ORDER BY decile)
+             / CAST(SUM(n_docs) OVER (ORDER BY decile) AS DOUBLE) / 1e6, 4)
+         AS cum_avg_logit
+FROM per CROSS JOIN tot
+ORDER BY decile
+"""
+
+
+# --- q215: data-constrained scaling audit ------------------------------------
+# Muennighoff et al. NeurIPS'23 ("Scaling Data-Constrained Language
+# Models"): repeating data decays in value — the R-th epoch of a source
+# is worth less than the first, with fitted decay constant R* ≈ 15.
+# Given a token budget split uniformly across sources, this audit reports
+# each source's epoch count and EFFECTIVE token yield
+# D' = U·(1 + R*·(1 − e^{−(R−1)/R*})) — the repetition-discounted data
+# the budget actually buys — and the share of budget lost to repetition.
+# The budget-side complement of q204 (which sets the mix) and q196
+# (which caps it): this prices the repeats the mix implies.
+
+_DCS_RSTAR = 15      # fitted repeat half-value constant (paper's R_D* ≈ 15.4)
+_DCS_BUDGET_X = 2    # audit budget = 2x the corpus's total tokens
+
+
+def q215_data_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source effective-token audit under a uniform 2x-corpus budget.
+
+    Determinism: token counts are exact integers; epochs is one double
+    division; the effective-token formula quantizes once via the
+    knife-proof FLOOR(x + 0.5) (exp/ln composed identically in both
+    engines — the q204 convention).
+
+    Scale: ONE map-side-partial groupBy(source) absorbs the corpus;
+    everything after is |sources|-row dimension math against a 1-row
+    broadcast total. Zero additional shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(tokens("text")).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("u_tok"))
+    )
+    tot = per.agg(
+        F.sum("u_tok").alias("tot_tok"), F.count("*").alias("n_src")
+    )
+    alloc = F.floor(lit(_DCS_BUDGET_X) * col("tot_tok") / col("n_src")).cast("long")
+    r = alloc / col("u_tok")
+    eff_rep = F.floor(
+        col("u_tok")
+        * (
+            lit(1.0)
+            + lit(float(_DCS_RSTAR))
+            * (lit(1.0) - F.exp(-(r - lit(1.0)) / lit(float(_DCS_RSTAR))))
+        )
+        + lit(0.5)
+    ).cast("long")
+    eff = F.when(r <= 1.0, alloc).otherwise(F.least(eff_rep, alloc))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "u_tok",
+            alloc.alias("alloc_tokens"),
+            F.round(r, 4).alias("epochs"),
+            eff.alias("eff_tokens"),
+            F.round(eff / alloc, 4).alias("budget_yield"),
+        )
+        .orderBy("source")
+    )
+
+
+_DATA_CONSTRAINED_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({tokens_sql()})) AS BIGINT) AS u_tok
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(u_tok) AS BIGINT) AS tot_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_src FROM per),
+j AS (
+  SELECT source, n_docs, u_tok,
+         CAST(FLOOR({_DCS_BUDGET_X} * tot_tok / CAST(n_src AS DOUBLE)) AS BIGINT)
+           AS alloc
+  FROM per CROSS JOIN tot),
+k AS (
+  SELECT *, alloc / CAST(u_tok AS DOUBLE) AS r,
+         CAST(FLOOR(u_tok * (1.0 + {_DCS_RSTAR}.0
+                * (1.0 - exp(-(alloc / CAST(u_tok AS DOUBLE) - 1.0)
+                             / {_DCS_RSTAR}.0))) + 0.5) AS BIGINT) AS eff_rep
+  FROM j)
+SELECT source, n_docs, u_tok, alloc AS alloc_tokens,
+       ROUND(r, 4) AS epochs,
+       CASE WHEN r <= 1.0 THEN alloc
+            ELSE LEAST(eff_rep, alloc) END AS eff_tokens,
+       ROUND(CASE WHEN r <= 1.0 THEN alloc
+                  ELSE LEAST(eff_rep, alloc) END / CAST(alloc AS DOUBLE), 4)
+         AS budget_yield
+FROM k ORDER BY source
+"""
+
+
 ORACLES = {
     "q205_gopher_funnel": _gopher_funnel_sql(),
     "q208_span_corruption": _span_corruption_sql(),
     "q211_dsir_select": _dsir_sql(),
     "q213_negative_sampling": _NEG_SAMPLING_SQL,
+    "q214_selection_curve": _selection_curve_sql(),
+    "q215_data_constrained": _DATA_CONSTRAINED_SQL,
     "q201_classifier_score": _clf_score_sql(),
     "q202_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "q203_bigram_backoff_lm": _BIGRAM_LM_SQL,
@@ -2372,6 +2547,8 @@ QUERIES = {
     "q208_span_corruption": q208_span_corruption,
     "q211_dsir_select": q211_dsir_select,
     "q213_negative_sampling": q213_negative_sampling,
+    "q214_selection_curve": q214_selection_curve,
+    "q215_data_constrained": q215_data_constrained,
     "q201_classifier_score": q201_classifier_score,
     "q202_epoch_shuffle": q202_epoch_shuffle,
     "q203_bigram_backoff_lm": q203_bigram_backoff_lm,

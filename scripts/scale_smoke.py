@@ -252,6 +252,10 @@ SCALE_QUERIES = [
     "q211_dsir_select",
     "q212_embedding_gram",
     "q213_negative_sampling",
+    # q214 adds one range exchange (the scalable rank) on top of q201's
+    # map-side scoring; q215 is one map-side-partial groupBy.
+    "q214_selection_curve",
+    "q215_data_constrained",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

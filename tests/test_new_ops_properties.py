@@ -427,3 +427,42 @@ def test_negative_sampling_table_is_flattened_and_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         if a.cnt > b.cnt and b.prob > 0:
             assert a.prob / b.prob < a.cnt / b.cnt + 1e-9
+
+
+def test_selection_curve_is_monotone_and_exhaustive(spark, sf_dir):
+    """q214: the operating curve is a valid cumulative frontier — the
+    decile threshold and the cumulative mean quality both fall as the cut
+    loosens, and decile 10 covers the whole corpus exactly."""
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.text import q214_selection_curve
+
+    rows = q214_selection_curve(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    thrs = [r.thr_logit for r in rows]
+    assert all(a >= b for a, b in zip(thrs, thrs[1:]))
+    means = [r.cum_avg_logit for r in rows]
+    assert all(a >= b for a, b in zip(means, means[1:]))
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert rows[-1].cum_docs == n_docs
+    assert abs(rows[-1].cum_tok_share - 1.0) < 1e-9
+    cd = [r.cum_docs for r in rows]
+    assert all(b > a for a, b in zip(cd, cd[1:]))
+
+
+def test_data_constrained_budget_identities(spark, sf_dir):
+    """q215: uniform budget split, effective tokens never exceed the
+    allocation, a source that fits inside its allocation yields 1.0, and
+    any repeated source still yields at least one full pass (D' >= U)
+    but strictly less than the raw allocation (repetition decays)."""
+    from eventstream_spark.operators.text import q215_data_constrained
+
+    rows = q215_data_constrained(spark, sf_dir).collect()
+    allocs = {r.alloc_tokens for r in rows}
+    assert len(allocs) == 1  # uniform split
+    for r in rows:
+        assert r.eff_tokens <= r.alloc_tokens
+        if r.epochs <= 1.0:
+            assert r.eff_tokens == r.alloc_tokens and r.budget_yield == 1.0
+        else:
+            assert r.eff_tokens >= r.u_tok
+            assert r.budget_yield < 1.0
