@@ -731,6 +731,182 @@ def q195_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_finish(drained, tf)
 
 
+_SQSK_K = 512  # bottom-k sample size (q210's _QSK_K, applied to events)
+
+
+def q216_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch AT INGEST — the ORDERED-state member of the
+    streaming sketch family (q190 max-merge HLL, q195 sum-merge CMS, this
+    one a mergeable priority sample): each micro-batch folds its rows into
+    the K lowest-priority (hash48 of event_id) rows seen so far, and the
+    streaming state is the K-row sample itself — bounded FOREVER no matter
+    how many events stream by. Mergeability (bottom-k(A∪B) ≡
+    bottom-k(bottom-k(A)∪bottom-k(B)), the q210 property pinned in
+    tests/test_sketch.py) makes the two-phase plan exact: a stateless
+    per-Arrow-batch bottom-k pre-reduce caps what the single-key stateful
+    merge ever sees at K rows per batch — the corpus never converges on
+    one task. Replay-safe: the merge books rows by event_id, so a replayed
+    micro-batch cannot double-insert.
+
+    The epilogue (decile estimates from the drained sample vs the exact
+    events-table deciles, both nearest-rank-below picks — q210's integer
+    rule, no interpolation) runs batch-side; the feed is genuinely
+    multi-batch (4 chunk files, maxFilesPerTrigger=1), so the answer
+    REQUIRES the sample to survive across batches."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..catalog import load
+    from ..functions import hash48
+    from .ranking import _ranked_with_total
+
+    d = _events_chunks_dir(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = file_stream(spark, d, schema, max_files_per_trigger=1)
+    cand = ev.select(
+        "event_id",
+        "value",
+        hash48(col("event_id").cast("string")).alias("pri"),
+    )
+
+    def shrink(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pdf.nsmallest(_SQSK_K, ["pri", "event_id"])
+
+    cand = cand.mapInPandas(shrink, schema="event_id long, value double, pri long")
+
+    out_schema = StructType(
+        [
+            StructField("version", LongType()),
+            StructField("pris", ArrayType(LongType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("vals", ArrayType(DoubleType())),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pris", ArrayType(LongType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("vals", ArrayType(DoubleType())),
+            StructField("version", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            pris, ids, vals, ver = state.get
+            book = {int(i): (int(p), float(v)) for p, i, v in zip(pris, ids, vals)}
+        else:
+            book, ver = {}, 0
+        for pdf in pdfs:
+            for p, i, v in zip(pdf["pri"], pdf["event_id"], pdf["value"]):
+                book[int(i)] = (int(p), float(v))  # id-keyed: replay-safe
+        keep = sorted(book.items(), key=lambda kv: (kv[1][0], kv[0]))[:_SQSK_K]
+        pris = [p for _, (p, _) in keep]
+        ids = [i for i, _ in keep]
+        vals = [v for _, (_, v) in keep]
+        ver += 1
+        state.update((pris, ids, vals, ver))
+        yield pd.DataFrame(
+            {"version": [ver], "pris": [pris], "ids": [ids], "vals": [vals]}
+        )
+
+    snap = cand.withColumn("g", lit(1)).groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_table(snap, spark, mode="append")
+    samp = (
+        res.orderBy(col("version").desc())
+        .limit(1)
+        .select(F.sort_array(col("vals")).alias("sv"))
+    )
+
+    evb = load(spark, sf_dir, "events")
+    ranked, n = _ranked_with_total(
+        evb.select("value", "event_id"),
+        [col("value").asc(), col("event_id").asc()],
+        "_r",
+    )
+    need = sorted({((n - 1) * dd) // 10 + 1 for dd in range(1, 10)})
+    picked = {
+        r["_r"]: r["value"]
+        for r in ranked.where(col("_r").isin(need)).select("_r", "value").collect()
+    }
+    exv = F.array(*[lit(picked[((n - 1) * dd) // 10 + 1]) for dd in range(1, 10)])
+    dd = col("decile")
+    idx = (F.floor(((F.size(col("sv")) - 1) * dd) / 10) + 1).cast("int")
+    return (
+        samp.select(
+            F.explode(F.sequence(lit(1), lit(9))).alias("decile"),
+            "sv",
+            exv.alias("ev"),
+        )
+        .select(
+            "decile",
+            F.round(F.element_at(col("sv"), idx), 2).alias("est"),
+            F.round(F.element_at(col("ev"), dd.cast("int")), 2).alias("exact"),
+            F.round(
+                (F.element_at(col("sv"), idx) - F.element_at(col("ev"), dd.cast("int")))
+                * 100.0
+                / F.element_at(col("ev"), dd.cast("int")),
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("decile")
+    )
+
+
+from ..functions import hash48_sql as _h48s
+
+_SQSK_SQL = f"""
+WITH samp AS (
+  SELECT value
+  FROM (SELECT event_id, value,
+               {_h48s("CAST(event_id AS VARCHAR)")} AS pri
+        FROM events)
+  ORDER BY pri, event_id LIMIT {_SQSK_K}),
+sv AS (SELECT list(value ORDER BY value) AS sv FROM samp),
+rk AS (SELECT value,
+              ROW_NUMBER() OVER (ORDER BY value, event_id) AS r
+       FROM events),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+ev AS (SELECT list(x.value ORDER BY x.decile) AS ev FROM (
+         SELECT d.decile, r.value
+         FROM (SELECT unnest(range(1, 10)) AS decile) d
+         CROSS JOIN nn
+         JOIN rk r ON r.r = ((nn.n - 1) * d.decile) // 10 + 1) x),
+d AS (SELECT unnest(range(1, 10)) AS decile)
+SELECT d.decile,
+       ROUND(sv.sv[CAST(((len(sv.sv) - 1) * d.decile) // 10 + 1 AS INT)], 2) AS est,
+       ROUND(ev.ev[CAST(d.decile AS INT)], 2) AS exact,
+       ROUND((sv.sv[CAST(((len(sv.sv) - 1) * d.decile) // 10 + 1 AS INT)]
+              - ev.ev[CAST(d.decile AS INT)]) * 100.0
+             / ev.ev[CAST(d.decile AS INT)], 2) AS err_pct
+FROM d CROSS JOIN sv CROSS JOIN ev ORDER BY d.decile
+"""
+
+
 from .analytics import ORACLES as _A_ORACLES
 from .sketch import ORACLES as _SKETCH_ORACLES
 
@@ -743,6 +919,9 @@ ORACLES = {
     # Streaming CMS must land on q165's batch sketch exactly (counters are
     # sum-merged — additive across micro-batches).
     "q195_stream_count_min": _SKETCH_ORACLES["q165_count_min"],
+    # Streaming bottom-k must land on the batch sample computed from the
+    # table at rest (the sample is id-hash-determined, merge-exact).
+    "q216_stream_quantile_sketch": _SQSK_SQL,
     "q145_stream_topk": f"""
 WITH r AS (
   SELECT event_type, event_id, value,
@@ -823,4 +1002,5 @@ QUERIES = {
     "q135_stream_incremental_dedup": q135_stream_incremental_dedup,
     "q190_stream_hll": q190_stream_hll,
     "q195_stream_count_min": q195_stream_count_min,
+    "q216_stream_quantile_sketch": q216_stream_quantile_sketch,
 }

@@ -282,6 +282,10 @@ STREAM_QUERIES = [
     "q128_stream_scrub",
     "q132_stream_vector_ingest",
     "q135_stream_incremental_dedup",
+    # bottom-k sample state: exactly ONE state row (the K-row sample
+    # arrays) regardless of corpus size; the per-batch pre-reduce caps
+    # what the stateful merge sees at K rows per Arrow batch.
+    "q216_stream_quantile_sketch",
 ]
 _STREAM_MAX_FILES = "4"
 

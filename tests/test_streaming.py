@@ -412,3 +412,23 @@ def test_file_sink_exactly_once_across_doctored_restart(spark, sf_dir, tmp_path)
     final = spark.read.parquet(out)
     assert final.count() == n0 + 10
     assert final.select("event_id").distinct().count() == n0 + 10
+
+
+def test_stream_quantile_sample_spans_batches(spark, sf_dir):
+    """q216: the drained bottom-k sample must (a) take multiple
+    micro-batches to build, (b) hold exactly ONE state row (the K-row
+    sample arrays — bounded forever), and (c) produce decile estimates
+    within the sampling bound; exact equality with the at-rest sample is
+    the differential gate's job."""
+    from eventstream_spark.operators.streaming_queries import (
+        LAST_RUN_INFO,
+        q216_stream_quantile_sketch,
+    )
+
+    got = q216_stream_quantile_sketch(spark, sf_dir).collect()
+    assert [r.decile for r in got] == list(range(1, 10))
+    assert LAST_RUN_INFO["n_batches"] > 1
+    assert LAST_RUN_INFO["state_rows_peak"] == 1
+    for r in got:
+        assert r.exact > 0
+        assert abs(r.err_pct) < 50.0
