@@ -70,6 +70,7 @@ HEADLINE = [
     "q82_token_packing",
     "q84_repetition_stats",
     "q85_pq_ann",
+    "q217_ivfpq_ann",
     "q87_merge_upsert",
     "q89_training_pipeline",
     "q94_local_supplier_volume",

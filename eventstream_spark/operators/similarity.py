@@ -611,6 +611,133 @@ def q85_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann(emb, col("vec_id").isin(100, 101, 102), k=5)
 
 
+# --- q217: IVF-PQ combined ANN (residual quantization) -----------------------
+# The composition FAISS actually ships as its workhorse index (IVFPQ,
+# Jégou et al. TPAMI'11): coarse-quantize into inverted cells (q53's
+# layer), then PQ-encode each vector's RESIDUAL v − centroid(cell) (q85's
+# layer, but over residuals — smaller dynamic range per code, better
+# quantization for the same bits), and answer queries by probing the
+# n_probe nearest cells with a PER-CELL asymmetric-distance LUT built
+# from the query's residual against that cell. Neither q53 (exact
+# re-rank inside cells) nor q85 (corpus-wide ADC scan) expresses this:
+# IVFPQ's candidate set is cell-bounded AND its distance is code-based.
+
+
+def q217_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: top-5 neighbors for 3 probe queries by residual-ADC
+    over the 2 nearest inverted cells.
+
+    Determinism: coarse centroids are the _IVF_CELLS lowest-vec_id
+    embeddings, PQ codebooks the _PQ_K lowest-vec_id RESIDUALS (both
+    ordered LIMITs — no dense-id assumption; training changes recall,
+    never the plan); all argmins are MIN over (dist, id) structs and all
+    distance folds the shared left-to-right sq_l2, so cells, codes, and
+    raw ADC are bit-identical to the oracle.
+
+    Scale: assignment/encode are pure map work over centroid/codebook
+    literals (zero shuffle); the persisted encoded table is what a
+    100 TB index stores (cell + M small ints per vector); the query side
+    is a |queries|·n_probe-row broadcast joined against the inverted
+    lists on cell — candidate work is cell-bounded, never corpus-wide."""
+    emb = load(spark, sf_dir, "embeddings")
+    dsub = embedding_dim(emb) // _PQ_M
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select("vec_id", as_double_array(col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = [
+        (int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)
+    ]
+    cmat = matrix_literal([cv for _, cv in centroids])
+    idxs = F.array(*[lit(i) for i in range(len(centroids))])
+
+    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    dists = F.transform(cmat, lambda cv: sq_l2(col("v"), cv))
+    best = F.array_min(
+        F.zip_with(dists, idxs, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    assigned = persist_tracked(
+        e.withColumn("ci", best["i"].cast("int")).withColumn(
+            "rv",
+            F.zip_with(
+                col("v"),
+                F.element_at(cmat, col("ci") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+    )
+
+    # Residual codebooks: the _PQ_K lowest-vec_id residuals, computed by
+    # the SAME assignment expressions (collect is K x dim doubles).
+    sres = sorted(
+        assigned.orderBy("vec_id").limit(_PQ_K).select("vec_id", "rv").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cbs = [
+        [list(r.rv[m * dsub : (m + 1) * dsub]) for r in sres]
+        for m in range(_PQ_M)
+    ]
+
+    def dist_to(sub):
+        return lambda cv: sq_l2(sub, cv)
+
+    codes = F.array(*[lit(k) for k in range(_PQ_K)])
+    code_cols = []
+    for m, cb in enumerate(cbs):
+        cm = matrix_literal(cb)
+        sub = F.slice(col("rv"), m * dsub + 1, dsub)
+        dm = F.transform(cm, dist_to(sub))
+        bc = F.array_min(
+            F.zip_with(dm, codes, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
+        )
+        code_cols.append(bc["c"].cast("long").alias(f"c{m}"))
+    enc = assigned.select("vec_id", "ci", *code_cols)
+
+    q = assigned.where(col("vec_id").isin(100, 101, 102)).select(
+        col("vec_id").alias("q_id"), col("v").alias("qv")
+    )
+    q_dists = F.transform(cmat, lambda cv: sq_l2(col("qv"), cv))
+    probe = F.slice(
+        F.array_sort(
+            F.zip_with(
+                q_dists, idxs, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+            )
+        ),
+        1,
+        _IVF_PROBE,
+    )
+    probes = q.withColumn(
+        "ci", F.explode(F.transform(probe, lambda s: s["i"].cast("int")))
+    ).withColumn(
+        "qr",
+        F.zip_with(col("qv"), F.element_at(cmat, col("ci") + 1), lambda a, b: a - b),
+    )
+    lut_cols = [
+        F.transform(
+            matrix_literal(cb), dist_to(F.slice(col("qr"), m * dsub + 1, dsub))
+        ).alias(f"lut{m}")
+        for m, cb in enumerate(cbs)
+    ]
+    qt = probes.select("q_id", "ci", *lut_cols)
+
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(col(f"lut{m}"), (col(f"c{m}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("q_id").orderBy(col("adc_raw"), col("neighbor_id"))
+    return (
+        enc.join(broadcast(qt), "ci")
+        .where(col("vec_id") != col("q_id"))
+        .select("q_id", col("vec_id").alias("neighbor_id"), adc.alias("adc_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select("q_id", "neighbor_id", "rank", F.round("adc_raw", 4).alias("adc"))
+        .orderBy("q_id", "rank")
+    )
+
+
 def kmeans_step(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """One Lloyd iteration: assign every vector to its nearest centroid
     (map-side, centroid literals) and emit the new centroids in long form
@@ -1094,6 +1221,76 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
 """
 
 
+def _ivfpq_sql(k: int = 5) -> str:
+    """q217 mirror: same struct-MIN argmins (cell/code ids are the seed
+    vec_ids — monotone-equivalent to Spark's positional indices, so every
+    tie breaks identically), same left-fold sq_l2, same left-associative
+    ADC chain; residuals are plain IEEE double subtractions in both
+    engines, so raw ADC is bit-identical."""
+
+    def sl(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m} * dsub + 1, ({m} + 1) * dsub)"
+
+    code_aggs = ",\n         ".join(
+        f"MIN({{'d': {sq_l2_sql(sl('r.rv', m), sl('s.rv', m))}, 'c': s.k}})['c'] AS c{m}"
+        for m in range(_PQ_M)
+    )
+    lut_cols = ",\n         ".join(
+        f"{sq_l2_sql(sl('p.qr', m), sl('s.rv', m))} AS d{m}" for m in range(_PQ_M)
+    )
+    adc = " + ".join(f"l{m}.d{m}" for m in range(_PQ_M))
+    lut_joins = "\n  ".join(
+        f"JOIN luts l{m} ON l{m}.q_id = p.q_id AND l{m}.cell = p.cell"
+        f" AND l{m}.k = c.c{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH dims AS (SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1),
+e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}),
+asn AS (
+  SELECT e.vec_id, MIN({{'d': {sq_l2_sql('e.v', 'c.cv')}, 'c': c.cell}})['c'] AS cell
+  FROM e, cents c GROUP BY e.vec_id),
+res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 1 + len(e.v)), j -> e.v[j] - c.cv[j]) AS rv
+  FROM asn a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell),
+seeds AS (SELECT vec_id AS k, rv FROM res ORDER BY vec_id LIMIT {_PQ_K}),
+codes AS (
+  SELECT r.vec_id, r.cell,
+         {code_aggs}
+  FROM res r, seeds s, dims GROUP BY r.vec_id, r.cell),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (100, 101, 102)),
+pr AS (
+  SELECT q.q_id, c.cell, c.cv,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY {sq_l2_sql('q.qv', 'c.cv')}, c.cell)
+           AS pr_rank
+  FROM qs q, cents c),
+probes AS (
+  SELECT p.q_id, p.cell,
+         list_transform(range(1, 1 + len(q.qv)), j -> q.qv[j] - p.cv[j]) AS qr
+  FROM pr p JOIN qs q ON q.q_id = p.q_id WHERE p.pr_rank <= {_IVF_PROBE}),
+luts AS (
+  SELECT p.q_id, p.cell, s.k,
+         {lut_cols}
+  FROM probes p, seeds s, dims),
+cand AS (
+  SELECT p.q_id, c.vec_id AS neighbor_id, {adc} AS adc_raw
+  FROM probes p
+  JOIN codes c ON c.cell = p.cell
+  {lut_joins}
+  WHERE c.vec_id <> p.q_id),
+ranked AS (
+  SELECT q_id, neighbor_id, adc_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_raw, neighbor_id) AS rank
+  FROM cand)
+SELECT q_id, neighbor_id, rank, ROUND(adc_raw, 4) AS adc
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
 # --- q206: embedding-distribution drift via linear-kernel MMD ----------------
 # Gretton et al. JMLR'12: MMD^2 with the linear kernel reduces to
 # ||mean(A) - mean(B)||^2 — the O(n) two-sample test for EMBEDDING
@@ -1301,6 +1498,7 @@ FROM g WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL ORDER BY anchor
 
 ORACLES = {
     "q212_embedding_gram": _GRAM_SQL,
+    "q217_ivfpq_ann": _ivfpq_sql(),
     "q206_mmd_drift": _MMD_SQL,
     "q207_triplet_mining": _TRIPLET_SQL,
     "q85_pq_ann": _pq_sql(),
@@ -1438,6 +1636,7 @@ GROUP BY cell, i ORDER BY cell, i
 
 QUERIES = {
     "q212_embedding_gram": q212_embedding_gram,
+    "q217_ivfpq_ann": q217_ivfpq_ann,
     "q206_mmd_drift": q206_mmd_drift,
     "q207_triplet_mining": q207_triplet_mining,
     "q50_knn_exact": q50_knn_exact,

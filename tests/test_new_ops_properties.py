@@ -466,3 +466,58 @@ def test_data_constrained_budget_identities(spark, sf_dir):
         else:
             assert r.eff_tokens >= r.u_tok
             assert r.budget_yield < 1.0
+
+
+def test_ivfpq_candidates_are_cell_bounded(spark, sf_dir):
+    """q217's defining structural property vs q85's corpus-wide ADC scan:
+    every reported neighbor lives in one of the query's n_probe probed
+    cells (the inverted-file bound), ranks are complete 1..5 with ADC
+    non-decreasing, and no query reports itself."""
+    import numpy as np
+    from pyspark.sql.functions import col
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.functions import as_double_array
+    from eventstream_spark.operators.similarity import (
+        _IVF_CELLS,
+        _IVF_PROBE,
+        ivf_assign,
+        q217_ivfpq_ann,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select("vec_id", as_double_array(col("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+    cell_of = {
+        r.vec_id: r.cell
+        for r in ivf_assign(emb, centroids).select("vec_id", "cell").collect()
+    }
+    C = np.array([cv for _, cv in centroids])
+    ids = np.array([cid for cid, _ in centroids])
+    qv = {
+        r.vec_id: np.array(list(r.v))
+        for r in emb.select(
+            "vec_id", as_double_array(col("embedding")).alias("v")
+        ).where(col("vec_id").isin(100, 101, 102)).collect()
+    }
+    probed = {
+        q: set(ids[np.argsort(((C - v) ** 2).sum(axis=1), kind="stable")[: _IVF_PROBE]])
+        for q, v in qv.items()
+    }
+    out = q217_ivfpq_ann(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {100, 101, 102}
+    for q, rows in by_q.items():
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        adcs = [r.adc for r in rows]
+        assert all(a <= b for a, b in zip(adcs, adcs[1:]))
+        for r in rows:
+            assert r.neighbor_id != q
+            assert cell_of[r.neighbor_id] in probed[q]
