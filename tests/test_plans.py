@@ -509,3 +509,51 @@ def test_q89b_curation_pipeline_tokenizes_once(spark, sf_dir):
     )
     assert p.count("split(") == 1
     assert "InMemoryTableScan" in p  # the stages read the cached projection
+
+
+def _fmt(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q211_dsir_lambda_table_broadcasts(spark, sf_dir):
+    """q211: the _DSIR_DIM-row λ table (and the 1-row totals) must join
+    BROADCAST onto the gram stream — a sort-merge join here would shuffle
+    the corpus-sized gram table against a 4096-row dimension. The token
+    projection persists (scoring re-reads the cache, not raw text)."""
+    from eventstream_spark.operators.text import q211_dsir_select
+
+    p = _fmt(spark, q211_dsir_select(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+
+
+def test_q212_gram_reduce_stays_dimension_side(spark, sf_dir):
+    """q212: after the ONE (i, j) partial reduce, the sums/count attach
+    via broadcast joins on the d- and 1-row tables — never a sort-merge
+    join, never a non-broadcast cartesian."""
+    from eventstream_spark.operators.similarity import q212_embedding_gram
+
+    p = _fmt(spark, q212_embedding_gram(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q217_ivfpq_query_side_broadcasts(spark, sf_dir):
+    """q217: the |queries|·n_probe LUT table must broadcast onto the
+    encoded inverted lists (the index side never moves), and the encoded
+    table is read from cache — assignment/encode are map-only over
+    centroid/codebook literals, so no corpus exchange exists anywhere."""
+    from eventstream_spark.operators.similarity import q217_ivfpq_ann
+
+    p = _fmt(spark, q217_ivfpq_ann(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
