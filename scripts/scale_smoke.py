@@ -256,6 +256,10 @@ SCALE_QUERIES = [
     # map-side scoring; q215 is one map-side-partial groupBy.
     "q214_selection_curve",
     "q215_data_constrained",
+    # q218: q212's batched-GEMM corpus pass + 3 power steps whose cost is
+    # d²-bounded (corpus-independent) — the smoke verifies the iteration
+    # overhead stays flat while the corpus grows 100x.
+    "q218_pca_power",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

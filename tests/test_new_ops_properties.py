@@ -521,3 +521,42 @@ def test_ivfpq_candidates_are_cell_bounded(spark, sf_dir):
         for r in rows:
             assert r.neighbor_id != q
             assert cell_of[r.neighbor_id] in probed[q]
+
+
+def test_pca_power_matches_numpy_integer_walk(spark, sf_dir):
+    """q218's distributed quantized power iteration must walk EXACTLY the
+    single-machine integer sequence (same quantized covariance, same
+    all-ones start, same FLOOR renormalization), and the final iterate is
+    max-normalized (some |v_micro| == 1e6) with a positive eigenvalue
+    estimate for real data."""
+    import numpy as np
+    from pyspark.sql.functions import col
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import as_double_array
+    from eventstream_spark.operators.similarity import _PCA_ITERS, q218_pca_power
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    vecs = [
+        list(r.v)
+        for r in emb.select(as_double_array(col("embedding")).alias("v")).collect()
+    ]
+    X = np.floor(np.array(vecs, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
+    n, d = X.shape
+    G = X.T @ X
+    S = X.sum(axis=0)
+    C = np.floor(
+        (n * G - np.outer(S, S)) * 1.0 / (n * n) + 0.5
+    ).astype(np.int64)
+    v = np.full(d, 1_000_000, dtype=np.int64)
+    for _ in range(_PCA_ITERS):
+        w = C @ v
+        m = np.abs(w).max()
+        v = np.floor(1e6 * w / m + 0.5).astype(np.int64)
+    got = q218_pca_power(spark, sf_dir).collect()
+    assert len(got) == d
+    for r in got:
+        assert r.v_micro == v[r.i], r.i
+    assert max(abs(r.v_micro) for r in got) == 1_000_000
+    expect_eig = int(np.floor(m / 1e6 + 0.5))
+    assert all(r.eig_m2 == expect_eig and r.eig_m2 > 0 for r in got)
