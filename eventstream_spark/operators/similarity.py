@@ -1082,7 +1082,7 @@ pair AS (
   WHERE t2.j >= t.i GROUP BY 1, 2),
 s AS (SELECT t.i, CAST(SUM(xm[t.i + 1]) AS BIGINT) AS si
       FROM q, UNNEST(range(0, len(xm))) AS t(i) GROUP BY 1),
-ut AS (
+ut AS MATERIALIZED (
   SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.sij AS gram,
          CAST(FLOOR((nn.n * p.sij - a.si * b.si) * 1.0 / (nn.n * nn.n) + 0.5)
               AS BIGINT) AS cov_m2
@@ -1156,16 +1156,20 @@ def _pca_power_sql() -> str:
     prev = "v0"
     for t in range(1, _PCA_ITERS + 1):
         its += f""",
-w{t} AS (SELECT c.i, CAST(SUM(c.cov_m2 * v.v) AS BIGINT) AS w
+w{t} AS MATERIALIZED (SELECT c.i, CAST(SUM(c.cov_m2 * v.v) AS BIGINT) AS w
          FROM cov c JOIN {prev} v ON v.i = c.j GROUP BY 1),
 m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),
-v{t} AS (SELECT i, CAST(FLOOR(1e6 * w / m + 0.5) AS BIGINT) AS v
+v{t} AS MATERIALIZED (SELECT i, CAST(FLOOR(1e6 * w / m + 0.5) AS BIGINT) AS v
          FROM w{t} CROSS JOIN m{t})"""
         prev = f"v{t}"
     last = _PCA_ITERS
+    # MATERIALIZED hints: duckdb inlines multiply-referenced CTEs by
+    # default, which re-evaluates the d²-heavy pair CTE once per
+    # iteration reference (~8x, measured 127 s vs ~8 s at sf0.1) — the
+    # hint pins evaluate-once semantics without changing the result.
     return f"""
 WITH {_GRAM_CTES},
-cov AS (SELECT i, j, cov_m2 FROM ut
+cov AS MATERIALIZED (SELECT i, j, cov_m2 FROM ut
         UNION ALL
         SELECT j AS i, i AS j, cov_m2 FROM ut WHERE i <> j),
 v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM cov){its}
