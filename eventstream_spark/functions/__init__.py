@@ -101,3 +101,18 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"{dot_sql(a, b)} / sqrt({dot_sql(a, a)} * {dot_sql(b, b)})"
+
+
+def materialize_ctes(sql: str) -> str:
+    """Pin evaluate-once semantics for every CTE in a duckdb oracle.
+
+    duckdb inlines a CTE at EVERY reference site by default, so an oracle
+    whose banded/recursive tail references a heavy CTE k times re-runs
+    the whole upstream pipeline k times — measured 17 s -> 0.36 s on the
+    q58 oracle at sf0.1 (results bit-identical; the 100x inflation was
+    pure re-evaluation). Applied to duckdb-dialect oracles only: the
+    MATERIALIZED keyword does not parse in Spark SQL, so portable oracles
+    (tests/test_sql_passthrough.PORTABLE) must not go through this."""
+    import re
+
+    return re.sub(r"\b(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)

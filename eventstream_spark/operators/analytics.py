@@ -1909,6 +1909,12 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """,
 }
 
+# Evaluate-once CTE pinning (see functions.materialize_ctes): the
+# PageRank oracle re-inlined its out-degree edge CTE per iteration term.
+from ..functions import materialize_ctes as _mat
+
+ORACLES["q139_pagerank"] = _mat(ORACLES["q139_pagerank"])
+
 QUERIES = {
     "q129_quality_report": q129_quality_report,
     "q130_value_outliers": q130_value_outliers,

@@ -352,6 +352,14 @@ ORACLES = {
     "q89b_curation_pipeline": _curation_sql(),
 }
 
+# Evaluate-once CTE pinning (see functions.materialize_ctes): the
+# composed-pipeline oracles reference the tokenized/scored CTEs from
+# several downstream stages (q89b measured 10.5 s -> 3.1 s at sf0.1).
+from ..functions import materialize_ctes as _mat
+
+for _k in ("q89_training_pipeline", "q89b_curation_pipeline"):
+    ORACLES[_k] = _mat(ORACLES[_k])
+
 QUERIES = {
     "q89_training_pipeline": q89_training_pipeline,
     "q89b_curation_pipeline": q89b_curation_pipeline,

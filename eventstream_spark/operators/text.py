@@ -2542,6 +2542,14 @@ FROM ranked WHERE r <= CEIL(0.1 * n) GROUP BY 1 ORDER BY 1
 """,
 }
 
+# Evaluate-once CTE pinning (see functions.materialize_ctes): the BPE
+# encode oracle re-inlines the learned-vocab CTE per merge application,
+# and q211's bucket-stat CTE feeds both the lambda table and the scorer.
+from ..functions import materialize_ctes as _mat
+
+for _k in ("q162_bpe_encode", "q211_dsir_select"):
+    ORACLES[_k] = _mat(ORACLES[_k])
+
 QUERIES = {
     "q205_gopher_funnel": q205_gopher_funnel,
     "q208_span_corruption": q208_span_corruption,

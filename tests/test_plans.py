@@ -501,6 +501,10 @@ def test_q89b_curation_pipeline_tokenizes_once(spark, sf_dir):
     means some stage re-derived tokens from raw text."""
     from eventstream_spark.operators.pipeline import q89b_curation_pipeline
 
+    # Hermetic: another test's cached token projection (q211 persists the
+    # identical (doc_id, source, w) plan) would otherwise splice a second
+    # InMemoryRelation into this plan and double-count the tokenizer.
+    spark.catalog.clearCache()
     df = q89b_curation_pipeline(spark, sf_dir)
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
