@@ -51,6 +51,10 @@ PICKS = {
     "q181_ks_test": "KS: CDF running sums carry the value-bucket key (two-level, no single-task window over the data); max-gap reduces map-side",
     "q184_recursive_rollup": "recursive CTE: UnionLoop iterative frontier (log-depth), then one hash aggregate over the ancestor table",
     "q186_int8_quant": "INT8 audit: posexplode is map-side; the only exchanges are the 64-row dim agg and its broadcast join-back",
+    "q211_dsir_select": "DSIR: one gram shuffle builds the 4096-row lambda table, which joins back BROADCAST; top-fraction via the range-partitioned rank, never a single-task window",
+    "q212_embedding_gram": "Gram/cov: MapInPandas int64 GEMM partials per Arrow batch; ONE (i,j) hash exchange, then broadcast joins on the d-row sum table",
+    "q214_selection_curve": "selection curve: map-side scoring + scalable_ntile's range exchange; the cumulative window runs on the 10-row decile rollup",
+    "q217_ivfpq_ann": "IVF-PQ: assignment/encode are literal-matrix map work (no exchange); the |queries|x n_probe LUT table broadcasts onto the cell-keyed inverted lists",
 }
 
 
