@@ -21,6 +21,17 @@ from pyspark.storagelevel import StorageLevel
 
 _PERSISTED: list[DataFrame] = []
 
+# Plan-keyed memo caches (e.g. similarity._DIM_CACHE) register a clearer
+# here so release_cached() is the ONE lifecycle hook a harness calls:
+# semanticHash keys a plan, not the data under it, so a memo outlives a
+# landing-dir rewrite unless flushed at the same boundary as the persists.
+_MEMO_CLEARERS: list = []
+
+
+def register_memo_clearer(fn) -> None:
+    """Register a zero-arg callable flushed by :func:`release_cached`."""
+    _MEMO_CLEARERS.append(fn)
+
 
 def persist_tracked(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
@@ -45,4 +56,9 @@ def release_cached() -> int:
             n += 1
         except Exception:
             pass  # session already stopped — nothing to free
+    for fn in _MEMO_CLEARERS:
+        try:
+            fn()
+        except Exception:
+            pass
     return n

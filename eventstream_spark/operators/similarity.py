@@ -78,6 +78,14 @@ def embedding_dim(emb: DataFrame) -> int:
 
 _DIM_CACHE: dict[int, int] = {}
 
+# semanticHash keys the PLAN, not the data: two identical plans over a
+# landing dir whose parquet is replaced with different-dim embeddings in
+# one process would read a stale dim. Harnesses already call
+# cache.release_cached() at query boundaries — flush the memo there too.
+from ..cache import register_memo_clearer as _reg_clear
+
+_reg_clear(_DIM_CACHE.clear)
+
 
 def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^dim. ``dim``
@@ -1003,7 +1011,14 @@ def q212_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding corpus, exact: elements quantize to milli-units via the
     knife-proof FLOOR(x·1000 + 0.5), per-batch partials are int64 numpy
     matmuls (X'X — exact integer, partial-order-proof), and the final
-    covariance is one FLOOR((n·Sij − Si·Sj)/n² + 0.5) on exact integers.
+    covariance is FLOOR(Sij/n − (Si/n)·(Sj/n) + 0.5): the centered term
+    is computed in float64 with the IDENTICAL operation tree in the
+    duckdb oracle (int64→double conversions are exact below 2^53, and
+    IEEE-754 ops are deterministic, so the engines stay bit-identical).
+    The earlier integer spelling n·Sij − Si·Sj overflows int64 near
+    n ≈ 3e6 rows — Spark (ANSI off) would wrap silently while duckdb
+    errors, the q206 cross-engine divergence class — so the scale path
+    must not use it.
 
     Scale: the corpus pass is mapInPandas emitting d(d+1)/2 + d + 1
     partial rows PER ARROW BATCH (the q51b GEMM pattern — one BLAS-class
@@ -1057,8 +1072,9 @@ def q212_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
             col("p").alias("gram"),
             F.floor(
-                (col("n") * col("p") - col("si") * col("sj")).cast("double")
-                / (col("n") * col("n"))
+                col("p").cast("double") / col("n").cast("double")
+                - (col("si").cast("double") / col("n").cast("double"))
+                * (col("sj").cast("double") / col("n").cast("double"))
                 + lit(0.5)
             )
             .cast("long")
@@ -1084,7 +1100,9 @@ s AS (SELECT t.i, CAST(SUM(xm[t.i + 1]) AS BIGINT) AS si
       FROM q, UNNEST(range(0, len(xm))) AS t(i) GROUP BY 1),
 ut AS MATERIALIZED (
   SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.sij AS gram,
-         CAST(FLOOR((nn.n * p.sij - a.si * b.si) * 1.0 / (nn.n * nn.n) + 0.5)
+         CAST(FLOOR(CAST(p.sij AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                    - (CAST(a.si AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                      * (CAST(b.si AS DOUBLE) / CAST(nn.n AS DOUBLE)) + 0.5)
               AS BIGINT) AS cov_m2
   FROM pair p JOIN s a ON a.i = p.i JOIN s b ON b.i = p.j CROSS JOIN nn)"""
 

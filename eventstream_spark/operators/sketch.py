@@ -738,34 +738,28 @@ def q210_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation, no float formula, no ROUND knife edges (the q31/q107
     divergence class), and the error column measures pure sampling error.
 
-    Scale: TakeOrdered sample (K-row driver state, no fact shuffle) +
-    ONE range exchange for the exact ranks (global_row_number machinery —
-    the same exchange any global sort pays; Spark's exact `percentile`
-    aggregate was 3× slower at sf0.1 and holds a per-task value-count map
-    that grows with distinct values). The ≤9-row rank pick collects
-    driver-side — the prefix-offset scalar class."""
-    from .ranking import _ranked_with_total
+    Scale: TakeOrdered sample (K-row driver state, no fact shuffle); the
+    exact side is the BUCKETED RANK-PICK (ranking.exact_value_at_ranks) —
+    histogram + target-bucket-only window, NO full-table exchange. The
+    round-7 A/B this replaces: the former global_row_number range exchange
+    measured 1.90 s for the pick vs 1.16 s bucketed (scripts/
+    ab_rank_pick.py, sf0.1 median-of-3 steady, values asserted equal);
+    Spark's exact `percentile`
+    aggregate was 3× slower still (r6 measurement) and holds a per-task
+    value-count map that grows with distinct values. Empty table fails
+    LOUD (ValueError) — the embedding_dim convention."""
+    from .ranking import exact_value_at_ranks
 
     li = load(spark, sf_dir, "lineitem")
     samp = bottomk_sample(li).agg(
         F.sort_array(F.collect_list("l_extendedprice")).alias("sv")
     )
-    ranked, n = _ranked_with_total(
-        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
-        [
-            col("l_extendedprice").asc(),
-            col("l_orderkey").asc(),
-            col("l_linenumber").asc(),
-        ],
-        "_r",
+    n, picked = exact_value_at_ranks(
+        li,
+        "l_extendedprice",
+        lambda n: [((n - 1) * d) // 10 + 1 for d in range(1, 10)],
+        what="lineitem",
     )
-    need = sorted({((n - 1) * d) // 10 + 1 for d in range(1, 10)})
-    picked = {
-        r["_r"]: r["l_extendedprice"]
-        for r in ranked.where(col("_r").isin(need))
-        .select("_r", "l_extendedprice")
-        .collect()
-    }
     ev = F.array(*[lit(picked[((n - 1) * d) // 10 + 1]) for d in range(1, 10)])
     d = col("decile")
     idx = (F.floor(((F.size(col("sv")) - 1) * d) / 10) + 1).cast("int")

@@ -767,7 +767,7 @@ def q216_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load
     from ..functions import hash48
-    from .ranking import _ranked_with_total
+    from .ranking import exact_value_at_ranks
 
     d = _events_chunks_dir(spark, sf_dir)
     schema = StructType(
@@ -843,16 +843,12 @@ def q216_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     evb = load(spark, sf_dir, "events")
-    ranked, n = _ranked_with_total(
-        evb.select("value", "event_id"),
-        [col("value").asc(), col("event_id").asc()],
-        "_r",
+    n, picked = exact_value_at_ranks(
+        evb,
+        "value",
+        lambda n: [((n - 1) * dd) // 10 + 1 for dd in range(1, 10)],
+        what="events",
     )
-    need = sorted({((n - 1) * dd) // 10 + 1 for dd in range(1, 10)})
-    picked = {
-        r["_r"]: r["value"]
-        for r in ranked.where(col("_r").isin(need)).select("_r", "value").collect()
-    }
     exv = F.array(*[lit(picked[((n - 1) * dd) // 10 + 1]) for dd in range(1, 10)])
     dd = col("decile")
     idx = (F.floor(((F.size(col("sv")) - 1) * dd) / 10) + 1).cast("int")

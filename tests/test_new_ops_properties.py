@@ -407,8 +407,15 @@ def test_embedding_gram_matches_numpy_exactly(spark, sf_dir):
     assert len(got) == d * (d + 1) // 2
     for r in got:
         assert r.gram == G[r.i, r.j], (r.i, r.j)
+        # mirror the engines' float64 op tree exactly: Sij/n - (Si/n)(Sj/n)
+        # (the int64 spelling n*Sij - Si*Sj wraps past n ~ 3e6 — ADVICE r7)
         expect_cov = int(
-            np.floor((n * G[r.i, r.j] - S[r.i] * S[r.j]) * 1.0 / (n * n) + 0.5)
+            np.floor(
+                np.float64(G[r.i, r.j]) / np.float64(n)
+                - (np.float64(S[r.i]) / np.float64(n))
+                * (np.float64(S[r.j]) / np.float64(n))
+                + 0.5
+            )
         )
         assert r.cov_m2 == expect_cov, (r.i, r.j)
 

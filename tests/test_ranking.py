@@ -7,8 +7,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import col
 
+import pytest
+
 from eventstream_spark.catalog import load
 from eventstream_spark.operators.ranking import (
+    exact_value_at_ranks,
     global_row_number,
     scalable_ntile,
 )
@@ -67,3 +70,32 @@ def test_scalable_ntile_has_no_single_task_window(spark, sf_dir):
     )
     assert "rangepartitioning" in plan.lower()
     assert "_pid" in plan  # the window partitions on the range-partition id
+
+
+def test_exact_value_at_ranks_equals_sorted_pick(spark, sf_dir):
+    """Bucketed rank-pick == the value at the same 1-based rank of the
+    fully sorted column, across ranks that land in different buckets —
+    including rank 1, rank n, and the deciles. Duplicated values
+    (l_quantity has ~50 distinct) exercise the heavy-bucket/tie path."""
+    li = load(spark, sf_dir, "lineitem")
+    for vcol in ("l_extendedprice", "l_quantity"):
+        vals = sorted(r[0] for r in li.select(vcol).collect())
+        n = len(vals)
+        ranks = sorted({1, n, *(((n - 1) * d) // 10 + 1 for d in range(1, 10))})
+        got_n, got = exact_value_at_ranks(
+            li, vcol, lambda nn: ranks, n_buckets=64, what="lineitem"
+        )
+        assert got_n == n
+        assert got == {r: vals[r - 1] for r in ranks}
+
+
+def test_exact_value_at_ranks_empty_and_constant(spark):
+    """Empty input fails LOUD with the table name (the embedding_dim
+    convention — ADVICE r7); an all-equal column short-circuits without
+    the histogram pass."""
+    empty = spark.range(0).select(col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="mytable is empty"):
+        exact_value_at_ranks(empty, "v", lambda n: [1], what="mytable")
+    const = spark.range(7).select(F.lit(3.5).alias("v"))
+    n, picked = exact_value_at_ranks(const, "v", lambda n: [1, 4, n])
+    assert n == 7 and picked == {1: 3.5, 4: 3.5, 7: 3.5}
