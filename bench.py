@@ -207,6 +207,11 @@ HEADLINE = [
     # PCA power iteration: q212's corpus pass + 3 dimension-table
     # mat-vec steps.
     "q218_pca_power",
+    # round 8: grown-cells quantized IVF-PQ (GEMM assignment/encode) and
+    # the suffix-ordering exact-substring dedup (one range exchange +
+    # lag/lead over bounded-depth suffix keys).
+    "q217b_ivfpq_ann_scaled",
+    "q219_suffix_span_dedup",
 ]
 
 

@@ -825,6 +825,159 @@ def q122_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- variable-length exact-substring dedup (q219) ---------------------------
+# The SUFFIX-ORDERING form of Lee et al. ACL'22 — the production shape of
+# exact-substring dedup, of which q122's fixed 5-gram span coverage is the
+# fixed-width approximation. Suffix-array property: in the sorted order of
+# all suffixes, the longest match for any suffix is against one of its two
+# NEIGHBORS (the LCP of non-adjacent suffixes is the min of the adjacent
+# LCPs between them), so the maximal repeated-substring length at every
+# token position falls out of ONE global sort + a lag/lead comparison.
+
+_SFX_DEPTH = 16  # bounded suffix depth (tokens) == the cap on reported length
+
+
+def suffix_repeat_lengths(docs: DataFrame, depth: int = _SFX_DEPTH) -> DataFrame:
+    """(doc_id, source, pos, rep_len): for every token position, the token
+    length of the LONGEST substring starting there that occurs verbatim at
+    ≥ 2 distinct positions corpus-wide (within- or cross-document), capped
+    at ``depth``.
+
+    Plan — the shape nothing else in the repo exercises (global order +
+    neighbor comparison at corpus scale): per-position suffix keys at
+    bounded depth are built MAP-SIDE (one transform over the token array,
+    then posexplode — the only blow-up is the ×depth key bytes, which IS
+    the algorithm's working set); ONE range exchange sorts them; lag/lead
+    within range partitions plus a ≤num-partitions edge collect (each
+    partition's first/last key, the _ranked_with_total boundary trick)
+    give every row both neighbors without a second shuffle; LCP is an
+    integer expression over the split keys (first-mismatch position).
+    rep_len = max(LCP(prev), LCP(next)) is exact by the suffix-array
+    adjacency property. At 100 TB the sort is the plan a suffix-array
+    build pays anyway; partitions stay balanced because the range keys
+    are the suffixes themselves."""
+    toks = docs.select("doc_id", "source", tokens("text").alias("w"))
+    keys = F.transform(
+        col("w"), lambda x, i: F.array_join(F.slice(col("w"), i + 1, depth), " ")
+    )
+    suf = toks.select(
+        "doc_id", "source", F.posexplode(keys).alias("i0", "key")
+    ).select("doc_id", "source", (col("i0") + 1).alias("pos"), "key")
+    rp = persist_tracked(
+        suf.repartitionByRange("key", "doc_id", "pos").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    edges = sorted(
+        (r["_pid"], r["fst"]["key"], r["lst"]["key"])
+        for r in rp.groupBy("_pid")
+        .agg(
+            F.min(F.struct("key", "doc_id", "pos")).alias("fst"),
+            F.max(F.struct("key", "doc_id", "pos")).alias("lst"),
+        )
+        .collect()
+    )
+    prev_last: dict[int, str] = {}
+    next_first: dict[int, str] = {}
+    for i, (pid, fk, lk) in enumerate(edges):
+        if i > 0:
+            prev_last[pid] = edges[i - 1][2]
+        if i < len(edges) - 1:
+            next_first[pid] = edges[i + 1][1]
+
+    def pid_case(d: dict[int, str]):
+        if not d:
+            return lit(None).cast("string")
+        return F.coalesce(
+            *[F.when(col("_pid") == p, lit(k)) for p, k in d.items()],
+            lit(None).cast("string"),
+        )
+
+    def lcp(a, b):
+        ta, tb = F.split(a, " "), F.split(b, " ")
+        m = F.least(F.size(ta), F.size(tb))
+        eqs = F.zip_with(F.slice(ta, 1, m), F.slice(tb, 1, m), lambda x, y: x == y)
+        fp = F.array_position(eqs, lit(False))
+        return F.when(b.isNull(), lit(0)).otherwise(
+            F.when(fp == 0, m).otherwise(fp - 1)
+        )
+
+    w = Window.partitionBy("_pid").orderBy("key", "doc_id", "pos")
+    pk = F.coalesce(F.lag("key").over(w), pid_case(prev_last))
+    nk = F.coalesce(F.lead("key").over(w), pid_case(next_first))
+    return rp.select(
+        "doc_id",
+        "source",
+        "pos",
+        F.greatest(lcp(col("key"), pk), lcp(col("key"), nk))
+        .cast("int")
+        .alias("rep_len"),
+    )
+
+
+def q219_suffix_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source variable-length exact-substring duplication profile:
+    positions covered by a >= _SPAN_N(5)-token verbatim repeat (the q122
+    threshold, now with the repeat's ACTUAL length), deeply-copied
+    positions (>= 10), the longest repeat seen (capped at _SFX_DEPTH),
+    and the mean repeat length over covered positions — the numbers a
+    substring-removal pass (Lee et al. §4) plans its cuts from."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    r = suffix_repeat_lengths(docs)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum((col("rep_len") >= _SPAN_N).cast("long")).alias("dup_pos"),
+            F.sum((col("rep_len") >= 2 * _SPAN_N).cast("long")).alias("deep_pos"),
+            F.max("rep_len").alias("max_len"),
+            F.round(
+                F.avg(F.when(col("rep_len") >= _SPAN_N, col("rep_len"))), 4
+            ).alias("avg_dup_len"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lcp_sql(a: str, b: str) -> str:
+    sa, sb = f"string_split({a}, ' ')", f"string_split({b}, ' ')"
+    m = f"LEAST(len({sa}), len({sb}))"
+    eqs = f"list_transform(range(1, 1 + {m}), j -> ({sa})[j] = ({sb})[j])"
+    # list_position returns 0 (not NULL) on no-match — NULLIF routes the
+    # all-equal case to the min-length fallback, same as Spark's fp == 0.
+    return (
+        f"CASE WHEN {b} IS NULL THEN 0 "
+        f"ELSE COALESCE(NULLIF(list_position({eqs}, false), 0) - 1, {m}) END"
+    )
+
+
+_SUFFIX_SPAN_SQL = f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+suf AS (
+  SELECT doc_id, source, CAST(t.i AS BIGINT) AS pos,
+         array_to_string(list_slice(w, t.i, t.i + {_SFX_DEPTH - 1}), ' ') AS key
+  FROM tok, UNNEST(range(1, len(w) + 1)) AS t(i)),
+nb AS (
+  SELECT doc_id, source, pos, key,
+         LAG(key) OVER (ORDER BY key, doc_id, pos) AS pk,
+         LEAD(key) OVER (ORDER BY key, doc_id, pos) AS nk
+  FROM suf),
+l AS (
+  SELECT source,
+         GREATEST({_lcp_sql('key', 'pk')}, {_lcp_sql('key', 'nk')}) AS rep_len
+  FROM nb)
+SELECT source, COUNT(*) AS n_pos,
+       CAST(SUM(CASE WHEN rep_len >= {_SPAN_N} THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_pos,
+       CAST(SUM(CASE WHEN rep_len >= {2 * _SPAN_N} THEN 1 ELSE 0 END) AS BIGINT)
+         AS deep_pos,
+       CAST(MAX(rep_len) AS INT) AS max_len,
+       ROUND(AVG(CASE WHEN rep_len >= {_SPAN_N} THEN rep_len END), 4)
+         AS avg_dup_len
+FROM l GROUP BY source ORDER BY source
+"""
+
+
 _SPANS_SQL = (
     "SELECT doc_id, source, "
     + " || ' ' || ".join(f"w[i + {j}]" for j in range(_SPAN_N))
@@ -1227,6 +1380,7 @@ SELECT occurrences, COUNT(*) AS n_chunks,
        CAST(SUM(n_toks) AS BIGINT) AS n_tokens
 FROM occ GROUP BY 1 ORDER BY 1
 """,
+    "q219_suffix_span_dedup": _SUFFIX_SPAN_SQL,
     "q122_span_coverage": f"""
 WITH spans AS ({_SPANS_SQL}),
 freq AS (SELECT s, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, s FROM spans) GROUP BY 1),
@@ -1314,4 +1468,5 @@ QUERIES = {
     "q44_embedding_neardup": q44_embedding_neardup,
     "q44b_embedding_neardup_scaled": q44b_embedding_neardup_scaled,
     "q122_span_coverage": q122_span_coverage,
+    "q219_suffix_span_dedup": q219_suffix_span_dedup,
 }

@@ -113,6 +113,29 @@ def auto_planes(n_rows: int, target_occupancy: int = 8) -> int:
     return min(48, max(1, math.ceil(math.log2(n_rows / target_occupancy))))
 
 
+def auto_cells(n_rows: int) -> int:
+    """The IVF cell count that grows with the corpus: ceil(sqrt(N)) —
+    the classic inverted-file sizing (FAISS guidance is C·sqrt(N)), which
+    holds BOTH the per-cell list length and the centroid table at
+    ~sqrt(N), so probe cost grows as sqrt(N) instead of N. The q44b/q114b
+    grown-bits rule, applied to cells instead of hyperplanes. IEEE sqrt
+    is correctly rounded, so ceil(sqrt(n)) is the same integer in
+    Python, Spark, and duckdb."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n_rows)))
+
+
+def auto_probe(n_cells: int) -> int:
+    """Probes per query for the grown-cells IVF: ceil(log2(n_cells + 1)),
+    floored at 2 — recall is held by probing logarithmically more cells
+    as the index grows (candidate work stays ~sqrt(N)·log N). Mirrored in
+    SQL by the oracle's params CTE."""
+    import math
+
+    return max(2, math.ceil(math.log2(n_cells + 1)))
+
+
 def planes_cte_sql(n_planes: int) -> str:
     """duckdb CTEs (``dims``, ``planes``) building the SAME deterministic
     hyperplane matrix as :func:`plane_weights`, with the dimensionality
@@ -742,6 +765,156 @@ def q217_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(col("rank") <= 5)
         .select("q_id", "neighbor_id", "rank", F.round("adc_raw", 4).alias("adc"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def q217b_ivfpq_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q217 with the IVF geometry GROWN from the corpus count — the form a
+    100 TB index actually deploys: n_cells = auto_cells(N) = ceil(sqrt(N))
+    and n_probe = auto_probe(n_cells) (log growth), so per-cell list
+    length, centroid table, and per-query candidate work all stay
+    ~sqrt(N) as the corpus scales (the q44b/q114b grown-knob convention;
+    q217's fixed 16 cells is the small-corpus oracle-parity form whose
+    occupancy — and with it candidate count — grows linearly, the
+    documented pigeonhole).
+
+    Two design changes vs q217, both scale-driven. (1) QUANTIZED EXACT
+    ARITHMETIC: elements milli-quantize via the knife-proof
+    FLOOR(x·1000+0.5); every distance (assignment, encode, LUT, ADC) is
+    then an exact INTEGER, so argmins are tie-stable across engines with
+    no IEEE fold mirroring at all — and because every intermediate
+    (per-term ≤ 1.6e7, per-vector sums ≤ ~4e9) sits far below 2^53,
+    float64 BLAS computes those integers EXACTLY, which unlocks (2) the
+    q51b/q212 GEMM pattern: assignment and encode run as ONE numpy
+    matmul per Arrow batch (||x||² − 2XCᵀ + ||c||², centroid/codebook
+    matrices in the closure) instead of sqrt(N) higher-order-function
+    distance evaluations per row — the measured difference is the 100×
+    smoke dropping from 140.9× (HOF-per-pair spelling, rejected) to the
+    recorded row. Assignment work is N·sqrt(N) MACs — the known IVF
+    build cost FAISS also pays via BLAS. Codebooks stay _PQ_K=16 (PQ
+    codebook size is a bits-per-code choice, not a corpus-size knob).
+    Query side is |q|·n_probe driver-side numpy on collected vectors —
+    K·dim/sqrt(N)·dim bounded collects; candidates stay cell-bounded.
+    Cell ids ARE seed vec_ids (the oracle's labeling); ADC displays as
+    milli²-descaled ROUND(adc/1e6, 4), same integer both engines."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    dsub = dim // _PQ_M
+    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    n = e.count()
+    n_cells = auto_cells(n)
+    n_probe = auto_probe(n_cells)
+
+    def quant(mat) -> "np.ndarray":
+        return np.floor(np.asarray(mat, dtype=np.float64) * 1000.0 + 0.5)
+
+    seeds = sorted(
+        (int(r.vec_id), list(r.v))
+        for r in e.orderBy("vec_id").limit(n_cells).collect()
+    )
+    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
+    C = quant([cv for _, cv in seeds])  # n_cells × dim, integer-valued
+    c_sq = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = quant(pdf["v"].tolist())
+            # exact: all terms integer-valued and < 2^53, BLAS-exact
+            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            # argmin with smallest-cell-id ties: cell_ids ascend, so the
+            # first minimum along axis 1 IS the smallest id
+            ci = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell_ids[ci],
+                    "rv": list(X - C[ci]),
+                }
+            )
+
+    assigned = persist_tracked(
+        e.mapInPandas(assign, schema="vec_id long, cell long, rv array<double>")
+    )
+
+    sres = sorted(
+        assigned.orderBy("vec_id").limit(_PQ_K).select("vec_id", "rv").collect(),
+        key=lambda r: r.vec_id,
+    )
+    S = np.asarray([list(r.rv) for r in sres], dtype=np.float64)  # K × dim
+    cbs = [S[:, m * dsub : (m + 1) * dsub] for m in range(_PQ_M)]
+    cb_sq = [(cb * cb).sum(axis=1) for cb in cbs]
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            R = np.asarray(pdf["rv"].tolist(), dtype=np.float64)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+            }
+            for m in range(_PQ_M):
+                sub = R[:, m * dsub : (m + 1) * dsub]
+                D = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cbs[m].T)
+                    + cb_sq[m][None, :]
+                )
+                out[f"c{m}"] = D.argmin(axis=1).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    enc_schema = "vec_id long, cell long, " + ", ".join(
+        f"c{m} long" for m in range(_PQ_M)
+    )
+    enc = assigned.mapInPandas(encode, schema=enc_schema)
+
+    # Query side: |q| vectors × n_probe cells — driver-side numpy on
+    # bounded collects (the prefix-offset scalar class).
+    qrows = sorted(
+        (int(r.vec_id), list(r.v))
+        for r in e.where(col("vec_id").isin(100, 101, 102)).collect()
+    )
+    qt_rows = []
+    for q_id, qv in qrows:
+        x = quant([qv])[0]
+        dq = (x * x).sum() - 2.0 * (C @ x) + c_sq
+        order = np.lexsort((cell_ids, dq))[:n_probe]
+        for ci in order:
+            qr = x - C[ci]
+            luts = []
+            for m in range(_PQ_M):
+                sub = qr[m * dsub : (m + 1) * dsub]
+                dl = (sub * sub).sum() - 2.0 * (cbs[m] @ sub) + cb_sq[m]
+                luts.append([int(v) for v in dl])
+            qt_rows.append((q_id, int(cell_ids[ci]), *luts))
+    qt_schema = "q_id long, cell long, " + ", ".join(
+        f"lut{m} array<long>" for m in range(_PQ_M)
+    )
+    qt = spark.createDataFrame(qt_rows, qt_schema)
+
+    adc = None
+    for m in range(_PQ_M):
+        term = F.element_at(col(f"lut{m}"), (col(f"c{m}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("q_id").orderBy(col("adc_raw"), col("neighbor_id"))
+    return (
+        enc.join(broadcast(qt), "cell")
+        .where(col("vec_id") != col("q_id"))
+        .select("q_id", col("vec_id").alias("neighbor_id"), adc.alias("adc_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "rank",
+            F.round(col("adc_raw") / lit(1e6), 4).alias("adc"),
+        )
         .orderBy("q_id", "rank")
     )
 
@@ -1402,6 +1575,91 @@ FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
 """
 
 
+def _ivfpq_grown_sql(k: int = 5) -> str:
+    """q217b mirror — the QUANTIZED IVF-PQ: elements milli-quantize to
+    BIGINT, so every distance/argmin/ADC is an exact integer (no IEEE
+    fold mirroring needed — Spark computes the identical integers via
+    BLAS-exact float64, see q217b's docstring). n_cells/n_probe derive
+    from COUNT(*) in the params CTE — the exact integer twins of
+    auto_cells/auto_probe (IEEE sqrt/log2 are correctly rounded in both
+    engines). Code/cell ids are seed vec_ids — monotone-equivalent to
+    Spark's positional argmins, so ties break identically."""
+
+    def sl(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m} * dsub + 1, ({m} + 1) * dsub)"
+
+    code_aggs = ",\n         ".join(
+        f"MIN({{'d': {sq_l2_sql(sl('r.rv', m), sl('s.rv', m))}, 'c': s.k}})['c'] AS c{m}"
+        for m in range(_PQ_M)
+    )
+    lut_cols = ",\n         ".join(
+        f"{sq_l2_sql(sl('p.qr', m), sl('s.rv', m))} AS d{m}" for m in range(_PQ_M)
+    )
+    adc = " + ".join(f"l{m}.d{m}" for m in range(_PQ_M))
+    lut_joins = "\n  ".join(
+        f"JOIN luts l{m} ON l{m}.q_id = p.q_id AND l{m}.cell = p.cell"
+        f" AND l{m}.k = c.c{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH dims AS (SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1),
+e AS (SELECT vec_id,
+             list_transform({as_double_array_sql('embedding')},
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
+      FROM embeddings),
+params AS (
+  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS n_cells,
+         GREATEST(2, CAST(CEIL(LOG2(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) + 1))
+                          AS BIGINT)) AS n_probe
+  FROM e),
+cents AS (
+  SELECT vec_id AS cell, xm AS cm
+  FROM (SELECT vec_id, xm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+  CROSS JOIN params WHERE rn <= n_cells),
+asn AS (
+  SELECT e.vec_id, MIN({{'d': {sq_l2_sql('e.xm', 'c.cm')}, 'c': c.cell}})['c'] AS cell
+  FROM e, cents c GROUP BY e.vec_id),
+res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 1 + len(e.xm)), j -> e.xm[j] - c.cm[j]) AS rv
+  FROM asn a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cell = a.cell),
+seeds AS (SELECT vec_id AS k, rv FROM res ORDER BY vec_id LIMIT {_PQ_K}),
+codes AS (
+  SELECT r.vec_id, r.cell,
+         {code_aggs}
+  FROM res r, seeds s, dims GROUP BY r.vec_id, r.cell),
+qs AS (SELECT vec_id AS q_id, xm AS qm FROM e WHERE vec_id IN (100, 101, 102)),
+pr AS (
+  SELECT q.q_id, c.cell, c.cm,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY {sq_l2_sql('q.qm', 'c.cm')}, c.cell)
+           AS pr_rank
+  FROM qs q, cents c),
+probes AS (
+  SELECT p.q_id, p.cell,
+         list_transform(range(1, 1 + len(q.qm)), j -> q.qm[j] - p.cm[j]) AS qr
+  FROM pr p JOIN qs q ON q.q_id = p.q_id
+  WHERE p.pr_rank <= (SELECT n_probe FROM params)),
+luts AS (
+  SELECT p.q_id, p.cell, s.k,
+         {lut_cols}
+  FROM probes p, seeds s, dims),
+cand AS (
+  SELECT p.q_id, c.vec_id AS neighbor_id, {adc} AS adc_raw
+  FROM probes p
+  JOIN codes c ON c.cell = p.cell
+  {lut_joins}
+  WHERE c.vec_id <> p.q_id),
+ranked AS (
+  SELECT q_id, neighbor_id, adc_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_raw, neighbor_id) AS rank
+  FROM cand)
+SELECT q_id, neighbor_id, rank, ROUND(adc_raw / 1000000.0, 4) AS adc
+FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
 # --- q206: embedding-distribution drift via linear-kernel MMD ----------------
 # Gretton et al. JMLR'12: MMD^2 with the linear kernel reduces to
 # ||mean(A) - mean(B)||^2 — the O(n) two-sample test for EMBEDDING
@@ -1610,6 +1868,7 @@ FROM g WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL ORDER BY anchor
 ORACLES = {
     "q212_embedding_gram": _GRAM_SQL,
     "q217_ivfpq_ann": _ivfpq_sql(),
+    "q217b_ivfpq_ann_scaled": _ivfpq_grown_sql(),
     "q218_pca_power": _pca_power_sql(),
     "q206_mmd_drift": _MMD_SQL,
     "q207_triplet_mining": _TRIPLET_SQL,
@@ -1752,12 +2011,14 @@ GROUP BY cell, i ORDER BY cell, i
 # step (q85 measured 6.6 s -> 4.7 s, q217 4.4 s -> 3.3 s at sf0.1).
 from ..functions import materialize_ctes as _mat
 
-for _k in ("q85_pq_ann", "q217_ivfpq_ann", "q54b_kmeans_iter2"):
+for _k in ("q85_pq_ann", "q217_ivfpq_ann", "q217b_ivfpq_ann_scaled",
+           "q54b_kmeans_iter2"):
     ORACLES[_k] = _mat(ORACLES[_k])
 
 QUERIES = {
     "q212_embedding_gram": q212_embedding_gram,
     "q217_ivfpq_ann": q217_ivfpq_ann,
+    "q217b_ivfpq_ann_scaled": q217b_ivfpq_ann_scaled,
     "q218_pca_power": q218_pca_power,
     "q206_mmd_drift": q206_mmd_drift,
     "q207_triplet_mining": q207_triplet_mining,

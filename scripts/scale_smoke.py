@@ -115,6 +115,11 @@ SCALE_QUERIES = [
     # SCALING.md.
     "q121_pii_scrub",
     "q122_span_coverage",
+    # q219: the suffix-ordering form of q122 — ONE range exchange over the
+    # per-position bounded-depth suffix keys (the ×depth key bytes are the
+    # algorithm's working set) + lag/lead; the sort is what a suffix-array
+    # build pays.
+    "q219_suffix_span_dedup",
     "q125_unigram_logprob",
     "q126_vocab_stats",
     "q51b_matmul_knn",
@@ -260,6 +265,12 @@ SCALE_QUERIES = [
     # d²-bounded (corpus-independent) — the smoke verifies the iteration
     # overhead stays flat while the corpus grows 100x.
     "q218_pca_power",
+    # round 8: q217 (fixed 16 cells) is deliberately absent — at a fixed
+    # cell count, per-cell list length (hence probe candidates) grows
+    # linearly by pigeonhole, the same knob argument as q44 vs q44b /
+    # q114 vs q114b / q123. q217b is the grown form: cells = ceil(sqrt N),
+    # probes = ceil(log2(cells+1)) — candidate work ~ sqrt(N)·log N.
+    "q217b_ivfpq_ann_scaled",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

@@ -552,8 +552,10 @@ def test_pca_power_matches_numpy_integer_walk(spark, sf_dir):
     n, d = X.shape
     G = X.T @ X
     S = X.sum(axis=0)
+    # mirror the engines' float64 tree (ADVICE r7): Sij/n - (Si/n)(Sj/n)
+    Sn = S.astype(np.float64) / np.float64(n)
     C = np.floor(
-        (n * G - np.outer(S, S)) * 1.0 / (n * n) + 0.5
+        G.astype(np.float64) / np.float64(n) - np.outer(Sn, Sn) + 0.5
     ).astype(np.int64)
     v = np.full(d, 1_000_000, dtype=np.int64)
     for _ in range(_PCA_ITERS):
@@ -567,3 +569,74 @@ def test_pca_power_matches_numpy_integer_walk(spark, sf_dir):
     assert max(abs(r.v_micro) for r in got) == 1_000_000
     expect_eig = int(np.floor(m / 1e6 + 0.5))
     assert all(r.eig_m2 == expect_eig and r.eig_m2 > 0 for r in got)
+
+
+def test_suffix_repeat_lengths_vs_bruteforce(spark, sf_dir):
+    """q219 (suffix-ordering exact-substring dedup) vs a single-machine
+    brute force over the fixture corpus — the round-7 VERDICT property
+    spec: (a) every detected length-L repeat at (doc, pos) IS a verbatim
+    repeat (its L-gram occurs at >= 2 distinct positions corpus-wide),
+    (b) it is MAXIMAL below the depth cap (the (L+1)-gram, where one
+    exists, occurs once), and (c) no fixed-width-detectable repeat is
+    missed (every position whose _SPAN_N-gram repeats scores
+    rep_len >= _SPAN_N) — plus rep_len == 0 means even the unigram is
+    unique."""
+    from collections import Counter
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.dedup import (
+        _SFX_DEPTH,
+        _SPAN_N,
+        suffix_repeat_lengths,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = {
+        r.doc_id: [t for t in r.text.split() if t]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    cnt: dict[int, Counter] = {l: Counter() for l in range(1, _SFX_DEPTH + 2)}
+    for t in toks.values():
+        for l in cnt:
+            for p in range(len(t) - l + 1):
+                cnt[l][tuple(t[p : p + l])] += 1
+    got = suffix_repeat_lengths(docs).collect()
+    assert len(got) == sum(len(t) for t in toks.values())
+    n_dup = 0
+    for r in got:
+        t = toks[r.doc_id]
+        p0 = r.pos - 1
+        if r.rep_len > 0:
+            g = tuple(t[p0 : p0 + r.rep_len])
+            assert len(g) == r.rep_len and cnt[r.rep_len][g] >= 2, (r, g)
+            n_dup += 1
+            if r.rep_len < _SFX_DEPTH and p0 + r.rep_len < len(t):
+                g1 = tuple(t[p0 : p0 + r.rep_len + 1])
+                assert cnt[r.rep_len + 1][g1] == 1, (r, g1)
+        else:
+            assert cnt[1][(t[p0],)] == 1, r
+        if p0 + _SPAN_N <= len(t) and cnt[_SPAN_N][tuple(t[p0 : p0 + _SPAN_N])] >= 2:
+            assert r.rep_len >= _SPAN_N, r
+    assert n_dup > 0  # the fixture's near-dup docs guarantee real repeats
+
+
+def test_q217b_grown_geometry(spark, sf_dir):
+    """q217b: the corpus-derived IVF geometry follows the pinned rules
+    (cells = ceil(sqrt N), probes = max(2, ceil(log2(cells+1)))), and the
+    result is a full top-5 per probe query with non-negative de-scaled
+    integer ADC."""
+    from eventstream_spark.operators.similarity import (
+        auto_cells,
+        auto_probe,
+        q217b_ivfpq_ann_scaled,
+    )
+
+    assert auto_cells(1) == 1 and auto_cells(500) == 23 and auto_cells(200_000) == 448
+    assert auto_probe(1) == 2 and auto_probe(23) == 5 and auto_probe(448) == 9
+    rows = q217b_ivfpq_ann_scaled(spark, sf_dir).collect()
+    assert {r.q_id for r in rows} == {100, 101, 102}
+    for q in (100, 101, 102):
+        rr = sorted((r for r in rows if r.q_id == q), key=lambda r: r.rank)
+        assert [r.rank for r in rr] == [1, 2, 3, 4, 5]
+        assert all(r.adc >= 0 and r.neighbor_id != q for r in rr)
+        assert [r.adc for r in rr] == sorted(r.adc for r in rr)
