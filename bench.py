@@ -212,6 +212,10 @@ HEADLINE = [
     # lag/lead over bounded-depth suffix keys).
     "q217b_ivfpq_ann_scaled",
     "q219_suffix_span_dedup",
+    # substring-removal cut pass (q219's machinery + per-doc sweep) and
+    # the DoReMi domain-reweighting step (two LM groupBys + dim math).
+    "q220_substring_removal",
+    "q221_doremi_step",
 ]
 
 

@@ -939,6 +939,73 @@ def q219_suffix_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q220_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT pass of Lee et al. ACL'22 §4 that q219 plans for: remove
+    every token position covered by a >= _SPAN_N-token verbatim repeat
+    (ALL occurrences drop — the paper's ExactSubstr policy), and report
+    the per-source removal accounting a curation run logs: docs, total
+    vs removed tokens, removal rate, and docs removed entirely.
+
+    Coverage needs an interval UNION, not just the start flags: inside a
+    length-l repeat the trailing positions report rep_len < threshold
+    (the suffix of a repeat is a shorter repeat), so each kept/removed
+    decision is "does any qualifying span starting at p' <= pos still
+    reach past pos" — a per-doc running max of (pos + rep_len) over the
+    qualifying starts, the classic sweep. One doc_id hash shuffle + the
+    in-partition sort on top of q219's machinery; per-doc state only."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    r = suffix_repeat_lengths(docs)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cov_end = F.max(
+        F.when(col("rep_len") >= _SPAN_N, col("pos") + col("rep_len")).otherwise(
+            lit(0)
+        )
+    ).over(w)
+    cv = r.withColumn("covered", (cov_end > col("pos")).cast("long"))
+    per_doc = cv.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_tok"), F.sum("covered").alias("n_rm")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_rm").alias("removed_tokens"),
+            F.round(F.sum("n_rm") / F.sum("n_tok"), 4).alias("removal_rate"),
+            F.sum((col("n_rm") == col("n_tok")).cast("long")).alias("n_docs_gone"),
+        )
+        .orderBy("source")
+    )
+
+
+_SUBSTRING_REMOVAL_SQL_TMPL = """
+WITH {ctes},
+cv AS (
+  SELECT doc_id, source, pos,
+         CASE WHEN MAX(CASE WHEN rep_len >= {lmin} THEN pos + rep_len
+                            ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) > pos
+              THEN 1 ELSE 0 END AS covered
+  FROM lr),
+pd AS (SELECT doc_id, source, COUNT(*) AS n_tok,
+              CAST(SUM(covered) AS BIGINT) AS n_rm
+       FROM cv GROUP BY doc_id, source)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_rm) AS BIGINT) AS removed_tokens,
+       ROUND(CAST(SUM(n_rm) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE), 4)
+         AS removal_rate,
+       CAST(SUM(CASE WHEN n_rm = n_tok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_gone
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
 def _lcp_sql(a: str, b: str) -> str:
     sa, sb = f"string_split({a}, ' ')", f"string_split({b}, ' ')"
     m = f"LEAST(len({sa}), len({sb}))"
@@ -951,8 +1018,9 @@ def _lcp_sql(a: str, b: str) -> str:
     )
 
 
-_SUFFIX_SPAN_SQL = f"""
-WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+# Shared CTE chain ending at lr(doc_id, source, pos, rep_len) — used by
+# the q219 profile oracle and the q220 removal oracle.
+_SUFFIX_REPLEN_CTES = f"""tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
 suf AS (
   SELECT doc_id, source, CAST(t.i AS BIGINT) AS pos,
          array_to_string(list_slice(w, t.i, t.i + {_SFX_DEPTH - 1}), ' ') AS key
@@ -962,10 +1030,14 @@ nb AS (
          LAG(key) OVER (ORDER BY key, doc_id, pos) AS pk,
          LEAD(key) OVER (ORDER BY key, doc_id, pos) AS nk
   FROM suf),
-l AS (
-  SELECT source,
+lr AS (
+  SELECT doc_id, source, pos,
          GREATEST({_lcp_sql('key', 'pk')}, {_lcp_sql('key', 'nk')}) AS rep_len
-  FROM nb)
+  FROM nb)"""
+
+_SUFFIX_SPAN_SQL = f"""
+WITH {_SUFFIX_REPLEN_CTES},
+l AS (SELECT source, rep_len FROM lr)
 SELECT source, COUNT(*) AS n_pos,
        CAST(SUM(CASE WHEN rep_len >= {_SPAN_N} THEN 1 ELSE 0 END) AS BIGINT)
          AS dup_pos,
@@ -1381,6 +1453,9 @@ SELECT occurrences, COUNT(*) AS n_chunks,
 FROM occ GROUP BY 1 ORDER BY 1
 """,
     "q219_suffix_span_dedup": _SUFFIX_SPAN_SQL,
+    "q220_substring_removal": _SUBSTRING_REMOVAL_SQL_TMPL.format(
+        ctes=_SUFFIX_REPLEN_CTES, lmin=_SPAN_N
+    ),
     "q122_span_coverage": f"""
 WITH spans AS ({_SPANS_SQL}),
 freq AS (SELECT s, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, s FROM spans) GROUP BY 1),
@@ -1469,4 +1544,5 @@ QUERIES = {
     "q44b_embedding_neardup_scaled": q44b_embedding_neardup_scaled,
     "q122_span_coverage": q122_span_coverage,
     "q219_suffix_span_dedup": q219_suffix_span_dedup,
+    "q220_substring_removal": q220_substring_removal,
 }

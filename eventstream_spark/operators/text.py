@@ -2286,8 +2286,167 @@ FROM k ORDER BY source
 """
 
 
+# --- q221: DoReMi domain-reweighting step (Xie et al. NeurIPS'23) ------------
+# Domain Reweighting with Minimax Optimization, made deterministic and
+# oracle-checkable: one exponentiated-gradient step over per-domain excess
+# loss. The "reference model" is a Laplace-smoothed unigram LM trained on
+# the held-in doc_id % 4 == 0 slice (the q211 reference-slice convention);
+# the "proxy" is the same LM trained on the full corpus. A domain's excess
+# loss λ_i = max(0, NLL_ref(i) − NLL_full(i)) — how much worse the
+# reference-data model explains the domain than a model that saw it —
+# and the step is α_i ∝ share_i · exp(η·λ_i), then smoothed with the
+# uniform distribution: α'_i = (1−c)·α_i/Σα + c/K (the paper's u-mixing).
+
+_DRM_ETA = 1.0  # EG step size
+_DRM_SMOOTH = 0.2  # uniform smoothing mass c
+
+
+def q221_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, nll_full, nll_ref, excess, base_share,
+    doremi_weight): one DoReMi EG step over the per-source corpus.
+
+    Determinism: both LMs share one Laplace smoothing over the UNION
+    vocab, ln(p) quantizes to integer MILLI-nats per term (milli, not the
+    unigram_logprob micro, because the accumulation here is per-SOURCE:
+    Σ c·ll_milli stays inside int64 up to ~6e14 tokens per source —
+    micro-units would wrap at ~6e11, inside 100 TB territory, the q212
+    ADVICE class); per-source sums are exact integers; the only floats
+    are the final divisions, one exp (present in both engines — the
+    q215 convention) and the weight, which re-quantizes to micro before
+    normalizing so the K-row normalizer is an integer sum under any fold
+    order.
+
+    Scale: ONE corpus-sized groupBy(source, term); the term-level LM
+    table aggregates FROM it (second shuffle is vocabulary-sized); the
+    scoring join shuffles on term; everything after is |sources|-row
+    dimension math. No collects beyond the 1-row totals."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+    st = persist_tracked(
+        tok.groupBy("source", "term").agg(
+            F.count("*").alias("c"),
+            F.sum((col("doc_id") % 4 == 0).cast("long")).alias("cref"),
+        )
+    )
+    vocab = st.groupBy("term").agg(
+        F.sum("c").alias("tc"), F.sum("cref").alias("tr")
+    )
+    tot = vocab.agg(
+        F.count("*").alias("v"),
+        F.sum("tc").alias("t_full"),
+        F.sum("tr").alias("t_ref"),
+    )
+    ll = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log((col("tc") + lit(1.0)) / (col("t_full") + col("v"))) * 1e3)
+        .cast("long")
+        .alias("lf"),
+        F.round(F.log((col("tr") + lit(1.0)) / (col("t_ref") + col("v"))) * 1e3)
+        .cast("long")
+        .alias("lr"),
+    )
+    ps = (
+        st.join(ll, "term")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.sum(col("c") * col("lf")).alias("sf"),
+            F.sum(col("c") * col("lr")).alias("sr"),
+        )
+    )
+    d = ps.crossJoin(
+        F.broadcast(tot.select("t_full"))
+    ).select(
+        "source",
+        "n_tok",
+        "t_full",
+        (-col("sf") / col("n_tok") / lit(1e3)).alias("nll_f"),
+        (-col("sr") / col("n_tok") / lit(1e3)).alias("nll_r"),
+    )
+    w = d.select(
+        "source",
+        "n_tok",
+        "nll_f",
+        "nll_r",
+        (col("n_tok") / col("t_full")).alias("share"),
+        F.greatest(col("nll_r") - col("nll_f"), lit(0.0)).alias("excess"),
+    ).select(
+        "*",
+        F.round(
+            col("share") * F.exp(lit(_DRM_ETA) * col("excess")) * 1e6
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    norm = w.agg(F.sum("w_micro").alias("norm"), F.count("*").alias("k"))
+    return (
+        w.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            col("n_tok").alias("n_tokens"),
+            F.round("nll_f", 4).alias("nll_full"),
+            F.round("nll_r", 4).alias("nll_ref"),
+            F.round("excess", 4).alias("excess"),
+            F.round("share", 4).alias("base_share"),
+            F.round(
+                lit(1.0 - _DRM_SMOOTH) * col("w_micro") / col("norm")
+                + lit(_DRM_SMOOTH) / col("k"),
+                4,
+            ).alias("doremi_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOREMI_SQL = f"""
+WITH tok AS (SELECT doc_id, source, unnest({tokens_sql()}) AS term
+             FROM documents),
+st AS (SELECT source, term, COUNT(*) AS c,
+              CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cref
+       FROM tok GROUP BY source, term),
+vocab AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tc,
+                 CAST(SUM(cref) AS BIGINT) AS tr
+          FROM st GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(tc) AS BIGINT) AS t_full,
+               CAST(SUM(tr) AS BIGINT) AS t_ref
+        FROM vocab),
+ll AS (SELECT term,
+              CAST(ROUND(LN((tc + 1.0) / (t_full + v)) * 1e3) AS BIGINT) AS lf,
+              CAST(ROUND(LN((tr + 1.0) / (t_ref + v)) * 1e3) AS BIGINT) AS lr
+       FROM vocab CROSS JOIN tot),
+ps AS (SELECT s.source, CAST(SUM(s.c) AS BIGINT) AS n_tok,
+              CAST(SUM(s.c * l.lf) AS BIGINT) AS sf,
+              CAST(SUM(s.c * l.lr) AS BIGINT) AS sr
+       FROM st s JOIN ll l USING (term) GROUP BY s.source),
+d AS (SELECT source, n_tok, t_full,
+             -sf / n_tok / 1e3 AS nll_f,
+             -sr / n_tok / 1e3 AS nll_r
+      FROM ps CROSS JOIN (SELECT t_full FROM tot) t),
+w AS (SELECT source, n_tok, nll_f, nll_r,
+             n_tok * 1.0 / t_full AS share,
+             GREATEST(nll_r - nll_f, 0.0) AS excess
+      FROM d),
+wm AS (SELECT *,
+              CAST(ROUND(share * EXP({_DRM_ETA} * excess) * 1e6) AS BIGINT)
+                AS w_micro
+       FROM w),
+nm AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS norm,
+              CAST(COUNT(*) AS BIGINT) AS k FROM wm)
+SELECT source, n_tok AS n_tokens,
+       ROUND(nll_f, 4) AS nll_full,
+       ROUND(nll_r, 4) AS nll_ref,
+       ROUND(excess, 4) AS excess,
+       ROUND(share, 4) AS base_share,
+       ROUND({1.0 - _DRM_SMOOTH} * w_micro / norm + {_DRM_SMOOTH} / k, 4)
+         AS doremi_weight
+FROM wm CROSS JOIN nm ORDER BY source
+"""
+
+
 ORACLES = {
     "q205_gopher_funnel": _gopher_funnel_sql(),
+    "q221_doremi_step": _DOREMI_SQL,
     "q208_span_corruption": _span_corruption_sql(),
     "q211_dsir_select": _dsir_sql(),
     "q213_negative_sampling": _NEG_SAMPLING_SQL,
@@ -2552,6 +2711,7 @@ for _k in ("q162_bpe_encode", "q211_dsir_select"):
 
 QUERIES = {
     "q205_gopher_funnel": q205_gopher_funnel,
+    "q221_doremi_step": q221_doremi_step,
     "q208_span_corruption": q208_span_corruption,
     "q211_dsir_select": q211_dsir_select,
     "q213_negative_sampling": q213_negative_sampling,

@@ -118,8 +118,10 @@ SCALE_QUERIES = [
     # q219: the suffix-ordering form of q122 — ONE range exchange over the
     # per-position bounded-depth suffix keys (the ×depth key bytes are the
     # algorithm's working set) + lag/lead; the sort is what a suffix-array
-    # build pays.
+    # build pays. q220 adds the per-doc coverage sweep (one doc_id hash
+    # shuffle) on top.
     "q219_suffix_span_dedup",
+    "q220_substring_removal",
     "q125_unigram_logprob",
     "q126_vocab_stats",
     "q51b_matmul_knn",
@@ -261,6 +263,9 @@ SCALE_QUERIES = [
     # map-side scoring; q215 is one map-side-partial groupBy.
     "q214_selection_curve",
     "q215_data_constrained",
+    # q221 DoReMi step: one corpus (source, term) groupBy, vocabulary-
+    # bounded LM table, dimension-side EG math.
+    "q221_doremi_step",
     # q218: q212's batched-GEMM corpus pass + 3 power steps whose cost is
     # d²-bounded (corpus-independent) — the smoke verifies the iteration
     # overhead stays flat while the corpus grows 100x.

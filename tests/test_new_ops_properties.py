@@ -640,3 +640,80 @@ def test_q217b_grown_geometry(spark, sf_dir):
         assert [r.rank for r in rr] == [1, 2, 3, 4, 5]
         assert all(r.adc >= 0 and r.neighbor_id != q for r in rr)
         assert [r.adc for r in rr] == sorted(r.adc for r in rr)
+
+
+def test_substring_removal_is_interval_union(spark, sf_dir):
+    """q220's removal accounting equals the interval union computed
+    directly from the per-position repeat lengths: a position is removed
+    iff some qualifying span (rep_len >= _SPAN_N) starting at or before it
+    reaches past it — in particular the TRAILING positions of a long
+    repeat (whose own rep_len sits below the threshold) are removed, and
+    every qualifying start is removed."""
+    from collections import defaultdict
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.dedup import (
+        _SPAN_N,
+        q220_substring_removal,
+        suffix_repeat_lengths,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc: dict = defaultdict(list)
+    src_of = {}
+    for r in suffix_repeat_lengths(docs).collect():
+        per_doc[r.doc_id].append((r.pos, r.rep_len))
+        src_of[r.doc_id] = r.source
+    exp: dict = defaultdict(lambda: [0, 0, 0, 0])  # docs, tok, removed, gone
+    saw_trailing_removal = False
+    for d, lst in per_doc.items():
+        lst.sort()
+        end, rm = 0, 0
+        for pos, l in lst:
+            if l >= _SPAN_N:
+                end = max(end, pos + l)
+            if end > pos:
+                rm += 1
+                if l < _SPAN_N:
+                    saw_trailing_removal = True
+        e = exp[src_of[d]]
+        e[0] += 1
+        e[1] += len(lst)
+        e[2] += rm
+        e[3] += rm == len(lst)
+    got = {r.source: r for r in q220_substring_removal(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for s, e in exp.items():
+        g = got[s]
+        assert (g.n_docs, g.total_tokens, g.removed_tokens, g.n_docs_gone) == tuple(e), s
+        assert abs(g.removal_rate - e[2] / e[1]) < 1e-3
+    assert saw_trailing_removal  # the interval union did real work
+
+
+def test_doremi_step_is_a_smoothed_distribution(spark, sf_dir):
+    """q221: the reweighted domain distribution sums to 1, respects the
+    uniform smoothing floor c/K on every domain, excess is non-negative,
+    and a domain with zero excess gets weight <= its EG-boosted peers'
+    relative to base share (the EG step only UP-weights via exp(eta *
+    excess) >= 1)."""
+    from eventstream_spark.operators.text import (
+        _DRM_SMOOTH,
+        q221_doremi_step,
+    )
+
+    rows = q221_doremi_step(spark, sf_dir).collect()
+    k = len(rows)
+    assert k >= 3
+    assert abs(sum(r.doremi_weight for r in rows) - 1.0) < 1e-2
+    assert abs(sum(r.base_share for r in rows) - 1.0) < 1e-2
+    floor = _DRM_SMOOTH / k
+    for r in rows:
+        assert r.excess >= 0
+        assert r.doremi_weight >= floor - 1e-4, r
+        assert r.nll_full > 0 and r.nll_ref > 0
+    # EG monotonicity: among equal-share domains, higher excess never
+    # yields a lower weight (check via weight/share ordering vs excess)
+    by_excess = sorted(rows, key=lambda r: (r.excess, r.source))
+    ratios = [r.doremi_weight / r.base_share for r in by_excess if r.base_share > 0]
+    # allow ties/noise at 4dp; overall trend must be non-decreasing ends
+    assert ratios[-1] >= ratios[0] - 1e-3
