@@ -55,6 +55,10 @@ PICKS = {
     "q212_embedding_gram": "Gram/cov: MapInPandas int64 GEMM partials per Arrow batch; ONE (i,j) hash exchange, then broadcast joins on the d-row sum table",
     "q214_selection_curve": "selection curve: map-side scoring + scalable_ntile's range exchange; the cumulative window runs on the 10-row decile rollup",
     "q217_ivfpq_ann": "IVF-PQ: assignment/encode are literal-matrix map work (no exchange); the |queries|x n_probe LUT table broadcasts onto the cell-keyed inverted lists",
+    "q217b_ivfpq_ann_scaled": "grown-cells IVF-PQ: assignment+encode are MapInPandas GEMM passes (no centroid join in the plan); the LUT table broadcasts onto the cell-keyed codes",
+    "q219_suffix_span_dedup": "suffix dedup: ONE range exchange on the suffix key; lag/lead windows partition on the range-partition id (no single-task window)",
+    "q220_substring_removal": "substring removal: q219's sort + one doc_id hash exchange for the per-doc coverage sweep",
+    "q210_quantile_sketch": "quantile sketch: TakeOrdered sample + bucketed rank-pick — histogram aggregate and a window over ONLY the target buckets; no full-table range exchange (the r8 reclaim)",
 }
 
 
