@@ -216,6 +216,8 @@ HEADLINE = [
     # the DoReMi domain-reweighting step (two LM groupBys + dim math).
     "q220_substring_removal",
     "q221_doremi_step",
+    # two-layer ANN recall audit (shares q217b's index build).
+    "q222_ann_recall_audit",
 ]
 
 

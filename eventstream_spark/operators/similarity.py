@@ -798,6 +798,16 @@ def q217b_ivfpq_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     K·dim/sqrt(N)·dim bounded collects; candidates stay cell-bounded.
     Cell ids ARE seed vec_ids (the oracle's labeling); ADC displays as
     milli²-descaled ROUND(adc/1e6, 4), same integer both engines."""
+    assigned, enc, qt = _ivfpq_grown_index(spark, sf_dir)
+    return _ivfpq_adc_topk(enc, qt)
+
+
+def _ivfpq_grown_index(spark: SparkSession, sf_dir: str):
+    """(assigned, enc, qt) — the grown-geometry quantized IVF-PQ index
+    build shared by q217b (ADC ranking) and q222 (recall audit):
+    assigned(vec_id, cell, rv), enc(vec_id, cell, c0..cM), and the
+    query-side LUT table qt(q_id, cell, lut0..lutM). See q217b's
+    docstring for the design."""
     import numpy as np
     import pandas as pd
 
@@ -897,7 +907,10 @@ def q217b_ivfpq_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"lut{m} array<long>" for m in range(_PQ_M)
     )
     qt = spark.createDataFrame(qt_rows, qt_schema)
+    return assigned, enc, qt
 
+
+def _ivfpq_adc_topk(enc: DataFrame, qt: DataFrame, k: int = 5) -> DataFrame:
     adc = None
     for m in range(_PQ_M):
         term = F.element_at(col(f"lut{m}"), (col(f"c{m}") + 1).cast("int"))
@@ -908,7 +921,7 @@ def q217b_ivfpq_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(col("vec_id") != col("q_id"))
         .select("q_id", col("vec_id").alias("neighbor_id"), adc.alias("adc_raw"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(col("rank") <= 5)
+        .where(col("rank") <= k)
         .select(
             "q_id",
             "neighbor_id",
@@ -917,6 +930,138 @@ def q217b_ivfpq_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+def q222_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer recall@5 audit of the deployable IVF-PQ index (q217b)
+    against exact 5-NN — the acceptance measurement every production ANN
+    deployment runs before trusting an index, split the way FAISS tuning
+    splits it: CANDIDATE recall (did the n_probe probed cells even admit
+    the true neighbors — the IVF layer's ceiling, the cells/probes knob)
+    vs END-TO-END recall (did ADC over the PQ codes rank them into the
+    top-5 — the codebook-bits knob). Ground truth is exact squared L2 in
+    the SAME milli-quantized space the index encodes, so distances are
+    exact integers (tie-stable cross-engine) and the numbers isolate
+    index error, not metric drift.
+
+    Scale: index internals shared with q217b (one build); the exact side
+    is a |queries|-row broadcast against one corpus scan with a
+    |queries|-partition window (the q51 small-query-set shape); the
+    audit joins are ≤ 5·|queries| rows a side against the (vec_id, cell)
+    assignment and the n_probe·|queries| probe pairs."""
+    assigned, enc, qt = _ivfpq_grown_index(spark, sf_dir)
+    approx = _ivfpq_adc_topk(enc, qt).select("q_id", "neighbor_id")
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        "vec_id",
+        F.transform(
+            as_double_array(col("embedding")),
+            lambda x: F.floor(x * 1000 + lit(0.5)).cast("long"),
+        ).alias("xm"),
+    )
+    q = e.where(col("vec_id").isin(100, 101, 102)).select(
+        col("vec_id").alias("q_id"), col("xm").alias("qm")
+    )
+    w = Window.partitionBy("q_id").orderBy(col("d"), col("neighbor_id"))
+    exact = persist_tracked(
+        e.crossJoin(broadcast(q))
+        .where(col("vec_id") != col("q_id"))
+        .select(
+            "q_id",
+            col("vec_id").alias("neighbor_id"),
+            sq_l2(col("xm"), col("qm")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    probe_pairs = qt.select("q_id", "cell").distinct()
+    cand_hits = (
+        exact.join(
+            assigned.select(col("vec_id").alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+        .join(broadcast(probe_pairs), ["q_id", "cell"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("ch"))
+    )
+    hits = (
+        exact.join(approx, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        q.select("q_id")
+        .join(cand_hits, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(col("ch"), lit(0)).cast("long").alias("n_cand_hits"),
+            F.round(F.coalesce(col("ch"), lit(0)) / lit(5.0), 4).alias(
+                "cand_recall"
+            ),
+            F.coalesce(col("h"), lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(col("h"), lit(0)) / lit(5.0), 4).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _ann_recall_sql() -> str:
+    # The nested grown-IVF-PQ block gets its evaluate-once pins APPLIED
+    # BEFORE nesting: the anchored materialize_ctes rewrite only touches
+    # depth-0 WITH-list entries, so the outer pass (this oracle is in the
+    # module's _mat list) cannot reach the inner WITH.
+    from ..functions import materialize_ctes as _m
+
+    return f"""
+WITH a AS (SELECT q_id, neighbor_id FROM ({_m(_ivfpq_grown_sql())})),
+e AS (SELECT vec_id,
+             list_transform({as_double_array_sql('embedding')},
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
+      FROM embeddings),
+params AS (
+  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS n_cells,
+         GREATEST(2, CAST(CEIL(LOG2(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) + 1))
+                          AS BIGINT)) AS n_probe
+  FROM e),
+cents AS (
+  SELECT vec_id AS cell, xm AS cm
+  FROM (SELECT vec_id, xm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+  CROSS JOIN params WHERE rn <= n_cells),
+asn AS (
+  SELECT e.vec_id, MIN({{'d': {sq_l2_sql('e.xm', 'c.cm')}, 'c': c.cell}})['c'] AS cell
+  FROM e, cents c GROUP BY e.vec_id),
+qs AS (SELECT vec_id AS q_id, xm AS qm FROM e WHERE vec_id IN (100, 101, 102)),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {sq_l2_sql('q.qm', 'c.cm')}, c.cell)
+             AS pr_rank
+    FROM qs q, cents c)
+  WHERE pr_rank <= (SELECT n_probe FROM params)),
+ex AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {sq_l2_sql('c.xm', 'q.qm')}, c.vec_id)
+             AS rank
+    FROM e c, qs q WHERE c.vec_id <> q.q_id)
+  WHERE rank <= 5),
+ch AS (SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+       FROM ex JOIN asn ON asn.vec_id = ex.neighbor_id
+       JOIN probes p ON p.q_id = ex.q_id AND p.cell = asn.cell
+       GROUP BY ex.q_id),
+h AS (SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ex JOIN a USING (q_id, neighbor_id) GROUP BY ex.q_id)
+SELECT q.q_id,
+       COALESCE(ch.n_cand, 0) AS n_cand_hits,
+       ROUND(COALESCE(ch.n_cand, 0) / 5.0, 4) AS cand_recall,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+FROM qs q LEFT JOIN ch USING (q_id) LEFT JOIN h USING (q_id) ORDER BY q_id
+"""
 
 
 def kmeans_step(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
@@ -1869,6 +2014,7 @@ ORACLES = {
     "q212_embedding_gram": _GRAM_SQL,
     "q217_ivfpq_ann": _ivfpq_sql(),
     "q217b_ivfpq_ann_scaled": _ivfpq_grown_sql(),
+    "q222_ann_recall_audit": _ann_recall_sql(),
     "q218_pca_power": _pca_power_sql(),
     "q206_mmd_drift": _MMD_SQL,
     "q207_triplet_mining": _TRIPLET_SQL,
@@ -2012,13 +2158,14 @@ GROUP BY cell, i ORDER BY cell, i
 from ..functions import materialize_ctes as _mat
 
 for _k in ("q85_pq_ann", "q217_ivfpq_ann", "q217b_ivfpq_ann_scaled",
-           "q54b_kmeans_iter2"):
+           "q222_ann_recall_audit", "q54b_kmeans_iter2"):
     ORACLES[_k] = _mat(ORACLES[_k])
 
 QUERIES = {
     "q212_embedding_gram": q212_embedding_gram,
     "q217_ivfpq_ann": q217_ivfpq_ann,
     "q217b_ivfpq_ann_scaled": q217b_ivfpq_ann_scaled,
+    "q222_ann_recall_audit": q222_ann_recall_audit,
     "q218_pca_power": q218_pca_power,
     "q206_mmd_drift": q206_mmd_drift,
     "q207_triplet_mining": q207_triplet_mining,

@@ -276,6 +276,10 @@ SCALE_QUERIES = [
     # q114 vs q114b / q123. q217b is the grown form: cells = ceil(sqrt N),
     # probes = ceil(log2(cells+1)) — candidate work ~ sqrt(N)·log N.
     "q217b_ivfpq_ann_scaled",
+    # q222: q217b's index build + one broadcast exact pass + tiny audit
+    # joins — the recall measurement loop itself must scale with the
+    # index it audits.
+    "q222_ann_recall_audit",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

@@ -717,3 +717,45 @@ def test_doremi_step_is_a_smoothed_distribution(spark, sf_dir):
     ratios = [r.doremi_weight / r.base_share for r in by_excess if r.base_share > 0]
     # allow ties/noise at 4dp; overall trend must be non-decreasing ends
     assert ratios[-1] >= ratios[0] - 1e-3
+
+
+def test_ann_recall_audit_matches_numpy_ground_truth(spark, sf_dir):
+    """q222 against a full single-machine recomputation: candidate hits
+    equal the count of exact-5 neighbors whose assigned cell is among the
+    query's probed cells, and end-to-end hits can never exceed the
+    candidate ceiling (ADC candidates come only from probed cells)."""
+    import numpy as np
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.similarity import (
+        auto_cells,
+        auto_probe,
+        q222_ann_recall_audit,
+    )
+
+    rows = {r.q_id: r for r in q222_ann_recall_audit(spark, sf_dir).collect()}
+    assert set(rows) == {100, 101, 102}
+    d = sorted(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in d])
+    X = np.floor(
+        np.array([list(r.embedding) for r in d], dtype=np.float64) * 1000.0 + 0.5
+    )
+    n = len(ids)
+    nc, npb = auto_cells(n), auto_probe(auto_cells(n))
+    C, cell_ids = X[:nc], ids[:nc]
+    D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    asn = D.argmin(axis=1)
+    for q in (100, 101, 102):
+        qi = int(np.where(ids == q)[0][0])
+        dq = ((X - X[qi]) ** 2).sum(1)
+        dq[qi] = np.inf
+        exact5 = np.lexsort((ids, dq))[:5]
+        probed = set(np.lexsort((cell_ids, D[qi]))[:npb])
+        exp_cand = sum(1 for e in exact5 if asn[e] in probed)
+        r = rows[q]
+        assert r.n_cand_hits == exp_cand, (q, r, exp_cand)
+        assert abs(r.cand_recall - exp_cand / 5.0) < 1e-6
+        assert 0 <= r.n_hits <= r.n_cand_hits
