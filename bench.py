@@ -218,6 +218,9 @@ HEADLINE = [
     "q221_doremi_step",
     # two-layer ANN recall audit (shares q217b's index build).
     "q222_ann_recall_audit",
+    # RHO-loss learnability selection (doc-level two-LM scoring + the
+    # range-partitioned global cut).
+    "q224_rho_select",
 ]
 
 

@@ -2301,6 +2301,34 @@ _DRM_ETA = 1.0  # EG step size
 _DRM_SMOOTH = 0.2  # uniform smoothing mass c
 
 
+def _two_lm_tables(counts: DataFrame):
+    """(ll, tot) from any (…, term, c, cref) count table: per-term
+    milli-nat log-probs under TWO Laplace-smoothed unigram LMs sharing
+    one union vocab — lf trained on the full corpus, lr on the held-in
+    reference slice (cref = the term's count within doc_id % 4 == 0).
+    Shared by q221 (domain-level DoReMi) and q224 (doc-level RHO).
+    Milli (not micro) so downstream per-GROUP integer sums Σ c·ll hold
+    int64 to ~6e14 tokens (the q212 ADVICE overflow class)."""
+    vocab = counts.groupBy("term").agg(
+        F.sum("c").alias("tc"), F.sum("cref").alias("tr")
+    )
+    tot = vocab.agg(
+        F.count("*").alias("v"),
+        F.sum("tc").alias("t_full"),
+        F.sum("tr").alias("t_ref"),
+    )
+    ll = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log((col("tc") + lit(1.0)) / (col("t_full") + col("v"))) * 1e3)
+        .cast("long")
+        .alias("lf"),
+        F.round(F.log((col("tr") + lit(1.0)) / (col("t_ref") + col("v"))) * 1e3)
+        .cast("long")
+        .alias("lr"),
+    )
+    return ll, tot
+
+
 def q221_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, n_tokens, nll_full, nll_ref, excess, base_share,
     doremi_weight): one DoReMi EG step over the per-source corpus.
@@ -2328,23 +2356,7 @@ def q221_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((col("doc_id") % 4 == 0).cast("long")).alias("cref"),
         )
     )
-    vocab = st.groupBy("term").agg(
-        F.sum("c").alias("tc"), F.sum("cref").alias("tr")
-    )
-    tot = vocab.agg(
-        F.count("*").alias("v"),
-        F.sum("tc").alias("t_full"),
-        F.sum("tr").alias("t_ref"),
-    )
-    ll = vocab.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.round(F.log((col("tc") + lit(1.0)) / (col("t_full") + col("v"))) * 1e3)
-        .cast("long")
-        .alias("lf"),
-        F.round(F.log((col("tr") + lit(1.0)) / (col("t_ref") + col("v"))) * 1e3)
-        .cast("long")
-        .alias("lr"),
-    )
+    ll, tot = _two_lm_tables(st)
     ps = (
         st.join(ll, "term")
         .groupBy("source")
@@ -2398,6 +2410,120 @@ def q221_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q224: RHO-loss learnability selection (Mindermann et al. ICML'22) -------
+# Reducible-holdout-loss selection at the document level: keep the docs the
+# corpus-trained model finds HARD but the held-out reference model does NOT
+# — high (NLL_full − NLL_ref) means learnable signal, not irreducible noise
+# (noise is hard for both) and not already-learned (easy for both). The
+# doc-level complement of q221's domain-level reweighting, built on the
+# same two Laplace-smoothed unigram LMs, and the third member of the
+# selection ladder (q201 fixed classifier / q211 DSIR n-gram importance /
+# this, model-loss-difference).
+
+_RHO_KEEP_DEN = 4  # keep the top 1/4 of docs by learnability score
+
+
+def q224_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_selected, sel_rate, avg_rho_sel, kept_tokens):
+    per-source accounting of the global top-25% RHO selection.
+
+    Determinism: per-doc score rho = mean per-token (lf − lr) computed
+    from exact integer milli-nat sums, re-quantized to ONE integer
+    micro-nat score per doc (rho_u) — the RANKING key is an integer, so
+    the global top-N/4 cut is tie-stable by (rho_u desc, doc_id) in both
+    engines, and the per-source AVG over rho_u is an exact integer sum
+    before its single division.
+
+    Scale: one corpus (doc, term) groupBy + the vocabulary-sized LM
+    join (the q221 passes); the global cut is the q211 range-partitioned
+    rank — never a single-task window; everything after is per-source
+    dimension math."""
+    from .ranking import _ranked_with_total
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+    tf = persist_tracked(
+        tok.groupBy("doc_id", "source", "term").agg(
+            F.count("*").alias("c"),
+            F.sum((col("doc_id") % 4 == 0).cast("long")).alias("cref"),
+        )
+    )
+    ll, _ = _two_lm_tables(tf)
+    doc = (
+        tf.join(ll, "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.sum(col("c") * (col("lf") - col("lr"))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.round(col("s") * lit(1000.0) / col("n_tok")).cast("long").alias("rho_u"),
+        )
+    )
+    ranked, n = _ranked_with_total(
+        doc, [col("rho_u").desc(), col("doc_id").asc()], "_r"
+    )
+    keep = (n + _RHO_KEEP_DEN - 1) // _RHO_KEEP_DEN
+    sel = ranked.withColumn("kept", (col("_r") <= keep).cast("long"))
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_selected"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("sel_rate"),
+            F.round(
+                F.avg(F.when(col("kept") == 1, col("rho_u"))) / lit(1e6), 4
+            ).alias("avg_rho_sel"),
+            F.sum(F.when(col("kept") == 1, col("n_tok")).otherwise(lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_RHO_SQL = f"""
+WITH tok AS (SELECT doc_id, source, unnest({tokens_sql()}) AS term
+             FROM documents),
+tf AS (SELECT doc_id, source, term, COUNT(*) AS c,
+              CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cref
+       FROM tok GROUP BY doc_id, source, term),
+vocab AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tc,
+                 CAST(SUM(cref) AS BIGINT) AS tr
+          FROM tf GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(tc) AS BIGINT) AS t_full,
+               CAST(SUM(tr) AS BIGINT) AS t_ref
+        FROM vocab),
+ll AS (SELECT term,
+              CAST(ROUND(LN((tc + 1.0) / (t_full + v)) * 1e3) AS BIGINT) AS lf,
+              CAST(ROUND(LN((tr + 1.0) / (t_ref + v)) * 1e3) AS BIGINT) AS lr
+       FROM vocab CROSS JOIN tot),
+doc AS (SELECT t.doc_id, t.source, CAST(SUM(t.c) AS BIGINT) AS n_tok,
+               CAST(SUM(t.c * (l.lf - l.lr)) AS BIGINT) AS s
+        FROM tf t JOIN ll l USING (term) GROUP BY t.doc_id, t.source),
+scored AS (SELECT doc_id, source, n_tok,
+                  CAST(ROUND(s * 1000.0 / n_tok) AS BIGINT) AS rho_u
+           FROM doc),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rho_u DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM scored),
+sel AS (SELECT *, CASE WHEN rnk <= (n + {_RHO_KEEP_DEN - 1}) // {_RHO_KEEP_DEN}
+                       THEN 1 ELSE 0 END AS kept
+        FROM r)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_selected,
+       ROUND(CAST(SUM(kept) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 4) AS sel_rate,
+       ROUND(AVG(CASE WHEN kept = 1 THEN rho_u END) / 1e6, 4) AS avg_rho_sel,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM sel GROUP BY source ORDER BY source
+"""
+
+
 _DOREMI_SQL = f"""
 WITH tok AS (SELECT doc_id, source, unnest({tokens_sql()}) AS term
              FROM documents),
@@ -2447,6 +2573,7 @@ FROM wm CROSS JOIN nm ORDER BY source
 ORACLES = {
     "q205_gopher_funnel": _gopher_funnel_sql(),
     "q221_doremi_step": _DOREMI_SQL,
+    "q224_rho_select": _RHO_SQL,
     "q208_span_corruption": _span_corruption_sql(),
     "q211_dsir_select": _dsir_sql(),
     "q213_negative_sampling": _NEG_SAMPLING_SQL,
@@ -2712,6 +2839,7 @@ for _k in ("q162_bpe_encode", "q211_dsir_select"):
 QUERIES = {
     "q205_gopher_funnel": q205_gopher_funnel,
     "q221_doremi_step": q221_doremi_step,
+    "q224_rho_select": q224_rho_select,
     "q208_span_corruption": q208_span_corruption,
     "q211_dsir_select": q211_dsir_select,
     "q213_negative_sampling": q213_negative_sampling,

@@ -264,8 +264,11 @@ SCALE_QUERIES = [
     "q214_selection_curve",
     "q215_data_constrained",
     # q221 DoReMi step: one corpus (source, term) groupBy, vocabulary-
-    # bounded LM table, dimension-side EG math.
+    # bounded LM table, dimension-side EG math. q224 RHO selection: the
+    # (doc, term) groupBy + LM join + the q211-style range-partitioned
+    # global cut.
     "q221_doremi_step",
+    "q224_rho_select",
     # q218: q212's batched-GEMM corpus pass + 3 power steps whose cost is
     # d²-bounded (corpus-independent) — the smoke verifies the iteration
     # overhead stays flat while the corpus grows 100x.

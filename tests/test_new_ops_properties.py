@@ -759,3 +759,21 @@ def test_ann_recall_audit_matches_numpy_ground_truth(spark, sf_dir):
         assert r.n_cand_hits == exp_cand, (q, r, exp_cand)
         assert abs(r.cand_recall - exp_cand / 5.0) < 1e-6
         assert 0 <= r.n_hits <= r.n_cand_hits
+
+
+def test_rho_select_cuts_exact_global_quarter(spark, sf_dir):
+    """q224: the selection is a GLOBAL top-ceil(n/4) cut — per-source
+    selected counts sum to exactly that, every rate is consistent, and
+    selected docs exist in more than one source (the cut is global, not
+    stratified)."""
+    from eventstream_spark.operators.text import _RHO_KEEP_DEN, q224_rho_select
+
+    out = q224_rho_select(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in out)
+    k = sum(r.n_selected for r in out)
+    assert k == (n + _RHO_KEEP_DEN - 1) // _RHO_KEEP_DEN
+    assert sum(1 for r in out if r.n_selected > 0) >= 2
+    for r in out:
+        assert 0 <= r.n_selected <= r.n_docs
+        assert abs(r.sel_rate - r.n_selected / r.n_docs) < 1e-3
+        assert (r.kept_tokens > 0) == (r.n_selected > 0)

@@ -144,7 +144,20 @@ def test_materialize_ctes_anchored_to_cte_list():
     pinned = {k: v for k, v in entry.oracle_sql().items() if "MATERIALIZED" in v}
     assert len(pinned) >= 13
     # _mat-applied oracles round-trip exactly; hand-pinned ones (q212/q218
-    # materialize a strict subset by design) gain pins but stay parseable.
+    # materialize a strict subset by design) gain pins but stay parseable;
+    # oracles NESTING a pre-pinned WITH block inside a CTE body (q222)
+    # cannot round-trip the inner pins — by design the anchored rewrite
+    # never reaches depth > 0 — so for those assert exactly that: the
+    # outer list re-pins, the inner stays stripped.
+    import re
+
     for k, v in pinned.items():
         redone = mat(v.replace(" AS MATERIALIZED (", " AS ("))
-        assert redone == v or redone.count("MATERIALIZED") > v.count("MATERIALIZED"), k
+        if re.search(r"\(\s*\nWITH\b", v):
+            outer_pins = redone.count("MATERIALIZED")
+            assert 0 < outer_pins < v.count("MATERIALIZED"), k
+        else:
+            assert (
+                redone == v
+                or redone.count("MATERIALIZED") > v.count("MATERIALIZED")
+            ), k
