@@ -221,6 +221,8 @@ HEADLINE = [
     # RHO-loss learnability selection (doc-level two-LM scoring + the
     # range-partitioned global cut).
     "q224_rho_select",
+    # curriculum ordering (LM score -> staged NTILE -> global position).
+    "q223_curriculum_order",
 ]
 
 

@@ -2410,6 +2410,94 @@ def q221_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q223: curriculum ordering (difficulty-staged epoch order) ---------------
+
+_CURR_K = 10  # difficulty stages (deciles of the unigram-LM score)
+
+
+def q223_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy→hard curriculum epoch order — the layout step between
+    selection (q201/q211/q224) and packing/sharding (q82/q202): stage =
+    NTILE(10) of the unigram-LM doc score (high log-prob = typical/easy
+    first), order WITHIN a stage is the deterministic hash shuffle
+    (q202's convention — curriculum stages the difficulty, not the
+    content order). Output proves the order: per stage, n_docs,
+    first/last global position (contiguity: last−first+1 = n — every
+    easy doc precedes every harder one), a transposition-sensitive order
+    checksum, and the stage's mean score (monotone non-increasing by
+    construction). The checksum is SUM(hash48(pos ':' doc_id) mod
+    1000003) — q202's pos·(doc_id+1) form overflows int64 once
+    pos·doc_id·rows passes ~9e18 (the 100× smoke FAILED with ANSI
+    ARITHMETIC_OVERFLOW on it — offset replica doc_ids × global
+    positions); the bounded-term form holds to ~9e12 rows and stays
+    order-sensitive because the position is baked into each hash.
+
+    Scale: the LM score is q125's machinery (two groupBys); the stage
+    assignment and the global position are ONE range exchange each
+    (scalable_ntile + the range-partitioned rank) — never a single-task
+    window."""
+    from .ranking import _ranked_with_total, scalable_ntile
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    scored = unigram_logprob(docs).select("doc_id", "doc_logp")
+    b = scalable_ntile(
+        scored, [col("doc_logp").desc(), col("doc_id").asc()], _CURR_K, "stage"
+    )
+    d = b.select(
+        "doc_id",
+        "stage",
+        "doc_logp",
+        hash48(col("doc_id").cast("string")).alias("k"),
+    )
+    ranked, _ = _ranked_with_total(
+        d, [col("stage").asc(), col("k").asc(), col("doc_id").asc()], "pos"
+    )
+    return (
+        ranked.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            F.sum(
+                hash48(
+                    F.concat_ws(
+                        ":", col("pos").cast("string"), col("doc_id").cast("string")
+                    )
+                )
+                % lit(1000003)
+            ).alias("order_sum"),
+            F.round(F.avg("doc_logp"), 4).alias("avg_logp"),
+        )
+        .orderBy("stage")
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+vocab AS (SELECT term, COUNT(*) AS tc FROM tok GROUP BY 1),
+total AS (SELECT CAST(SUM(tc) AS DOUBLE) AS total FROM vocab),
+ll AS (SELECT term, CAST(ROUND(ln(tc / total) * 1e6) AS BIGINT) AS llmicro
+       FROM vocab, total),
+doc AS (
+  SELECT doc_id, SUM(c * llmicro) / SUM(c) / 1e6 AS doc_logp
+  FROM tf JOIN ll USING (term) GROUP BY 1),
+b AS (SELECT doc_id, doc_logp,
+             NTILE({_CURR_K}) OVER (ORDER BY doc_logp DESC, doc_id) AS stage
+      FROM doc),
+kk AS (SELECT doc_id, stage, doc_logp,
+              {hash48_sql("CAST(doc_id AS VARCHAR)")} AS k
+       FROM b),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY stage, k, doc_id) AS pos FROM kk)
+SELECT CAST(stage AS INT) AS stage, COUNT(*) AS n_docs,
+       MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+       CAST(SUM({hash48_sql("CAST(pos AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+                % 1000003) AS BIGINT) AS order_sum,
+       ROUND(AVG(doc_logp), 4) AS avg_logp
+FROM r GROUP BY stage ORDER BY stage
+"""
+
+
 # --- q224: RHO-loss learnability selection (Mindermann et al. ICML'22) -------
 # Reducible-holdout-loss selection at the document level: keep the docs the
 # corpus-trained model finds HARD but the held-out reference model does NOT
@@ -2574,6 +2662,7 @@ ORACLES = {
     "q205_gopher_funnel": _gopher_funnel_sql(),
     "q221_doremi_step": _DOREMI_SQL,
     "q224_rho_select": _RHO_SQL,
+    "q223_curriculum_order": _CURRICULUM_SQL,
     "q208_span_corruption": _span_corruption_sql(),
     "q211_dsir_select": _dsir_sql(),
     "q213_negative_sampling": _NEG_SAMPLING_SQL,
@@ -2840,6 +2929,7 @@ QUERIES = {
     "q205_gopher_funnel": q205_gopher_funnel,
     "q221_doremi_step": q221_doremi_step,
     "q224_rho_select": q224_rho_select,
+    "q223_curriculum_order": q223_curriculum_order,
     "q208_span_corruption": q208_span_corruption,
     "q211_dsir_select": q211_dsir_select,
     "q213_negative_sampling": q213_negative_sampling,

@@ -269,6 +269,9 @@ SCALE_QUERIES = [
     # global cut.
     "q221_doremi_step",
     "q224_rho_select",
+    # q223 curriculum: q125's LM passes + two range exchanges (stage
+    # ntile, global position).
+    "q223_curriculum_order",
     # q218: q212's batched-GEMM corpus pass + 3 power steps whose cost is
     # d²-bounded (corpus-independent) — the smoke verifies the iteration
     # overhead stays flat while the corpus grows 100x.

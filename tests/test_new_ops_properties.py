@@ -777,3 +777,22 @@ def test_rho_select_cuts_exact_global_quarter(spark, sf_dir):
         assert 0 <= r.n_selected <= r.n_docs
         assert abs(r.sel_rate - r.n_selected / r.n_docs) < 1e-3
         assert (r.kept_tokens > 0) == (r.n_selected > 0)
+
+
+def test_curriculum_order_is_staged_and_contiguous(spark, sf_dir):
+    """q223: the epoch order is a true curriculum — each stage occupies a
+    CONTIGUOUS global position range (last - first + 1 == n_docs), stages
+    are strictly ordered (stage s ends before s+1 begins, covering
+    1..N with no gaps), and mean difficulty is monotone (avg_logp
+    non-increasing: easy/typical docs first)."""
+    from eventstream_spark.operators.text import _CURR_K, q223_curriculum_order
+
+    rows = sorted(q223_curriculum_order(spark, sf_dir).collect(), key=lambda r: r.stage)
+    assert [r.stage for r in rows] == list(range(1, _CURR_K + 1))
+    expect_first = 1
+    for r in rows:
+        assert r.last_pos - r.first_pos + 1 == r.n_docs, r
+        assert r.first_pos == expect_first, r
+        expect_first = r.last_pos + 1
+    logs = [r.avg_logp for r in rows]
+    assert all(a >= b for a, b in zip(logs, logs[1:]))
