@@ -59,6 +59,9 @@ PICKS = {
     "q219_suffix_span_dedup": "suffix dedup: ONE range exchange on the suffix key; lag/lead windows partition on the range-partition id (no single-task window)",
     "q220_substring_removal": "substring removal: q219's sort + one doc_id hash exchange for the per-doc coverage sweep",
     "q210_quantile_sketch": "quantile sketch: TakeOrdered sample + bucketed rank-pick — histogram aggregate and a window over ONLY the target buckets; no full-table range exchange (the r8 reclaim)",
+    "q221_doremi_step": "DoReMi: one (source, term) corpus groupBy; LM table aggregates FROM it; broadcast totals; K-row dimension math with an integer micro-sum normalizer",
+    "q224_rho_select": "RHO selection: (doc, term) groupBy + vocab-join scoring; global quarter cut via the range-partitioned rank",
+    "q222_ann_recall_audit": "ANN recall audit: shares the IVF-PQ GEMM build; exact side is one broadcast corpus scan; audit joins are rows <= 5 x |queries|",
 }
 
 
