@@ -575,6 +575,36 @@ def _events_chunks_dir(spark: SparkSession, sf_dir: str, n: int = _TOPK_CHUNKS) 
     return d
 
 
+def _documents_chunks_dir(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
+    """documents twin of ``_events_chunks_dir``: n parquet chunk files
+    (doc_id mod n) with strictly increasing mtimes, so
+    maxFilesPerTrigger=1 yields a genuinely multi-batch corpus stream."""
+    import glob
+    import shutil
+
+    from ..catalog import load
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"es_docchunks_{tag}")
+    marker = os.path.join(d, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents")
+        base_t = 1_600_000_000
+        for i in range(n):
+            build = os.path.join(d, f"_build{i}")
+            docs.where(col("doc_id") % n == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(build)
+            src = glob.glob(os.path.join(build, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"chunk{i}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, times=(base_t + i, base_t + i))
+            shutil.rmtree(build)
+        open(marker, "w").close()
+    return d
+
+
 def q145_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key top-k with custom state: each micro-batch merges
     its rows into the per-event_type top-5 (by value desc, event_id asc)
@@ -903,8 +933,72 @@ FROM d CROSS JOIN sv CROSS JOIN ev ORDER BY d.decile
 """
 
 
+def q225_stream_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-mix monitoring AT INGEST — the streaming twin of
+    q221: the two Laplace-smoothed unigram LM tables train OFFLINE from
+    the at-rest corpus (the reference/proxy models a reweighting loop
+    holds fixed while data streams), each micro-batch of landing
+    documents joins the STATIC milli-nat LM table on term (stream-static
+    join, vocabulary-sized build side) and folds into per-source running
+    integer sums (n_tok, Σlf, Σlr) — streaming state is |sources| rows of
+    three additive longs, bounded forever, and additivity makes the
+    drained state EXACTLY q221's batch sums under any micro-batching or
+    replay split. The EG step runs as a batch epilogue on the drained
+    |sources|-row state (text._doremi_finish — the shared dimension
+    math), so q221's duckdb oracle applies verbatim. The feed is
+    genuinely multi-batch (4 doc_id-mod chunk files,
+    maxFilesPerTrigger=1 — the q216 convention), so the answer REQUIRES
+    the sums to survive across batches. Completes the streaming-sketch
+    family's sum-merge story at the SEMANTIC level: q195 sum-merges
+    hash counters, this sum-merges model-loss sufficient statistics."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..catalog import load
+    from ..functions import tokens
+    from .text import _doremi_finish, _two_lm_tables
+
+    docs_at_rest = load(spark, sf_dir, "documents")
+    st = (
+        docs_at_rest.select(
+            "doc_id", "source", F.explode(tokens("text")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum((col("doc_id") % 4 == 0).cast("long")).alias("cref"),
+        )
+    )
+    ll, _ = _two_lm_tables(st)
+
+    d = _documents_chunks_dir(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdocs = file_stream(spark, d, schema, max_files_per_trigger=1)
+    stok = sdocs.select("source", F.explode(tokens("text")).alias("term"))
+    ps = (
+        stok.join(ll, "term")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("lf").alias("sf"),
+            F.sum("lr").alias("sr"),
+        )
+    )
+    drained = _run_to_table(ps, spark)
+    return _doremi_finish(drained.select("source", "n_tok", "sf", "sr"))
+
+
 from .analytics import ORACLES as _A_ORACLES
 from .sketch import ORACLES as _SKETCH_ORACLES
+from .text import ORACLES as _TEXT_ORACLES
 
 ORACLES = {
     # Streaming OHLC must land on the batch twin's answer exactly.
@@ -918,6 +1012,9 @@ ORACLES = {
     # Streaming bottom-k must land on the batch sample computed from the
     # table at rest (the sample is id-hash-determined, merge-exact).
     "q216_stream_quantile_sketch": _SQSK_SQL,
+    # Streaming DoReMi must land on q221's batch EG step exactly (the
+    # per-source loss sufficient statistics are additive integers).
+    "q225_stream_doremi": _TEXT_ORACLES["q221_doremi_step"],
     "q145_stream_topk": f"""
 WITH r AS (
   SELECT event_type, event_id, value,
@@ -999,4 +1096,5 @@ QUERIES = {
     "q190_stream_hll": q190_stream_hll,
     "q195_stream_count_min": q195_stream_count_min,
     "q216_stream_quantile_sketch": q216_stream_quantile_sketch,
+    "q225_stream_doremi": q225_stream_doremi,
 }

@@ -2356,7 +2356,7 @@ def q221_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((col("doc_id") % 4 == 0).cast("long")).alias("cref"),
         )
     )
-    ll, tot = _two_lm_tables(st)
+    ll, _ = _two_lm_tables(st)
     ps = (
         st.join(ll, "term")
         .groupBy("source")
@@ -2366,9 +2366,17 @@ def q221_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(col("c") * col("lr")).alias("sr"),
         )
     )
-    d = ps.crossJoin(
-        F.broadcast(tot.select("t_full"))
-    ).select(
+    return _doremi_finish(ps)
+
+
+def _doremi_finish(ps: DataFrame) -> DataFrame:
+    """The EG-step dimension math from the per-source integer sums
+    ps(source, n_tok, sf, sr) — shared by batch q221 and the streaming
+    twin q225 (whose drained state is the SAME integer sums, additive
+    under any micro-batching). t_full re-derives as Σ n_tok: every token
+    joins the union-vocab LM table, so it equals the corpus total."""
+    tot = ps.agg(F.sum("n_tok").alias("t_full"))
+    d = ps.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tok",
         "t_full",

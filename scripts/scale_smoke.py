@@ -316,6 +316,9 @@ STREAM_QUERIES = [
     # arrays) regardless of corpus size; the per-batch pre-reduce caps
     # what the stateful merge sees at K rows per Arrow batch.
     "q216_stream_quantile_sketch",
+    # DoReMi sums: state = |sources| rows of three additive longs —
+    # bounded forever; the LM build side is vocabulary-sized static.
+    "q225_stream_doremi",
 ]
 _STREAM_MAX_FILES = "4"
 

@@ -432,3 +432,26 @@ def test_stream_quantile_sample_spans_batches(spark, sf_dir):
     for r in got:
         assert r.exact > 0
         assert abs(r.err_pct) < 50.0
+
+
+def test_stream_doremi_state_is_source_bounded(spark, sf_dir):
+    """q225: the streaming DoReMi sums must (a) drain across multiple
+    micro-batches, (b) hold at most |sources| state rows (three additive
+    longs each — bounded forever), and (c) produce a smoothed
+    distribution (weights sum to 1, each at least the uniform floor);
+    exact equality with the batch q221 EG step is the differential
+    gate's job."""
+    from eventstream_spark.operators.streaming_queries import (
+        LAST_RUN_INFO,
+        q225_stream_doremi,
+    )
+    from eventstream_spark.operators.text import _DRM_SMOOTH
+
+    got = q225_stream_doremi(spark, sf_dir).collect()
+    assert LAST_RUN_INFO["n_batches"] > 1
+    k = len(got)
+    assert k >= 3
+    assert LAST_RUN_INFO["state_rows_peak"] <= k
+    assert abs(sum(r.doremi_weight for r in got) - 1.0) < 1e-2
+    floor = _DRM_SMOOTH / k
+    assert all(r.doremi_weight >= floor - 1e-4 for r in got)
