@@ -121,10 +121,16 @@ def materialize_ctes(sql: str) -> str:
     query, which duckdb rejects as a parse error. Single-quoted string
     literals (with '' escapes) are skipped when balancing parens so a
     regexp constant containing ``(`` inside a CTE body cannot desync the
-    walk."""
+    walk.
+
+    Anchor: the LEADING ``WITH`` only (every oracle that has CTEs starts
+    with its WITH list). A ``re.search`` for the first ``\\bWITH\\b``
+    anywhere would start the CTE walk at the wrong offset if a leading
+    comment or string literal contained the word — the round-8 ADVICE
+    latent-bug class; ``re.match`` over leading whitespace cannot."""
     import re
 
-    m = re.search(r"\bWITH\s+(?:RECURSIVE\s+)?", sql, re.IGNORECASE)
+    m = re.match(r"\s*WITH\s+(?:RECURSIVE\s+)?", sql, re.IGNORECASE)
     if m is None:
         return sql
     out = [sql[: m.end()]]

@@ -268,6 +268,73 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs).orderBy("d1", "d2")
 
 
+def _grown_rows_per_band(n_docs: int) -> int:
+    """Rows-per-band for the corpus-grown banding: the DECIMAL DIGIT COUNT
+    of the corpus size (min 2). A pair with background Jaccard s collides
+    in one band with probability s^r, so expected false-positive
+    candidates across ~N² pairs stay ~linear in N when r grows by one per
+    10× of corpus (s̄ ≈ 0.1 — the q42 regime's background similarity):
+    r = ceil(log10 N) = digits(N). The digit count is the integer-exact
+    spelling of that log both engines derive identically
+    (len(CAST(n AS VARCHAR))) — no float log10 knife edge at powers of
+    ten."""
+    return max(2, len(str(n_docs)))
+
+
+def q42b_minhash_lsh_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42 with the MinHash BANDING GROWN from the corpus count — the
+    q44b/q114b/q217b grown-knob convention applied to the last fixed-knob
+    ANN family member (round-8 VERDICT ask #5): rows-per-band
+    r = digits(N), bands b = floor(16/r) over the same 16-hash signature.
+    At a FIXED 8×2 banding the per-band false-positive collision count
+    grows with the corpus (2 rows filter at s², so ~N²·s̄² pairs — the
+    pigeonhole q44 documents for fixed buckets); spending log10(N) rows
+    per band holds expected random collisions ~linear, trading recall at
+    the low-similarity end exactly as the S-curve prescribes
+    (P(candidate) = 1-(1-s^r)^b steepens). On the small fixture the
+    grown banding (r=5, b=3) keeps only strong pairs — the oracle mirrors
+    the same derivation, so the recall trade is pinned, not assumed.
+
+    Scale: one count (driver scalar — the q217b auto_cells convention),
+    the one-aggregation signature build (16 min-aggs, no permutation
+    explode), a map-side slice/concat per band, and the band-key
+    self-join — shuffle on (band, key), well distributed by
+    construction."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    r = _grown_rows_per_band(n_docs)
+    b = max(1, len(_MINHASH_PARAMS) // r)
+    mh = minhash_signatures(docs)
+    sig = F.array(*[col(f"mh{j}").cast("string") for j in range(len(_MINHASH_PARAMS))])
+    bands = F.array(
+        *[
+            F.struct(
+                lit(k).alias("band"),
+                F.array_join(F.slice(sig, k * r + 1, r), ",").alias("key"),
+            )
+            for k in range(b)
+        ]
+    )
+    bt = persist_tracked(
+        mh.select("doc_id", F.explode(bands).alias("bb")).select(
+            "doc_id", col("bb.band").alias("band"), col("bb.key").alias("key")
+        )
+    )
+    a = bt.alias("a")
+    c = bt.alias("b")
+    return (
+        a.join(
+            c,
+            (col("a.band") == col("b.band"))
+            & (col("a.key") == col("b.key"))
+            & (col("a.doc_id") < col("b.doc_id")),
+        )
+        .select(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
 _EDGES_PER_TASK = 2_000_000  # one contraction task's union-find working set
 
 
@@ -664,6 +731,35 @@ pairs AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
 
+def _minhash_grown_sql() -> str:
+    """q42b mirror: rows-per-band = GREATEST(2, digits(COUNT(*))) — the
+    identical integer derivation as _grown_rows_per_band — with the
+    banding spelled as a dynamic list_slice over the signature list, so
+    ONE SQL text covers every corpus size."""
+    nh = len(_MINHASH_PARAMS)
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_MINHASH_PARAMS)
+    )
+    sig_list = "[" + ", ".join(f"CAST(mh{j} AS VARCHAR)" for j in range(nh)) + "]"
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {hash48_sql('s')} AS h FROM sh),
+mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+p AS (SELECT GREATEST(2, len(CAST(COUNT(*) AS VARCHAR))) AS r FROM documents),
+sg AS (SELECT doc_id, {sig_list} AS sig FROM mh),
+bands AS (
+  SELECT doc_id, t.band,
+         array_to_string(list_slice(sig, t.band * p.r + 1, t.band * p.r + p.r),
+                         ',') AS key
+  FROM sg, p, UNNEST(range(0, {nh} // p.r)) AS t(band))
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY 1, 2
+"""
+
+
 def _bands_ctes(side: str, pred: str) -> str:
     """Side-restricted twin of the banding CTEs in ``_lsh_pairs_ctes`` —
     the q120 oracle needs bands for the existing and incoming splits
@@ -835,9 +931,34 @@ def q122_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token position falls out of ONE global sort + a lag/lead comparison.
 
 _SFX_DEPTH = 16  # bounded suffix depth (tokens) == the cap on reported length
+# Per-task suffix-sort budget: ~2M suffix rows × ~(depth × token) bytes keeps
+# one task's sort working set comfortably in executor memory instead of
+# spilling. The round-8 100× smoke triage showed the plan was right but the
+# FIXED 32 range partitions forced 1.6 GB of per-task spill at 100× — the
+# partition count must scale with the input (SCALING.md, round-9 A/B).
+_SFX_ROWS_PER_TASK = 2_000_000
 
 
-def suffix_repeat_lengths(docs: DataFrame, depth: int = _SFX_DEPTH) -> DataFrame:
+def _sfx_partitions(docs: DataFrame) -> int:
+    """Range-partition count for the suffix sort, scaled to the corpus: at
+    least the session's shuffle.partitions, growing ~linearly with the
+    estimated token count (n_chars/6 ≈ tokens — the corpus's own metadata
+    column, a column-pruned scan that costs ~nothing; a wrong estimate
+    changes only task sizing, never results)."""
+    if "n_chars" in docs.columns:
+        total = docs.agg(F.sum("n_chars")).head()[0] or 0
+        est_rows = int(total) // 6
+    else:
+        est_rows = int(
+            docs.agg(F.sum(F.size(tokens("text")))).head()[0] or 0
+        )
+    base = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(base, -(-est_rows // _SFX_ROWS_PER_TASK))
+
+
+def suffix_repeat_lengths(
+    docs: DataFrame, depth: int = _SFX_DEPTH, n_parts: int | None = None
+) -> DataFrame:
     """(doc_id, source, pos, rep_len): for every token position, the token
     length of the LONGEST substring starting there that occurs verbatim at
     ≥ 2 distinct positions corpus-wide (within- or cross-document), capped
@@ -855,7 +976,19 @@ def suffix_repeat_lengths(docs: DataFrame, depth: int = _SFX_DEPTH) -> DataFrame
     rep_len = max(LCP(prev), LCP(next)) is exact by the suffix-array
     adjacency property. At 100 TB the sort is the plan a suffix-array
     build pays anyway; partitions stay balanced because the range keys
-    are the suffixes themselves."""
+    are the suffixes themselves.
+
+    Token-alphabet precondition (round-8 ADVICE): suffix keys are
+    space-joined token strings, so byte-lex order of keys equals
+    token-SEQUENCE order only while every token byte is > 0x20 (space).
+    ``tokens()`` splits on ``\\s`` which leaves non-whitespace control
+    chars (< 0x20) inside tokens; such a byte would sort a longer suffix
+    BEFORE its own prefix, breaking suffix-neighbor contiguity and
+    under-reporting rep_len — and because the duckdb oracle sorts the
+    same joined strings, the differential gate cannot catch it. Callers
+    feeding non-printable corpora must map control bytes out first (the
+    q121 scrub class); the fixtures (and any printable-text corpus)
+    satisfy the precondition as-is."""
     toks = docs.select("doc_id", "source", tokens("text").alias("w"))
     keys = F.transform(
         col("w"), lambda x, i: F.array_join(F.slice(col("w"), i + 1, depth), " ")
@@ -863,8 +996,9 @@ def suffix_repeat_lengths(docs: DataFrame, depth: int = _SFX_DEPTH) -> DataFrame
     suf = toks.select(
         "doc_id", "source", F.posexplode(keys).alias("i0", "key")
     ).select("doc_id", "source", (col("i0") + 1).alias("pos"), "key")
+    n_parts = n_parts or _sfx_partitions(docs)
     rp = persist_tracked(
-        suf.repartitionByRange("key", "doc_id", "pos").withColumn(
+        suf.repartitionByRange(n_parts, "key", "doc_id", "pos").withColumn(
             "_pid", F.spark_partition_id()
         )
     )
@@ -952,9 +1086,15 @@ def q220_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is "does any qualifying span starting at p' <= pos still
     reach past pos" — a per-doc running max of (pos + rep_len) over the
     qualifying starts, the classic sweep. One doc_id hash shuffle + the
-    in-partition sort on top of q219's machinery; per-doc state only."""
+    in-partition sort on top of q219's machinery; per-doc state only. The
+    doc_id exchange is sized like the suffix sort (explicit repartition to
+    the same scaled count): at 100× the fixed session default would put
+    ~20M rows per window task — the same spill the suffix sort had."""
     docs = spread(load(spark, sf_dir, "documents"))
-    r = suffix_repeat_lengths(docs)
+    n_parts = _sfx_partitions(docs)
+    r = suffix_repeat_lengths(docs, n_parts=n_parts).repartition(
+        n_parts, "doc_id"
+    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -1486,6 +1626,7 @@ WHERE ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6) >= 0.5
 ORDER BY 1, 2
 """,
     "q42_minhash_lsh": _minhash_sql(),
+    "q42b_minhash_lsh_grown": _minhash_grown_sql(),
     "q120_incremental_dedup": _incremental_sql(),
     "q116_contamination": f"""
 WITH sh AS ({_SHINGLES_SQL}),
@@ -1522,8 +1663,9 @@ ORDER BY 1, 2
 # sf0.1, q55 10 s -> 0.5 s, q200 9 s -> 0.5 s of pure re-evaluation).
 from ..functions import materialize_ctes as _mat
 
-for _k in ("q42_minhash_lsh", "q55_dedup_clusters", "q58_dedup_keep",
-           "q120_incremental_dedup", "q200_leakage_safe_split"):
+for _k in ("q42_minhash_lsh", "q42b_minhash_lsh_grown", "q55_dedup_clusters",
+           "q58_dedup_keep", "q120_incremental_dedup",
+           "q200_leakage_safe_split"):
     ORACLES[_k] = _mat(ORACLES[_k])
 
 QUERIES = {
@@ -1535,6 +1677,7 @@ QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_ngram_jaccard": q41_ngram_jaccard,
     "q42_minhash_lsh": q42_minhash_lsh,
+    "q42b_minhash_lsh_grown": q42b_minhash_lsh_grown,
     "q116_contamination": q116_contamination,
     "q120_incremental_dedup": q120_incremental_dedup,
     "q55_dedup_clusters": q55_dedup_clusters,

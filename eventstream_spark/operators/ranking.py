@@ -64,17 +64,42 @@ def _ranked_with_total(
     return ranked, acc
 
 
+# Recurse into a target bucket only above this ABSOLUTE row count — the
+# point where one window task's sort actually hurts (the _EDGES_PER_TASK /
+# _SFX_ROWS_PER_TASK single-task budget class). The r8 ADVICE's relative
+# n/16 trigger was implemented and MEASURED OUT: on the 100× corpus
+# (n=500k docs, threshold 31k) six boundary buckets of 41–72k rows each
+# recursed — 3 extra Spark jobs apiece — costing 8.6 s where the plain
+# 6-bucket window scan costs ~1 s; a 72k-row single-task window is noise,
+# a multi-million-row one is the wall the guard exists for.
+_RECURSE_ROWS = 2_000_000
+
+
+def _is_numeric(df: DataFrame, c: str) -> bool:
+    from pyspark.sql.types import NumericType
+
+    return isinstance(df.schema[c].dataType, NumericType)
+
+
 def exact_value_at_ranks(
     df: DataFrame,
     value_col: str,
     ranks_fn,
     n_buckets: int = 1024,
     what: str = "table",
+    tie_col: str | None = None,
+    max_depth: int = 2,
+    skew_threshold: int | None = None,
 ) -> tuple[int, dict]:
     """(n, {rank: value}): the exact VALUES at a handful of 1-based global
     ranks of the ``value_col``-sorted order — WITHOUT a global rank
     exchange. Because ties are equal values, the value at a fixed rank is
     independent of any tie-break, so only the value ordering matters.
+    With ``tie_col`` (the round-8 VERDICT extension), the total order is
+    (value, tie) and the result is (n, {rank: (value, tie)}) — the exact
+    BOUNDARY TUPLE at each rank, which lets callers assign range buckets
+    MAP-SIDE against broadcast boundaries instead of paying a global rank
+    exchange (the q223/q224 reclaim).
 
     Single-pass bucketed rank-pick (the round-7 VERDICT A/B ask): one agg
     for (n, min, max), one map-side-combined histogram over ``n_buckets``
@@ -82,11 +107,22 @@ def exact_value_at_ranks(
     order IS value order), a driver cumsum locating each target rank's
     (bucket, local_rank), then one scan filtered to the <=|ranks| target
     buckets with a window over ONLY those rows. No full-table shuffle at
-    any step; the histogram collect is n_buckets rows. A
-    single-value-dominated bucket makes the last window skewed — real
-    engines recurse; at n_buckets=1024 one level suffices for every
-    measured fixture and the filter bound is ~|ranks|/n_buckets of the
-    table.
+    any step; the histogram collect is n_buckets rows.
+
+    Skew guard (round-8 ADVICE): a single-value-dominated or heavily
+    skewed bucket would degrade the target-bucket window toward a
+    near-full-table single task — so any target bucket holding more than
+    ``skew_threshold`` (default ``_RECURSE_ROWS`` = 2M — an ABSOLUTE
+    single-task budget; the ADVICE's relative n/16 trigger was measured
+    out, see the constant's comment) RECURSES one level: fresh equi-width
+    histogram inside the bucket; if the bucket is one distinct value and
+    a numeric ``tie_col`` is present, the recursion buckets on the tie
+    instead — within equal values the order IS the tie. Depth is bounded
+    (``max_depth``); a pathological distribution that defeats both levels
+    falls back to the in-bucket window, now over a provably small slice
+    or as the documented degenerate case. NULLs in ``value_col`` are
+    filtered up front (a NULL would land in a None histogram bucket and
+    desync the driver cumsum — the round-8 ADVICE latent bug).
 
     A/B vs the global_row_number spelling (scripts/ab_rank_pick.py,
     sf0.1 lineitem ~600k rows, median of 3 steady, this host): bucketed
@@ -94,6 +130,7 @@ def exact_value_at_ranks(
     rank exchange (q210's former plan) is the recorded loser. Empty input
     fails LOUD (ValueError naming ``what``) — the embedding_dim
     convention."""
+    df = df.where(col(value_col).isNotNull())
     stats = df.agg(
         F.count("*").alias("n"),
         F.min(value_col).alias("lo"),
@@ -108,48 +145,119 @@ def exact_value_at_ranks(
     ranks = sorted(set(int(r) for r in ranks_fn(n)))
     if any(r < 1 or r > n for r in ranks):
         raise ValueError(f"rank out of range 1..{n}: {ranks}")
-    lo, hi = float(stats["lo"]), float(stats["hi"])
+    threshold = skew_threshold or _RECURSE_ROWS
+    picked = _pick_at_ranks(
+        df, value_col, tie_col, ranks, n, stats["lo"], stats["hi"],
+        n_buckets, threshold, max_depth,
+    )
+    return n, picked
+
+
+def _pick_at_ranks(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str | None,
+    ranks: list,
+    n: int,
+    lo_v,
+    hi_v,
+    n_buckets: int,
+    threshold: int,
+    depth: int,
+) -> dict:
+    """{rank: value} (or {rank: (value, tie)} with tie_col) for 1-based
+    ``ranks`` of ``df`` under (value asc[, tie asc]). Recursive worker of
+    ``exact_value_at_ranks`` — see its docstring for the design."""
+    if lo_v == hi_v:
+        # One distinct value: without a tie the answer is that value at
+        # every rank (no scan at all); with a tie the order IS the tie —
+        # recurse with the tie as the value when it is numeric, else fall
+        # through to the window (degenerate, documented).
+        if tie_col is None:
+            return {r: lo_v for r in ranks}
+        if _is_numeric(df, tie_col):
+            sub = df.select(col(tie_col).alias("_tv"))
+            st = sub.agg(F.min("_tv").alias("lo"), F.max("_tv").alias("hi")).head()
+            inner = _pick_at_ranks(
+                sub, "_tv", None, ranks, n, st["lo"], st["hi"],
+                n_buckets, threshold, depth,
+            )
+            return {r: (lo_v, t) for r, t in inner.items()}
+    lo, hi = float(lo_v), float(hi_v)
+    out: dict = {}
+    window_targets: dict[int, list[tuple[int, int]]] = {}
     if lo == hi:
-        return n, {r: stats["lo"] for r in ranks}
-    width = (hi - lo) / n_buckets
-    bexpr = F.least(
-        F.floor((col(value_col).cast("double") - lit(lo)) / lit(width)),
-        lit(n_buckets - 1),
-    ).cast("int")
-    hist = sorted(
-        (r["b"], r["cnt"])
-        for r in df.groupBy(bexpr.alias("b")).agg(F.count("*").alias("cnt")).collect()
-    )
-    targets: dict[int, list[tuple[int, int]]] = {}
-    acc = 0
-    it = iter(ranks)
-    rank = next(it)
-    for b, cnt in hist:
-        while rank is not None and rank <= acc + cnt:
-            targets.setdefault(b, []).append((rank, rank - acc))
-            rank = next(it, None)
-        acc += cnt
-        if rank is None:
-            break
-    want = [(b, lr) for b, pairs in targets.items() for _, lr in pairs]
-    w = Window.partitionBy("_b").orderBy(value_col)
-    pick_cond = None
-    for b, lr in want:
-        term = (col("_b") == lit(b)) & (col("_lr") == lit(lr))
-        pick_cond = term if pick_cond is None else (pick_cond | term)
-    rows = (
-        df.select(value_col)
-        .withColumn("_b", bexpr)
-        .where(col("_b").isin(*targets.keys()))
-        .withColumn("_lr", F.row_number().over(w))
-        .where(pick_cond)
-        .select("_b", "_lr", value_col)
-        .collect()
-    )
-    by_blr = {(r["_b"], r["_lr"]): r[value_col] for r in rows}
-    return n, {
-        rank: by_blr[(b, lr)] for b, pairs in targets.items() for rank, lr in pairs
-    }
+        # non-numeric tie degenerate case: single window over the slice
+        window_targets[0] = [(r, r) for r in ranks]
+        bexpr = lit(0).cast("int")
+    else:
+        width = (hi - lo) / n_buckets
+        bexpr = F.least(
+            F.floor((col(value_col).cast("double") - lit(lo)) / lit(width)),
+            lit(n_buckets - 1),
+        ).cast("int")
+        hist = sorted(
+            (r["b"], r["cnt"])
+            for r in df.groupBy(bexpr.alias("b"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        targets: dict[int, list[tuple[int, int]]] = {}
+        counts: dict[int, int] = {}
+        acc = 0
+        it = iter(ranks)
+        rank = next(it)
+        for b, cnt in hist:
+            counts[b] = cnt
+            while rank is not None and rank <= acc + cnt:
+                targets.setdefault(b, []).append((rank, rank - acc))
+                rank = next(it, None)
+            acc += cnt
+            if rank is None:
+                break
+        for b, pairs in targets.items():
+            if depth > 0 and counts[b] > threshold:
+                sub = df.where(bexpr == lit(b))
+                st = sub.agg(
+                    F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+                ).head()
+                inner = _pick_at_ranks(
+                    sub, value_col, tie_col, [lr for _, lr in pairs],
+                    counts[b], st["lo"], st["hi"], n_buckets, threshold,
+                    depth - 1,
+                )
+                for rank_, lr in pairs:
+                    out[rank_] = inner[lr]
+            else:
+                window_targets[b] = pairs
+    if window_targets:
+        order = [col(value_col)] + ([col(tie_col)] if tie_col else [])
+        w = Window.partitionBy("_b").orderBy(*order)
+        pick_cond = None
+        for b, pairs in window_targets.items():
+            for _, lr in pairs:
+                term = (col("_b") == lit(b)) & (col("_lr") == lit(lr))
+                pick_cond = term if pick_cond is None else (pick_cond | term)
+        sel = [value_col] + ([tie_col] if tie_col else [])
+        rows = (
+            df.select(*sel)
+            .withColumn("_b", bexpr)
+            .where(col("_b").isin(*window_targets.keys()))
+            .withColumn("_lr", F.row_number().over(w))
+            .where(pick_cond)
+            .select("_b", "_lr", *sel)
+            .collect()
+        )
+        by_blr = {
+            (r["_b"], r["_lr"]): (
+                (r[value_col], r[tie_col]) if tie_col else r[value_col]
+            )
+            for r in rows
+        }
+        for b, pairs in window_targets.items():
+            for rank_, lr in pairs:
+                out[rank_] = by_blr[(b, lr)]
+    return out
 
 
 def global_row_number(

@@ -1516,6 +1516,443 @@ ORDER BY v.i
 """
 
 
+# --- q226/q227: PCA projection chain -----------------------------------------
+# q218 produces the dominant component but (round-8 VERDICT ask #4) nothing
+# consumed it. q226 closes the loop: top-K components via DEFLATED quantized
+# power iteration (the q218 recurrence, then C ← C − λ·uuᵀ after each
+# component — every handoff an integer, every float op tree mirrored), then
+# the projection-apply pass — corpus × components → reduced vectors — as a
+# map-side GEMM (the q171/q212 batch pattern). q227 then rebuilds q217b's
+# grown-cells IVF *in the reduced space* and audits its recall against the
+# full-space exact 5-NN (q222's ground truth): the reduction → index → audit
+# composition a real vector store runs, with the recall row quantifying what
+# the K/d compression costs.
+
+_PCA_K = 4  # top components kept by the reduction
+
+
+def _pca_topk_components(spark: SparkSession, sf_dir: str):
+    """(d, [(v, vv, eig), ...]) — K deflated power-iteration components
+    from q212's exact integer covariance (collected: d(d+1)/2 longs, the
+    documented d²-bounded driver/BLAS handoff). Per component: 3 quantized
+    power steps (the q218 sequence verbatim), then deflation
+    C ← C − ⌊eig·v_i·v_j/vv + 0.5⌋ — eig = ⌊m/1e6+0.5⌋ and vv = Σv² are
+    exact integers, v_i·v_j ≤ 1e12 is float64-exact, and the one rounded
+    float expression is the identical op tree in numpy and the oracle's
+    SQL, so both engines deflate to the SAME integer matrix. With 3 steps
+    per component the directions are the defined iterates, not converged
+    eigenvectors — the operator's contract is the deterministic sequence
+    (the q54b convention), documented as such. Fails loud on a
+    degenerate (rank < K) covariance."""
+    import numpy as np
+
+    cov_rows = q212_embedding_gram(spark, sf_dir).select("i", "j", "cov_m2").collect()
+    d = max(r.j for r in cov_rows) + 1
+    C = np.zeros((d, d), dtype=np.int64)
+    for r in cov_rows:
+        C[r.i, r.j] = r.cov_m2
+        C[r.j, r.i] = r.cov_m2
+    comps = []
+    for _ in range(_PCA_K):
+        v = np.full(d, 1_000_000, dtype=np.int64)
+        m = 0
+        for _ in range(_PCA_ITERS):
+            w = C @ v  # int64-exact (bounds: |cov|·d·1e6 ≪ 2^63)
+            m = int(np.abs(w).max())
+            if m == 0:
+                raise ValueError(
+                    "covariance deflated to zero — corpus rank < _PCA_K"
+                )
+            v = np.floor(1e6 * w / m + 0.5).astype(np.int64)
+        vv = int((v * v).sum())
+        eig = int(np.floor(m / 1e6 + 0.5))
+        comps.append((v, vv, eig))
+        C = C - np.floor(
+            float(eig) * np.outer(v, v).astype(np.float64) / float(vv) + 0.5
+        ).astype(np.int64)
+    return d, comps
+
+
+def _pca_reduce(spark: SparkSession, sf_dir: str):
+    """(reduced df (vec_id, rv array<long> length K), d, comps): the
+    projection-apply pass. Each Arrow batch milli-quantizes its vectors
+    and runs ONE numpy GEMM against the K×d component matrix (products
+    ≤ d·2e4·1e6 ≈ 1.3e12 — float64-exact), then quantizes each coordinate
+    to milli-units of the unit-normalized component:
+    rm = ⌊r/√vv + 0.5⌋ (IEEE sqrt is correctly rounded, so the divisor is
+    the same double everywhere). Map-side only — zero shuffle; the corpus
+    is read once."""
+    import numpy as np
+    import pandas as pd
+
+    d, comps = _pca_topk_components(spark, sf_dir)
+    V = np.array([c[0] for c in comps], dtype=np.float64)  # K × d
+    sq = np.array([np.sqrt(float(c[1])) for c in comps])
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.floor(
+                np.array(pdf["v"].tolist(), dtype=np.float64) * 1000.0 + 0.5
+            )
+            R = X @ V.T  # exact: integer-valued floats < 2^53
+            RM = np.floor(R / sq[None, :] + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "rv": list(RM)}
+            )
+
+    red = e.mapInPandas(project, schema="vec_id long, rv array<long>")
+    return red, d, comps
+
+
+def q226_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c, eig_m2, n_vecs, sum_rm, var_m2, checksum): the per-component
+    audit of the reduced corpus — eigenvalue estimate, exact integer sum
+    of the reduced coordinates, their variance (milli², the q212
+    FLOOR-tree), and a position-insensitive but VALUE-exact checksum
+    (Σ hash48(vec_id:c:rm) mod 1000003 — any single reduced coordinate
+    changing changes it), so the oracle pins every projected value
+    without hashing 4N rows of output."""
+    red, d, comps = _pca_reduce(spark, sf_dir)
+    sel = red.select(
+        "vec_id", F.posexplode("rv").alias("c0", "rm")
+    ).select((col("c0") + 1).alias("c"), "vec_id", "rm")
+    eigs = spark.createDataFrame(
+        [(i + 1, int(c[2])) for i, c in enumerate(comps)], "c int, eig_m2 long"
+    )
+    n = F.count("*")
+    s1 = F.sum("rm").cast("double")
+    s2 = F.sum(col("rm") * col("rm")).cast("double")
+    agg = (
+        sel.groupBy("c")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("rm").alias("sum_rm"),
+            F.floor(s2 / n - (s1 / n) * (s1 / n) + lit(0.5))
+            .cast("long")
+            .alias("var_m2"),
+            F.sum(
+                hash48(
+                    F.concat_ws(
+                        ":",
+                        col("vec_id").cast("string"),
+                        col("c").cast("string"),
+                        col("rm").cast("string"),
+                    )
+                )
+                % lit(1000003)
+            ).alias("checksum"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(eigs), "c")
+        .select("c", "eig_m2", "n_vecs", "sum_rm", "var_m2", "checksum")
+        .orderBy("c")
+    )
+
+
+def q227_reduced_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q222's two-layer recall audit run against an IVF-flat index built
+    in q226's K-dim REDUCED space — the dimensionality-reduction → index
+    → audit composition: cells = auto_cells(N), probes = auto_probe
+    (q217b's grown geometry), assignment one numpy GEMM per Arrow batch
+    over K-dim integer vectors (16× cheaper than the full-space build at
+    K=4 of 64 — the point of reducing), candidates ranked by EXACT
+    reduced-space squared L2 (integer — no PQ at K=4), ground truth the
+    full-space exact 5-NN in the milli-quantized metric (q222's).
+    cand_recall isolates what the PROJECTION + cell routing lose;
+    recall_at_5 the end-to-end answer quality a reduced index buys."""
+    import numpy as np
+    import pandas as pd
+
+    red0, d, comps = _pca_reduce(spark, sf_dir)
+    red = persist_tracked(red0)
+    n = red.count()
+    n_cells = auto_cells(n)
+    n_probe = auto_probe(n_cells)
+    seeds = sorted(
+        (int(r.vec_id), list(r.rv))
+        for r in red.orderBy("vec_id").limit(n_cells).collect()
+    )
+    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
+    Cr = np.array([rv for _, rv in seeds], dtype=np.float64)
+    c_sq = (Cr * Cr).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(pdf["rv"].tolist(), dtype=np.float64)
+            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cr.T) + c_sq[None, :]
+            ci = D.argmin(axis=1)  # first min = smallest cell id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell_ids[ci],
+                    "rv": pdf["rv"],
+                }
+            )
+
+    asg = persist_tracked(
+        red.mapInPandas(assign, schema="vec_id long, cell long, rv array<long>")
+    )
+
+    qrows = sorted(
+        (int(r.vec_id), list(r.rv))
+        for r in red.where(col("vec_id").isin(100, 101, 102)).collect()
+    )
+    probe_rows, q_rows = [], []
+    for q_id, qrv in qrows:
+        x = np.asarray(qrv, dtype=np.float64)
+        dq = (x * x).sum() - 2.0 * (Cr @ x) + c_sq
+        for ci in np.lexsort((cell_ids, dq))[:n_probe]:
+            probe_rows.append((q_id, int(cell_ids[ci])))
+        q_rows.append((q_id, [int(v) for v in qrv]))
+    probe_pairs = spark.createDataFrame(probe_rows, "q_id long, cell long")
+    qdf = spark.createDataFrame(q_rows, "q_id long, qrv array<long>")
+
+    dist = F.aggregate(
+        F.zip_with(col("rv"), col("qrv"), lambda a, b: (a - b) * (a - b)),
+        lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(col("dd"), col("neighbor_id"))
+    approx = (
+        asg.join(broadcast(probe_pairs), "cell")
+        .where(col("vec_id") != col("q_id"))
+        .join(broadcast(qdf), "q_id")
+        .select("q_id", col("vec_id").alias("neighbor_id"), dist.alias("dd"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+
+    # Full-space exact 5-NN ground truth (q222's milli metric, verbatim).
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        "vec_id",
+        F.transform(
+            as_double_array(col("embedding")),
+            lambda x: F.floor(x * 1000 + lit(0.5)).cast("long"),
+        ).alias("xm"),
+    )
+    q = e.where(col("vec_id").isin(100, 101, 102)).select(
+        col("vec_id").alias("q_id"), col("xm").alias("qm")
+    )
+    we = Window.partitionBy("q_id").orderBy(col("d"), col("neighbor_id"))
+    exact = persist_tracked(
+        e.crossJoin(broadcast(q))
+        .where(col("vec_id") != col("q_id"))
+        .select(
+            "q_id",
+            col("vec_id").alias("neighbor_id"),
+            sq_l2(col("xm"), col("qm")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .where(col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    cand_hits = (
+        exact.join(
+            asg.select(col("vec_id").alias("neighbor_id"), "cell"), "neighbor_id"
+        )
+        .join(broadcast(probe_pairs), ["q_id", "cell"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("ch"))
+    )
+    hits = (
+        exact.join(approx, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        q.select("q_id")
+        .join(cand_hits, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(col("ch"), lit(0)).cast("long").alias("n_cand_hits"),
+            F.round(F.coalesce(col("ch"), lit(0)) / lit(5.0), 4).alias(
+                "cand_recall"
+            ),
+            F.coalesce(col("h"), lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(col("h"), lit(0)) / lit(5.0), 4).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _pca_topk_ctes() -> str:
+    """CTE chain: _GRAM_CTES → symmetrized cov1 → per-component 3-step
+    power iteration + integer deflation → ``comp(c, i, v)``,
+    ``cvv(c, vv)``, ``ceig(c, eig)`` — the SQL twin of
+    _pca_topk_components (every float expression the identical op
+    tree)."""
+    parts = [
+        f"""{_GRAM_CTES},
+cov1 AS MATERIALIZED (SELECT i, j, cov_m2 AS cov FROM ut
+        UNION ALL
+        SELECT j AS i, i AS j, cov_m2 FROM ut WHERE i <> j)"""
+    ]
+    for c in range(1, _PCA_K + 1):
+        parts.append(
+            f"v{c}_0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v"
+            f" FROM cov1)"
+        )
+        for t in range(1, _PCA_ITERS + 1):
+            parts.append(
+                f"""w{c}_{t} AS MATERIALIZED (
+  SELECT m.i, CAST(SUM(m.cov * v.v) AS BIGINT) AS w
+  FROM cov{c} m JOIN v{c}_{t - 1} v ON v.i = m.j GROUP BY 1)"""
+            )
+            parts.append(f"m{c}_{t} AS (SELECT MAX(ABS(w)) AS m FROM w{c}_{t})")
+            parts.append(
+                f"""v{c}_{t} AS MATERIALIZED (
+  SELECT i, CAST(FLOOR(1e6 * w / m + 0.5) AS BIGINT) AS v
+  FROM w{c}_{t} CROSS JOIN m{c}_{t})"""
+            )
+        last = _PCA_ITERS
+        parts.append(
+            f"t{c} AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vv FROM v{c}_{last})"
+        )
+        parts.append(
+            f"e{c} AS (SELECT CAST(FLOOR(m / 1e6 + 0.5) AS BIGINT) AS eig"
+            f" FROM m{c}_{last})"
+        )
+        if c < _PCA_K:
+            parts.append(
+                f"""cov{c + 1} AS MATERIALIZED (
+  SELECT m.i, m.j,
+         m.cov - CAST(FLOOR(CAST(e.eig AS DOUBLE) * CAST(a.v * b.v AS DOUBLE)
+                            / CAST(t.vv AS DOUBLE) + 0.5) AS BIGINT) AS cov
+  FROM cov{c} m
+  JOIN v{c}_{last} a ON a.i = m.i
+  JOIN v{c}_{last} b ON b.i = m.j
+  CROSS JOIN e{c} e CROSS JOIN t{c} t)"""
+            )
+    comp = "\nUNION ALL ".join(
+        f"SELECT {c} AS c, i, v FROM v{c}_{_PCA_ITERS}"
+        for c in range(1, _PCA_K + 1)
+    )
+    cvv = "\nUNION ALL ".join(
+        f"SELECT {c} AS c, vv FROM t{c}" for c in range(1, _PCA_K + 1)
+    )
+    ceig = "\nUNION ALL ".join(
+        f"SELECT {c} AS c, eig FROM e{c}" for c in range(1, _PCA_K + 1)
+    )
+    parts.append(f"comp AS MATERIALIZED ({comp})")
+    parts.append(f"cvv AS MATERIALIZED ({cvv})")
+    parts.append(f"ceig AS ({ceig})")
+    return ",\n".join(parts)
+
+
+# Reduced-coordinate CTEs shared by the q226 and q227 oracles: em (milli
+# vectors with vec_id), rv (exact integer dot per component), rm (the
+# milli-of-unit-component quantized coordinate).
+def _pca_reduced_ctes() -> str:
+    return f"""{_pca_topk_ctes()},
+em AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform({as_double_array_sql('embedding')},
+                        x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
+  FROM embeddings),
+rvp AS (
+  SELECT em.vec_id, comp.c,
+         CAST(SUM(em.xm[comp.i + 1] * comp.v) AS BIGINT) AS r
+  FROM em, comp GROUP BY 1, 2),
+rmt AS MATERIALIZED (
+  SELECT vec_id, c,
+         CAST(FLOOR(CAST(r AS DOUBLE) / SQRT(CAST(vv AS DOUBLE)) + 0.5)
+              AS BIGINT) AS rm
+  FROM rvp JOIN cvv USING (c))"""
+
+
+def _pca_project_sql() -> str:
+    cks = hash48_sql(
+        "CAST(vec_id AS VARCHAR) || ':' || CAST(rmt.c AS VARCHAR) || ':' "
+        "|| CAST(rm AS VARCHAR)"
+    )
+    return f"""
+WITH {_pca_reduced_ctes()}
+SELECT rmt.c AS c, ceig.eig AS eig_m2, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(rm) AS BIGINT) AS sum_rm,
+       CAST(FLOOR(CAST(SUM(rm * rm) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(rm) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(rm) AS DOUBLE) / COUNT(*)) + 0.5)
+            AS BIGINT) AS var_m2,
+       CAST(SUM({cks} % 1000003) AS BIGINT) AS checksum
+FROM rmt JOIN ceig ON ceig.c = rmt.c
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def _reduced_recall_sql() -> str:
+    return f"""
+WITH {_pca_reduced_ctes()},
+rl AS MATERIALIZED (SELECT vec_id, list(rm ORDER BY c) AS rv FROM rmt GROUP BY 1),
+params AS (
+  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS n_cells,
+         GREATEST(2, CAST(CEIL(LOG2(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) + 1))
+                          AS BIGINT)) AS n_probe
+  FROM rl),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell, rv AS cm
+  FROM (SELECT vec_id, rv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM rl)
+  CROSS JOIN params WHERE rn <= n_cells),
+asn AS MATERIALIZED (
+  SELECT rl.vec_id,
+         MIN({{'d': {sq_l2_sql('rl.rv', 'c.cm')}, 'c': c.cell}})['c'] AS cell
+  FROM rl, cents c GROUP BY rl.vec_id),
+qs AS (SELECT vec_id AS q_id, rv FROM rl WHERE vec_id IN (100, 101, 102)),
+probes AS MATERIALIZED (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {sq_l2_sql('q.rv', 'c.cm')}, c.cell)
+             AS pr
+    FROM qs q, cents c)
+  WHERE pr <= (SELECT n_probe FROM params)),
+ap AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT p.q_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.q_id
+                              ORDER BY {sq_l2_sql('r.rv', 'q.rv')}, a.vec_id)
+             AS rank
+    FROM probes p
+    JOIN asn a ON a.cell = p.cell
+    JOIN rl r ON r.vec_id = a.vec_id
+    JOIN qs q ON q.q_id = p.q_id
+    WHERE a.vec_id <> p.q_id)
+  WHERE rank <= 5),
+ex AS MATERIALIZED (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sq_l2_sql('c.xm', 'q.xm')}, c.vec_id)
+             AS rank
+    FROM em c, (SELECT vec_id, xm FROM em WHERE vec_id IN (100, 101, 102)) q
+    WHERE c.vec_id <> q.vec_id)
+  WHERE rank <= 5),
+ch AS (SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+       FROM ex JOIN asn ON asn.vec_id = ex.neighbor_id
+       JOIN probes p ON p.q_id = ex.q_id AND p.cell = asn.cell
+       GROUP BY ex.q_id),
+h AS (SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ex JOIN ap USING (q_id, neighbor_id) GROUP BY ex.q_id)
+SELECT q.q_id,
+       COALESCE(ch.n_cand, 0) AS n_cand_hits,
+       ROUND(COALESCE(ch.n_cand, 0) / 5.0, 4) AS cand_recall,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+FROM (SELECT q_id FROM qs) q
+LEFT JOIN ch USING (q_id) LEFT JOIN h USING (q_id) ORDER BY q_id
+"""
+
+
 # --- oracles ---------------------------------------------------------------
 
 def _lsh_multiprobe_sql(k: int = 3, n_planes: int | None = None) -> str:
@@ -2161,8 +2598,13 @@ for _k in ("q85_pq_ann", "q217_ivfpq_ann", "q217b_ivfpq_ann_scaled",
            "q222_ann_recall_audit", "q54b_kmeans_iter2"):
     ORACLES[_k] = _mat(ORACLES[_k])
 
+ORACLES["q226_pca_project"] = _pca_project_sql()
+ORACLES["q227_reduced_ivf_recall"] = _reduced_recall_sql()
+
 QUERIES = {
     "q212_embedding_gram": q212_embedding_gram,
+    "q226_pca_project": q226_pca_project,
+    "q227_reduced_ivf_recall": q227_reduced_ivf_recall,
     "q217_ivfpq_ann": q217_ivfpq_ann,
     "q217b_ivfpq_ann_scaled": q217b_ivfpq_ann_scaled,
     "q222_ann_recall_audit": q222_ann_recall_audit,

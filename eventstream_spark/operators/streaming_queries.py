@@ -950,7 +950,16 @@ def q225_stream_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger=1 — the q216 convention), so the answer REQUIRES
     the sums to survive across batches. Completes the streaming-sketch
     family's sum-merge story at the SEMANTIC level: q195 sum-merges
-    hash counters, this sum-merges model-loss sufficient statistics."""
+    hash counters, this sum-merges model-loss sufficient statistics.
+
+    OOV policy (round-8 ADVICE): the stream-static term join is a LEFT
+    join — a landing token absent from the at-rest vocabulary still
+    counts into n_tok, scored at the Laplace UNSEEN-TERM floor
+    ln((0+1)/(t+v)) under each LM (the exact log-prob the same smoothing
+    assigns a zero-count term, milli-quantized like every other term).
+    On the replayed fixtures no OOV occurs, so equality with q221's
+    batch oracle holds verbatim; on live landing data the monitor keeps
+    the batch definition instead of silently dropping unseen tokens."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from ..catalog import load
@@ -968,7 +977,14 @@ def q225_stream_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((col("doc_id") % 4 == 0).cast("long")).alias("cref"),
         )
     )
-    ll, _ = _two_lm_tables(st)
+    ll, tot = _two_lm_tables(st)
+    # Laplace unseen-term floors (1-row collect of the LM totals): the
+    # milli-nat log-prob a zero-count term gets under each LM.
+    import math
+
+    trow = tot.head()
+    lf_floor = int(round(math.log(1.0 / (trow["t_full"] + trow["v"])) * 1e3))
+    lr_floor = int(round(math.log(1.0 / (trow["t_ref"] + trow["v"])) * 1e3))
 
     d = _documents_chunks_dir(spark, sf_dir)
     schema = StructType(
@@ -984,12 +1000,12 @@ def q225_stream_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdocs = file_stream(spark, d, schema, max_files_per_trigger=1)
     stok = sdocs.select("source", F.explode(tokens("text")).alias("term"))
     ps = (
-        stok.join(ll, "term")
+        stok.join(ll, "term", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_tok"),
-            F.sum("lf").alias("sf"),
-            F.sum("lr").alias("sr"),
+            F.sum(F.coalesce(col("lf"), lit(lf_floor))).alias("sf"),
+            F.sum(F.coalesce(col("lr"), lit(lr_floor))).alias("sr"),
         )
     )
     drained = _run_to_table(ps, spark)

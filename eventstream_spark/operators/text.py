@@ -1372,6 +1372,260 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+# --- q201b: DISTRIBUTED logistic-regression training -------------------------
+# The missing rung under q201 (round-8 VERDICT ask #3): q201 *applies* a
+# literal-weight model; this TRAINS one — full-batch gradient descent on
+# logistic loss over hashed uni+bigram count features, driver-coordinated
+# epochs with the q54b/q131/q218 integer-quantized handoff so both engines
+# walk one weight sequence. Label = the held-in reference-slice convention
+# (doc_id % 4 == 0 — the q211/q221/q224 "curated set"; in production this
+# is a FineWeb-Edu-style curated-vs-crawl classifier, and on the synthetic
+# fixture, where slice membership is content-random, the trainer converges
+# toward the class prior — the property test plants separable classes to
+# verify actual learning).
+
+_TRAIN_DIM = _CLF_DIM  # hashed feature space (shared with q201's scorer)
+_TRAIN_EPOCHS = 3
+# η = 0.005 in milli-residual units (Δw_micro = ⌊lr_x1k·g/n + 0.5⌋ with
+# lr_x1k = η·1000): full-batch GD on logistic loss is guaranteed-descent
+# only below ~4/max‖x‖², and with raw-count features ‖x‖² ≈ doc length —
+# η = 0.5 was tried first and MEASURED OSCILLATING on the fixture
+# (0.693 → 1.61 → 0.54 → 1.19), the classic overshoot; 0.005 descends
+# monotonically. Callers with short documents (the property test's
+# planted classes) pass a larger rate.
+_TRAIN_LR_X1K = 5
+_TRAIN_BIAS = _TRAIN_DIM  # reserved bucket id for the per-doc bias feature
+
+
+def train_hashed_logreg(
+    docs: DataFrame,
+    epochs: int = _TRAIN_EPOCHS,
+    lr_x1k: int = _TRAIN_LR_X1K,
+) -> tuple[list[tuple], dict[int, int]]:
+    """([(epoch, n_docs, avg_loss, sep, w_nnz, w_l1)], final weights):
+    full-batch GD on logistic loss, every cross-engine-visible number an
+    exact integer.
+
+    Determinism contract (the iterative-oracle convention): features are
+    integer gram counts hashed to ``_TRAIN_DIM`` buckets (hash48 % dim —
+    q201's trick); weights live in integer MICRO-logits; the per-doc
+    margin z = Σ w_b·c_b is an exact int64 sum; the sigmoid — the one
+    transcendental, the q221-exp class — quantizes PER DOC to milli
+    (pm = clamp(1, 999, ⌊1000·σ(z/1e6)+0.5⌋), clamped so the loss ln is
+    finite and the same 999 rational inputs feed ln in both engines);
+    residual pm − 1000·y and gradient Σ resid·c_b are then exact integer
+    sums under ANY partitioning/fold order, and the weight step
+    w −= ⌊lr_x1k·g/n + 0.5⌋ is one float64 op tree mirrored verbatim
+    (lr_x1k·g and n both < 2^53, so the doubles are exact). Loss is the
+    true logistic NLL at the clamped pm, milli-quantized per doc. A
+    reserved bias bucket (one always-on unit per doc) lets the model
+    learn the class prior as a threshold.
+
+    Scale: ONE corpus (doc, bucket) groupBy builds the persisted feature
+    table; each epoch is one per-doc agg (z) + one per-bucket agg
+    (gradient) — both map-side-combinable shuffles over the cached
+    features — and a dim-bounded (4096-row) driver handoff, exactly the
+    q54b centroid / q131 merge-table bound. Epoch count is the driver
+    loop; nothing per-row ever reaches the driver."""
+    tok = docs.select("doc_id", tokens("text").alias("w"))
+    grams = tok.select(
+        "doc_id", F.explode(F.expr(_clf_grams_expr())).alias("g")
+    )
+    tf = persist_tracked(
+        grams.select(
+            "doc_id", (hash48(col("g")) % _TRAIN_DIM).cast("int").alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        # bias feature: one always-on unit per document in the reserved
+        # bucket, so the model can learn the class prior as a threshold
+        .unionAll(
+            docs.select(
+                "doc_id",
+                lit(_TRAIN_BIAS).cast("int").alias("bucket"),
+                lit(1).cast("long").alias("cnt"),
+            )
+        )
+    )
+    spark = docs.sparkSession
+    weights: dict[int, int] = {}
+    rows: list[tuple] = []
+    n = None
+    for epoch in range(epochs + 1):
+        wdf = spark.createDataFrame(
+            sorted(weights.items()) or [], "bucket int, w long"
+        )
+        y = (col("doc_id") % 4 == 0).cast("long")
+        zdf = (
+            tf.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.coalesce(col("w"), lit(0)) * col("cnt")).alias("z"))
+            .select("doc_id", "z", y.alias("y"))
+        )
+        pm = F.least(
+            lit(999),
+            F.greatest(
+                lit(1),
+                F.floor(
+                    lit(1000.0) / (lit(1.0) + F.exp(-(col("z") / lit(1e6))))
+                    + lit(0.5)
+                ).cast("long"),
+            ),
+        )
+        pv = F.when(col("y") == 1, col("pm")).otherwise(lit(1000) - col("pm"))
+        scored = persist_tracked(
+            zdf.withColumn("pm", pm).select(
+                "doc_id",
+                "z",
+                "y",
+                "pm",
+                (col("pm") - lit(1000) * col("y")).alias("resid"),
+                F.floor(-lit(1000.0) * F.log(pv / lit(1000.0)) + lit(0.5))
+                .cast("long")
+                .alias("lm"),
+            )
+        )
+        m = scored.agg(
+            F.count("*").alias("n"),
+            F.sum("lm").alias("sl"),
+            F.sum(F.when(col("y") == 1, col("z"))).alias("zp"),
+            F.sum("y").alias("np"),
+            F.sum(F.when(col("y") == 0, col("z"))).alias("zn"),
+        ).head()
+        n = int(m["n"])
+        sep = (
+            float(m["zp"]) / float(m["np"]) - float(m["zn"]) / float(n - m["np"])
+        ) / 1e6
+        rows.append(
+            (
+                epoch,
+                n,
+                round(float(m["sl"]) / n / 1000.0, 4),
+                round(sep, 4),
+                sum(1 for w in weights.values() if w != 0),
+                sum(abs(w) for w in weights.values()),
+            )
+        )
+        if epoch == epochs:
+            break
+        import math
+
+        grad = (
+            scored.select("doc_id", "resid")
+            .join(tf, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(col("resid") * col("cnt")).alias("g"))
+            .collect()
+        )
+        for r in grad:
+            b = int(r["bucket"])
+            weights[b] = weights.get(b, 0) - int(
+                math.floor(lr_x1k * 1.0 * int(r["g"]) / n + 0.5)
+            )
+    return rows, weights
+
+
+def q201b_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch, n_docs, avg_loss, sep, w_nnz, w_l1): the 4-row training
+    trajectory (init + 3 full-batch GD epochs) of the distributed hashed
+    logistic regression — see train_hashed_logreg for the determinism and
+    scale contract. avg_loss is the logistic NLL in nats; sep the
+    positive-minus-negative mean margin (both descend/ascend along the
+    walked sequence); w_nnz/w_l1 pin the weight vector itself."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    rows, _ = train_hashed_logreg(docs)
+    return spark.createDataFrame(
+        rows, "epoch int, n_docs long, avg_loss double, sep double, "
+        "w_nnz long, w_l1 long"
+    ).orderBy("epoch")
+
+
+def _classifier_train_sql() -> str:
+    """Unrolled-epoch mirror of train_hashed_logreg: the same integer
+    feature table, the same per-epoch z/pm/resid/gradient algebra, the
+    same FLOOR(500.0·g/n + 0.5) step — 3 epochs of CTE chain (the q218
+    unrolled-power-iteration convention)."""
+    grams = (
+        "flatten([w, list_transform(range(1, len(w)),"
+        " i -> w[i] || ' ' || w[i + 1])])"
+    )
+    score = """
+s{t} AS MATERIALIZED (
+  SELECT doc_id, z, y, pm, pm - 1000 * y AS resid,
+         CAST(FLOOR(-1000.0 * LN((CASE WHEN y = 1 THEN pm
+                                       ELSE 1000 - pm END) / 1000.0) + 0.5)
+              AS BIGINT) AS lm
+  FROM (SELECT doc_id, z, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS y,
+               LEAST(999, GREATEST(1,
+                 CAST(FLOOR(1000.0 / (1.0 + EXP(-(z / 1e6))) + 0.5) AS BIGINT)))
+                 AS pm
+        FROM z{t}))"""
+    metric = """
+m{t} AS (
+  SELECT {t} AS epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(CAST(SUM(lm) AS DOUBLE) / COUNT(*) / 1000.0, 4) AS avg_loss,
+         ROUND((CAST(SUM(CASE WHEN y = 1 THEN z END) AS DOUBLE)
+                  / CAST(SUM(y) AS DOUBLE)
+                - CAST(SUM(CASE WHEN y = 0 THEN z END) AS DOUBLE)
+                  / CAST(COUNT(*) - SUM(y) AS DOUBLE)) / 1e6, 4) AS sep,
+         {wnnz} AS w_nnz, {wl1} AS w_l1
+  FROM s{t})"""
+    parts = [
+        f"""tok AS (SELECT doc_id, {tokens_sql()} AS w FROM documents),
+gr AS (SELECT doc_id, unnest({grams}) AS g FROM tok),
+tf AS MATERIALIZED (
+  SELECT doc_id, CAST({hash48_sql('g')} % {_TRAIN_DIM} AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM gr GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, {_TRAIN_BIAS} AS bucket, CAST(1 AS BIGINT) AS cnt
+  FROM documents),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+z0 AS (SELECT DISTINCT doc_id, CAST(0 AS BIGINT) AS z FROM tf)""",
+        score.format(t=0),
+        metric.format(
+            t=0, wnnz="CAST(0 AS BIGINT)", wl1="CAST(0 AS BIGINT)"
+        ),
+    ]
+    for t in range(1, _TRAIN_EPOCHS + 1):
+        prev_w = f"w{t - 1}"
+        upd = (
+            f"CAST(0 - FLOOR({_TRAIN_LR_X1K}.0 * g / n + 0.5) AS BIGINT)"
+            if t == 1
+            else f"w - CAST(FLOOR({_TRAIN_LR_X1K}.0 * g / n + 0.5) AS BIGINT)"
+        )
+        src = (
+            f"g{t}, nd"
+            if t == 1
+            else f"{prev_w} JOIN g{t} USING (bucket), nd"
+        )
+        parts.append(
+            f"""g{t} AS (
+  SELECT bucket, CAST(SUM(resid * cnt) AS BIGINT) AS g
+  FROM s{t - 1} JOIN tf USING (doc_id) GROUP BY 1)"""
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (SELECT bucket, {upd} AS w FROM {src})"""
+        )
+        parts.append(
+            f"""z{t} AS (
+  SELECT tf.doc_id, CAST(SUM(COALESCE(w, 0) * cnt) AS BIGINT) AS z
+  FROM tf LEFT JOIN w{t} USING (bucket) GROUP BY 1)"""
+        )
+        parts.append(score.format(t=t))
+        parts.append(
+            metric.format(
+                t=t,
+                wnnz=f"(SELECT CAST(COUNT(*) AS BIGINT) FROM w{t} WHERE w <> 0)",
+                wl1=f"(SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w{t})",
+            )
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{t}" for t in range(_TRAIN_EPOCHS + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n{unions}\nORDER BY epoch"
+
+
 # --- q202: deterministic epoch shuffle ---------------------------------------
 
 _EPOCHS = (0, 1)
@@ -2441,19 +2695,57 @@ def q223_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive because the position is baked into each hash.
 
     Scale: the LM score is q125's machinery (two groupBys); the stage
-    assignment and the global position are ONE range exchange each
-    (scalable_ntile + the range-partitioned rank) — never a single-task
-    window."""
-    from .ranking import _ranked_with_total, scalable_ntile
+    assignment is MAP-SIDE against the 9 broadcast NTILE boundary tuples
+    picked by the bucketed rank-pick (``exact_value_at_ranks`` with
+    tie_col — the round-8 VERDICT reclaim: a row's NTILE stage is
+    1 + #{boundaries it sorts strictly after}, and because the order is
+    total the boundary TUPLE (doc_logp, doc_id) decides ties exactly as
+    the rank would); only the global position pays a range exchange —
+    ONE, down from the former two (scalable_ntile + rank).
+
+    A/B (scripts/ab_boundary_stage.py, results asserted equal, steady
+    median of 3): one-JVM local[32] does NOT reward the reclaim — 2.86 s
+    vs 2.21 s at sf0.1, 10.5 vs 9.3 at 100× — because (a) the LM build
+    dominates q223's cost at every measured scale (12.9 of 12.5 s total
+    at 100× is upstream of the exchanges) and (b) locally a shuffle is a
+    memcpy, so the removed exchange saves about what the pick's three
+    cache-local scans + two extra driver round trips cost. The
+    one-exchange form is registered anyway: the trade is cache-local
+    reads + O(1) driver jobs FOR a full-table NETWORK exchange, which is
+    the right direction on a real cluster, and the gap already narrows
+    1.30×→1.13× from 1× to 100×. Never a single-task window."""
+    from .ranking import _ranked_with_total, exact_value_at_ranks
 
     docs = spread(load(spark, sf_dir, "documents"))
-    scored = unigram_logprob(docs).select("doc_id", "doc_logp")
-    b = scalable_ntile(
-        scored, [col("doc_logp").desc(), col("doc_id").asc()], _CURR_K, "stage"
+    scored = persist_tracked(unigram_logprob(docs).select("doc_id", "doc_logp"))
+
+    # NTILE(k) boundary ranks: the first (n mod k) stages hold ceil(n/k)
+    # rows, the rest floor(n/k) — B_i = last global rank of stage i.
+    def _boundaries(n: int) -> list[int]:
+        q, rem = divmod(n, _CURR_K)
+        bs = [
+            i * (q + 1) if i <= rem else rem * (q + 1) + (i - rem) * q
+            for i in range(1, _CURR_K)
+        ]
+        return [b for b in bs if 1 <= b <= n]
+
+    # Order is (doc_logp DESC, doc_id ASC): negate the score so the pick's
+    # ascending (value, tie) order matches; double negation is exact.
+    neg = scored.select(
+        (-col("doc_logp")).alias("_negl"), col("doc_id"), col("doc_logp")
     )
-    d = b.select(
+    _, bnds = exact_value_at_ranks(
+        neg, "_negl", _boundaries, tie_col="doc_id", what="documents"
+    )
+    stage = lit(1)
+    for _, (nl, bid) in sorted(bnds.items()):
+        after = (col("_negl") > lit(float(nl))) | (
+            (col("_negl") == lit(float(nl))) & (col("doc_id") > lit(int(bid)))
+        )
+        stage = stage + after.cast("int")
+    d = neg.select(
         "doc_id",
-        "stage",
+        stage.cast("int").alias("stage"),
         "doc_logp",
         hash48(col("doc_id").cast("string")).alias("k"),
     )
@@ -2531,10 +2823,18 @@ def q224_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     before its single division.
 
     Scale: one corpus (doc, term) groupBy + the vocabulary-sized LM
-    join (the q221 passes); the global cut is the q211 range-partitioned
-    rank — never a single-task window; everything after is per-source
-    dimension math."""
-    from .ranking import _ranked_with_total
+    join (the q221 passes); the global top-N/4 cut needs NO rank at all —
+    the bucketed rank-pick (``exact_value_at_ranks`` with tie_col)
+    fetches the exact boundary tuple (rho_u, doc_id) at rank ceil(n/4)
+    and the kept flag is a MAP-SIDE comparison against it (kept ⟺ the
+    row sorts at-or-before the boundary in the total order), replacing
+    the former range exchange (the q223/q150/q210 reclaim family). A/B
+    (scripts/ab_boundary_stage.py): exactly EVEN at 100× (6.80 s both)
+    and 0.46 s behind at sf0.1 — the driver-round-trip floor — while
+    carrying ZERO full-table exchanges where the old plan had one; on a
+    cluster that trade is network traffic for O(1) driver jobs. Never a
+    single-task window."""
+    from .ranking import exact_value_at_ranks
 
     docs = spread(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
@@ -2559,11 +2859,20 @@ def q224_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(col("s") * lit(1000.0) / col("n_tok")).cast("long").alias("rho_u"),
         )
     )
-    ranked, n = _ranked_with_total(
-        doc, [col("rho_u").desc(), col("doc_id").asc()], "_r"
+    doc = persist_tracked(doc)
+    neg = doc.withColumn("_negr", -col("rho_u"))
+    n, bnds = exact_value_at_ranks(
+        neg,
+        "_negr",
+        lambda nn: [(nn + _RHO_KEEP_DEN - 1) // _RHO_KEEP_DEN],
+        tie_col="doc_id",
+        what="documents",
     )
-    keep = (n + _RHO_KEEP_DEN - 1) // _RHO_KEEP_DEN
-    sel = ranked.withColumn("kept", (col("_r") <= keep).cast("long"))
+    (negb, idb) = bnds[(n + _RHO_KEEP_DEN - 1) // _RHO_KEEP_DEN]
+    kept = (col("_negr") < lit(int(negb))) | (
+        (col("_negr") == lit(int(negb))) & (col("doc_id") <= lit(int(idb)))
+    )
+    sel = neg.withColumn("kept", kept.cast("long"))
     return (
         sel.groupBy("source")
         .agg(
@@ -2677,6 +2986,7 @@ ORACLES = {
     "q214_selection_curve": _selection_curve_sql(),
     "q215_data_constrained": _DATA_CONSTRAINED_SQL,
     "q201_classifier_score": _clf_score_sql(),
+    "q201b_classifier_train": _classifier_train_sql(),
     "q202_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "q203_bigram_backoff_lm": _BIGRAM_LM_SQL,
     "q204_temperature_mix": _TEMPERATURE_MIX_SQL,
@@ -2944,6 +3254,7 @@ QUERIES = {
     "q214_selection_curve": q214_selection_curve,
     "q215_data_constrained": q215_data_constrained,
     "q201_classifier_score": q201_classifier_score,
+    "q201b_classifier_train": q201b_classifier_train,
     "q202_epoch_shuffle": q202_epoch_shuffle,
     "q203_bigram_backoff_lm": q203_bigram_backoff_lm,
     "q204_temperature_mix": q204_temperature_mix,

@@ -99,3 +99,59 @@ def test_exact_value_at_ranks_empty_and_constant(spark):
     const = spark.range(7).select(F.lit(3.5).alias("v"))
     n, picked = exact_value_at_ranks(const, "v", lambda n: [1, 4, n])
     assert n == 7 and picked == {1: 3.5, 4: 3.5, 7: 3.5}
+
+
+def test_exact_value_at_ranks_tie_col_and_nulls(spark):
+    """With tie_col the result is the exact BOUNDARY TUPLE under
+    (value, tie); NULL values are filtered up front (ADVICE r8 — a NULL
+    used to land in a None histogram bucket and break sorted())."""
+    df = spark.range(1, 10001).select(
+        (col("id") % 10).cast("double").alias("v"), col("id").alias("t")
+    )
+    nulls = spark.range(5).select(
+        F.lit(None).cast("double").alias("v"), (col("id") + 100000).alias("t")
+    )
+    rows = sorted((r.v, r.t) for r in df.collect())
+    ranks = [1, 1234, 5000, 9999, 10000]
+    n, picked = exact_value_at_ranks(
+        df.unionAll(nulls), "v", lambda nn: ranks, tie_col="t"
+    )
+    assert n == 10000  # nulls excluded from n, histogram, and window alike
+    assert picked == {r: rows[r - 1] for r in ranks}
+
+
+def test_exact_value_at_ranks_skew_recursion_on_tie(spark):
+    """A single-value-dominated bucket above the skew threshold recurses —
+    and because the bucket holds ONE distinct value, the recursion buckets
+    on the numeric tie column (within equal values the order IS the tie).
+    20k identical values against an explicit 4096-row threshold force the
+    path (the default threshold is the 2M absolute single-task budget)."""
+    big = spark.range(20000).select(F.lit(5.0).alias("v"), col("id").alias("t"))
+    small = spark.range(100).select(
+        (col("id") / 10.0 + 100.0).alias("v"), (col("id") + 1_000_000).alias("t")
+    )
+    rows = sorted(
+        [(5.0, t) for t in range(20000)]
+        + [(i / 10.0 + 100.0, i + 1_000_000) for i in range(100)]
+    )
+    ranks = [1, 10000, 20000, 20050, 20100]
+    n, picked = exact_value_at_ranks(
+        big.unionAll(small), "v", lambda nn: ranks, tie_col="t",
+        skew_threshold=4096,
+    )
+    assert n == 20100
+    assert picked == {r: rows[r - 1] for r in ranks}
+
+
+def test_exact_value_at_ranks_skew_recursion_on_value(spark):
+    """A dense many-distinct-value cluster crammed into one equi-width
+    bucket by an outlier recurses with a fresh histogram INSIDE the
+    bucket (the equi-width re-bucket level the r8 ADVICE asked for)."""
+    dense = spark.range(20000).select((col("id") / 1e7).alias("v"))
+    outlier = spark.range(1).select(F.lit(1000.0).alias("v"))
+    n, picked = exact_value_at_ranks(
+        dense.unionAll(outlier), "v", lambda nn: [1, 9999, 20001],
+        skew_threshold=4096,
+    )
+    assert n == 20001
+    assert picked == {1: 0.0, 9999: 9998 / 1e7, 20001: 1000.0}

@@ -339,3 +339,55 @@ def test_segment_dedup_removes_shared_boilerplate_only(spark, tmp_path):
     assert out["dup"].total_segments == 4  # 2 docs x (boiler + unique tail)
     assert out["clean"].removed_segments == 0
     assert out["clean"].docs_touched == 0
+
+
+def test_logreg_trainer_learns_planted_classes(spark):
+    """q201b's trainer on PLANTED separable classes: positives (the
+    doc_id % 4 == 0 label slice) draw from one vocabulary, negatives from
+    a disjoint one. Loss must decrease EVERY epoch, the class margin must
+    widen, and the learned weights must separate the planted vocabularies
+    (positive-gram buckets up, negative-gram buckets down). Short docs →
+    small ||x||², so a larger step (eta = 0.5) is inside the descent
+    regime the q201b default (0.005) guards for fixture-length docs."""
+    import hashlib
+
+    from eventstream_spark.operators.text import _TRAIN_DIM, train_hashed_logreg
+
+    rows = []
+    for i in range(200):
+        if i % 4 == 0:
+            text = f"alpha beta gamma delta tok{i % 7}"
+        else:
+            text = f"zulu yankee xray whiskey tok{i % 7}"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    metrics, weights = train_hashed_logreg(docs, epochs=3, lr_x1k=500)
+    losses = [m[2] for m in metrics]
+    seps = [m[3] for m in metrics]
+    assert losses[0] == round(0.693, 4) or abs(losses[0] - 0.693) < 1e-3
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    assert seps[-1] > 0.3 and seps[-1] > seps[1] > seps[0] == 0.0, seps
+    bucket = lambda g: int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % _TRAIN_DIM  # noqa: E731
+    assert weights[bucket("alpha")] > 0 > weights[bucket("zulu")]
+    assert weights[bucket("alpha beta")] > 0 > weights[bucket("zulu yankee")]
+
+
+def test_grown_minhash_bands_subset_of_fixed(spark, sf_dir):
+    """q42b: every grown-banding candidate pair is also a fixed-banding
+    (q42) candidate on this corpus — each r=digits(N)-row band window
+    fully contains one of q42's 2-row bands, so agreeing on the wide band
+    implies agreeing on the contained narrow one; the grown form only
+    REMOVES weak candidates (the S-curve steepening), never invents
+    pairs. Also pins the digit-count knob derivation."""
+    from eventstream_spark.operators.dedup import (
+        _grown_rows_per_band,
+        q42_minhash_lsh,
+        q42b_minhash_lsh_grown,
+    )
+
+    assert _grown_rows_per_band(9) == 2
+    assert _grown_rows_per_band(60_000) == 5
+    assert _grown_rows_per_band(6_000_000) == 7
+    fixed = {(r.d1, r.d2) for r in q42_minhash_lsh(spark, sf_dir).collect()}
+    grown = {(r.d1, r.d2) for r in q42b_minhash_lsh_grown(spark, sf_dir).collect()}
+    assert grown <= fixed
