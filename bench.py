@@ -223,6 +223,16 @@ HEADLINE = [
     "q224_rho_select",
     # curriculum ordering (LM score -> staged NTILE -> global position).
     "q223_curriculum_order",
+    # round 9: grown-bands MinHash twin (q42's pipeline with corpus-derived
+    # knobs), distributed LR training (3 full-batch epochs over hashed
+    # features), and the PCA projection-apply (power iteration + one
+    # map-side GEMM pass). q227 (reduced-space recall audit) re-runs
+    # q226's reduction + power iteration before building its index — the
+    # q162/q173 double-count convention keeps it oracle-gated, not
+    # headlined.
+    "q42b_minhash_lsh_grown",
+    "q201b_classifier_train",
+    "q226_pca_project",
 ]
 
 

@@ -286,6 +286,21 @@ SCALE_QUERIES = [
     # joins — the recall measurement loop itself must scale with the
     # index it audits.
     "q222_ann_recall_audit",
+    # round 9: q42b grown-bands MinHash — rows-per-band grows with
+    # log10(N) so per-band collision occupancy stays ~constant (q42's
+    # fixed split is deliberately absent — the q44-vs-q44b knob argument).
+    "q42b_minhash_lsh_grown",
+    # q201b LR training: per-epoch cost is one feature groupBy + one
+    # dimension-bounded gradient groupBy; the corpus passes scale, the
+    # weight handoff stays 2^18-bounded at the driver.
+    "q201b_classifier_train",
+    # q226 PCA projection-apply: q212's batched-GEMM covariance pass +
+    # d²-bounded power iteration + ONE map-side projection GEMM pass —
+    # zero shuffle beyond the component audit's K-row groupBy.
+    "q226_pca_project",
+    # q227 reduced-space recall audit: q226's reduction + a sqrt(N)-cell
+    # IVF build in K=4 dims + the q222 audit joins.
+    "q227_reduced_ivf_recall",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica
