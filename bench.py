@@ -233,6 +233,19 @@ HEADLINE = [
     "q42b_minhash_lsh_grown",
     "q201b_classifier_train",
     "q226_pca_project",
+    # round 9 additions: concat-split sequence packing (one shard
+    # exchange), cluster-balanced diversity selection (GEMM assignment +
+    # cell-bounded window), classifier calibration (pure map-side), and
+    # the int8 recall audit (two broadcast-query brute-force passes).
+    # q233 (dedup threshold curve) re-runs q41's pair build before the
+    # 5-row curve — the q162/q173 double-count convention keeps it
+    # oracle-gated, not headlined; q231 (streaming quality gate) follows
+    # the q190/q195/q225 convention (streaming re-run of a headlined
+    # batch plan).
+    "q228_sequence_pack",
+    "q229_cluster_balanced_select",
+    "q230_calibration_ece",
+    "q232_int8_recall_audit",
 ]
 
 

@@ -208,6 +208,60 @@ def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, 0.5).orderBy("d1", "d2")
 
 
+# --- q233: dedup threshold operating curve -----------------------------------
+
+_CURVE_TS = (500, 600, 700, 800, 900)  # milli-Jaccard thresholds
+
+
+def q233_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_milli, n_flagged, flagged_tokens, pct_docs_m, pct_tokens_m): the
+    operating curve of the near-dup gate — for each candidate Jaccard
+    threshold, how many documents (and tokens) the keep-lowest-id policy
+    would drop. The dedup analog of q214's selection curve: before
+    committing a corpus to a threshold, you read THIS to see where the
+    knee is. A doc's fate is decided by its MAX similarity to any
+    lower-id doc (the q58 keep-one convention), so the curve needs one
+    pair table, not one dedup run per threshold.
+
+    Scale: rides q41's prefix-filtered set-similarity join (exact for
+    J ≥ 0.5, PPJoin pruning — never all-pairs); the per-doc max is one
+    doc-key groupBy; thresholds are a 5-row broadcast. Everything after
+    the pair table is corpus-linear with bounded output."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, 0.5)
+    mx = pairs.groupBy(col("d2").alias("doc_id")).agg(F.max("jac").alias("mj"))
+    toks = spread(docs).select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    tot = toks.agg(
+        F.count("*").alias("nd"), F.sum("n_tok").alias("nt")
+    )
+    th = spark.createDataFrame([(t,) for t in _CURVE_TS], "t_milli int")
+    fl = (
+        mx.join(toks, "doc_id")
+        .crossJoin(F.broadcast(th))
+        .where(col("mj") * lit(1000) >= col("t_milli"))
+        .groupBy("t_milli")
+        .agg(F.count("*").alias("nf"), F.sum("n_tok").alias("ft"))
+    )
+    return (
+        th.join(fl, "t_milli", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t_milli",
+            F.coalesce(col("nf"), lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce(col("ft"), lit(0)).cast("long").alias("flagged_tokens"),
+            F.round(
+                lit(1000.0) * F.coalesce(col("nf"), lit(0)) / col("nd"), 3
+            ).alias("pct_docs_m"),
+            F.round(
+                lit(1000.0) * F.coalesce(col("ft"), lit(0)) / col("nt"), 3
+            ).alias("pct_tokens_m"),
+        )
+        .orderBy("t_milli")
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -1625,6 +1679,33 @@ FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
 WHERE ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6) >= 0.5
 ORDER BY 1, 2
 """,
+    "q233_dedup_threshold_curve": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+com AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jp AS (
+  SELECT d2, ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6)
+           AS jac
+  FROM com JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+  WHERE ROUND(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE), 6) >= 0.5),
+mx AS (SELECT d2 AS doc_id, MAX(jac) AS mj FROM jp GROUP BY 1),
+tk AS (SELECT doc_id, CAST(len({tokens_sql()}) AS BIGINT) AS n_tok
+       FROM documents),
+tot AS (SELECT COUNT(*) AS nd, SUM(n_tok) AS nt FROM tk),
+th AS (SELECT unnest([500, 600, 700, 800, 900]) AS t_milli),
+fl AS (
+  SELECT t_milli, COUNT(*) AS nf, SUM(n_tok) AS ft
+  FROM mx JOIN tk USING (doc_id) CROSS JOIN th
+  WHERE mj * 1000 >= t_milli GROUP BY 1)
+SELECT th.t_milli,
+       CAST(COALESCE(nf, 0) AS BIGINT) AS n_flagged,
+       CAST(COALESCE(ft, 0) AS BIGINT) AS flagged_tokens,
+       ROUND(1000.0 * COALESCE(nf, 0) / nd, 3) AS pct_docs_m,
+       ROUND(1000.0 * COALESCE(ft, 0) / nt, 3) AS pct_tokens_m
+FROM th LEFT JOIN fl USING (t_milli) CROSS JOIN tot ORDER BY 1
+""",
     "q42_minhash_lsh": _minhash_sql(),
     "q42b_minhash_lsh_grown": _minhash_grown_sql(),
     "q120_incremental_dedup": _incremental_sql(),
@@ -1665,7 +1746,7 @@ from ..functions import materialize_ctes as _mat
 
 for _k in ("q42_minhash_lsh", "q42b_minhash_lsh_grown", "q55_dedup_clusters",
            "q58_dedup_keep", "q120_incremental_dedup",
-           "q200_leakage_safe_split"):
+           "q200_leakage_safe_split", "q233_dedup_threshold_curve"):
     ORACLES[_k] = _mat(ORACLES[_k])
 
 QUERIES = {
@@ -1676,6 +1757,7 @@ QUERIES = {
     "q141_cdc_chunk_dedup": q141_cdc_chunk_dedup,
     "q40_dedup_exact": q40_dedup_exact,
     "q41_ngram_jaccard": q41_ngram_jaccard,
+    "q233_dedup_threshold_curve": q233_dedup_threshold_curve,
     "q42_minhash_lsh": q42_minhash_lsh,
     "q42b_minhash_lsh_grown": q42b_minhash_lsh_grown,
     "q116_contamination": q116_contamination,

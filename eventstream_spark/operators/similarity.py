@@ -2447,8 +2447,253 @@ FROM g WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL ORDER BY anchor
 """
 
 
+# --- q229: cluster-balanced diversity selection ------------------------------
+# The SemDeDup-pipeline companion (Abbas et al. '23 / DiverseSelect): after
+# coarse clustering, keep a per-cluster quota of the MOST CENTRAL members —
+# big clusters contribute sublinearly (quota = ceil(sqrt(size))), so the
+# selected set preserves the corpus's mode coverage instead of letting one
+# dense mode dominate. q123 removes redundancy WITHIN a cluster; this picks
+# a diversity-balanced SUBSET across clusters — the selection rung between
+# dedup (drop copies) and DSIR/RHO (score-ranked keep).
+
+
+def q229_cluster_balanced_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, n_members, n_kept, mean_kept_d, kept_sum): grown-cells
+    assignment (auto_cells seeds, q217b's milli-quantized integer metric
+    — every distance and argmin is exact, assignment ONE numpy GEMM per
+    Arrow batch), then keep the ceil(sqrt(occupancy)) members closest to
+    their centroid (ties by vec_id). kept_sum is a hash48 checksum of the
+    kept ids — any membership change shows.
+
+    Scale: assignment is map-side GEMM (the 140.9×-vs-1.2× lesson from
+    q217b's smoke); the only shuffle is the cell key; the per-cell window
+    sorts ~sqrt(N) rows per cell — bounded, never a global sort. The
+    quota rule makes output size Σ ceil(sqrt(n_c)) ≈ N^(3/4) — the
+    selected sample grows sublinearly, which is the operator's point."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    n = e.count()
+    n_cells = auto_cells(n)
+    seeds = sorted(
+        (int(r.vec_id), list(r.v))
+        for r in e.orderBy("vec_id").limit(n_cells).collect()
+    )
+    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
+    C = np.floor(
+        np.asarray([cv for _, cv in seeds], dtype=np.float64) * 1000.0 + 0.5
+    )
+    c_sq = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.floor(
+                np.asarray(pdf["v"].tolist(), dtype=np.float64) * 1000.0 + 0.5
+            )
+            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            ci = D.argmin(axis=1)  # cell_ids ascend: first min = smallest id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell_ids[ci],
+                    "d": D.min(axis=1).astype(np.int64),
+                }
+            )
+
+    asg = e.mapInPandas(assign, schema="vec_id long, cell long, d long")
+    wr = Window.partitionBy("cell").orderBy("d", "vec_id")
+    wc = Window.partitionBy("cell")
+    ranked = asg.select(
+        "cell",
+        "vec_id",
+        "d",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wc).alias("sz"),
+    ).withColumn("kept", col("rnk") <= F.ceil(F.sqrt(col("sz"))))
+    return (
+        ranked.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(col("kept").cast("long")).alias("n_kept"),
+            F.round(
+                F.sum(F.when(col("kept"), col("d"))).cast("double")
+                / F.sum(col("kept").cast("long"))
+                / lit(1e6),
+                4,
+            ).alias("mean_kept_d"),
+            F.sum(
+                F.when(
+                    col("kept"),
+                    hash48(col("vec_id").cast("string")) % lit(1000003),
+                )
+            ).alias("kept_sum"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _cluster_select_sql() -> str:
+    """q229 mirror: the same milli-quantized integer assignment as
+    q217b's oracle (cells/quota from COUNT(*); MIN(struct) argmin gives
+    both the cell and the exact integer distance)."""
+    return f"""
+WITH e AS (SELECT vec_id,
+             list_transform({as_double_array_sql('embedding')},
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
+      FROM embeddings),
+params AS (
+  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS n_cells FROM e),
+cents AS (
+  SELECT vec_id AS cell, xm AS cm
+  FROM (SELECT vec_id, xm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+  CROSS JOIN params WHERE rn <= n_cells),
+asn AS (
+  SELECT e.vec_id,
+         MIN({{'d': {sq_l2_sql('e.xm', 'c.cm')}, 'c': c.cell}})['c'] AS cell,
+         MIN({{'d': {sq_l2_sql('e.xm', 'c.cm')}, 'c': c.cell}})['d'] AS d
+  FROM e, cents c GROUP BY e.vec_id),
+r AS (
+  SELECT cell, vec_id, d,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY cell) AS sz
+  FROM asn),
+k AS (SELECT *, rnk <= CEIL(SQRT(sz)) AS kept FROM r)
+SELECT cell, COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN kept THEN d END) AS DOUBLE)
+             / SUM(CASE WHEN kept THEN 1 ELSE 0 END) / 1e6, 4) AS mean_kept_d,
+       CAST(SUM(CASE WHEN kept THEN
+             {hash48_sql('CAST(vec_id AS VARCHAR)')} % 1000003 END) AS BIGINT)
+         AS kept_sum
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q232: scalar-quantization (int8) recall audit ---------------------------
+
+
+def q232_int8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, hits, recall_at_5): does q186's int8 absmax quantization
+    preserve nearest neighbors? Exact 5-NN under the int8 codes vs exact
+    5-NN under the full-precision milli metric (q222's ground truth,
+    verbatim) for the pinned query set — the acceptance measurement for
+    a 4×-compressed flat index, completing the audit family (q186
+    answers "how much numeric error", q222 audits the IVF-PQ layers;
+    this answers "does the ERROR change the ANSWERS").
+
+    Determinism: per-dim scales are the corpus absmax / 127 (a dim-count
+    row aggregate both engines compute identically); codes clamp to
+    [-127, 127] via the q186 ROUND spelling; int8 distances are exact
+    integer sums, milli distances exact integers — every rank boundary is
+    tie-stable (vec_id tiebreak).
+
+    Scale: the scale vector is a |dims|-row aggregate collected once
+    (the centroid-literal convention); quantization is map-side; both
+    5-NN passes are broadcast-query brute force — the deliberate exact
+    baseline (the indexed path is q217b/q227), corpus scans stay
+    single-pass with no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = persist_tracked(
+        spread(emb).select(
+            "vec_id", as_double_array(col("embedding")).alias("v")
+        )
+    )
+    scales = (
+        e.select(F.posexplode("v").alias("p", "x"))
+        .groupBy("p")
+        .agg((F.greatest(F.max(F.abs(col("x"))), lit(1e-12)) / lit(127.0)).alias("s"))
+        .orderBy("p")
+        .collect()
+    )
+    S = F.array(*[lit(float(r.s)) for r in scales])
+    q8 = F.zip_with(
+        col("v"),
+        S,
+        lambda x, s: F.least(
+            F.greatest(F.round(x / s), lit(-127.0)), lit(127.0)
+        ).cast("long"),
+    )
+    xm = F.transform(col("v"), lambda x: F.floor(x * 1000 + lit(0.5)).cast("long"))
+    coded = persist_tracked(e.select("vec_id", q8.alias("q8"), xm.alias("xm")))
+    q = coded.where(col("vec_id").isin(100, 101, 102)).select(
+        col("vec_id").alias("q_id"),
+        col("q8").alias("qq8"),
+        col("xm").alias("qm"),
+    )
+    pairs = coded.crossJoin(broadcast(q)).where(col("vec_id") != col("q_id"))
+    w8 = Window.partitionBy("q_id").orderBy(col("d8"), col("neighbor_id"))
+    wm = Window.partitionBy("q_id").orderBy(col("dm"), col("neighbor_id"))
+    ranked = pairs.select(
+        "q_id",
+        col("vec_id").alias("neighbor_id"),
+        sq_l2(col("q8"), col("qq8")).alias("d8"),
+        sq_l2(col("xm"), col("qm")).alias("dm"),
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.row_number().over(w8).alias("r8"),
+        F.row_number().over(wm).alias("rm"),
+    )
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(((col("r8") <= 5) & (col("rm") <= 5)).cast("long")).alias(
+                "hits"
+            ),
+            F.round(
+                F.sum(((col("r8") <= 5) & (col("rm") <= 5)).cast("long"))
+                / lit(5.0),
+                4,
+            ).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _int8_recall_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v
+           FROM embeddings),
+ex AS (SELECT vec_id, generate_subscripts(v, 1) AS p, unnest(v) AS x FROM e),
+sc AS (SELECT p, GREATEST(MAX(ABS(x)), 1e-12) / 127.0 AS s
+       FROM ex GROUP BY 1),
+sl AS (SELECT list(s ORDER BY p) AS sv FROM sc),
+coded AS (
+  SELECT vec_id,
+         list_transform(range(1, 1 + len(v)),
+           j -> CAST(LEAST(GREATEST(ROUND(v[j] / sv[j]), -127.0), 127.0)
+                     AS BIGINT)) AS q8,
+         list_transform(v, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
+  FROM e CROSS JOIN sl),
+qs AS (SELECT vec_id AS q_id, q8 AS qq8, xm AS qm
+       FROM coded WHERE vec_id IN (100, 101, 102)),
+pairs AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         {sq_l2_sql('c.q8', 'q.qq8')} AS d8,
+         {sq_l2_sql('c.xm', 'q.qm')} AS dm
+  FROM coded c CROSS JOIN qs q WHERE c.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d8, neighbor_id) AS r8,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dm, neighbor_id) AS rm
+  FROM pairs)
+SELECT q_id,
+       CAST(SUM(CASE WHEN r8 <= 5 AND rm <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits,
+       ROUND(SUM(CASE WHEN r8 <= 5 AND rm <= 5 THEN 1 ELSE 0 END) / 5.0, 4)
+         AS recall_at_5
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLES = {
     "q212_embedding_gram": _GRAM_SQL,
+    "q229_cluster_balanced_select": _cluster_select_sql(),
+    "q232_int8_recall_audit": _int8_recall_sql(),
     "q217_ivfpq_ann": _ivfpq_sql(),
     "q217b_ivfpq_ann_scaled": _ivfpq_grown_sql(),
     "q222_ann_recall_audit": _ann_recall_sql(),
@@ -2627,6 +2872,8 @@ QUERIES = {
     "q69_doc_vec_join": q69_doc_vec_join,
     "q123_semantic_dedup": q123_semantic_dedup,
     "q51b_matmul_knn": q51b_matmul_knn,
+    "q229_cluster_balanced_select": q229_cluster_balanced_select,
+    "q232_int8_recall_audit": q232_int8_recall_audit,
 }
 
 # q51b shares q51's oracle verbatim: same semantics, different physical plan.

@@ -1012,6 +1012,59 @@ def q225_stream_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doremi_finish(drained.select("source", "n_tok", "sf", "sr"))
 
 
+def q231_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-based quality gate (q201) applied AT INGEST — the
+    streaming member of the selection family: each landing micro-batch
+    scores its documents with the literal-weight classifier (pure
+    map-side integer fold, the q201 expression verbatim) and folds into
+    per-source running statistics (n_docs, n_spam, Σ logit — additive
+    longs; min logit — min-merge, the q190 register convention). State
+    is |sources| rows of four scalars, bounded forever; additivity +
+    min-merge make the drained state EXACTLY q201's batch aggregate
+    under any micro-batching or replay split, so q201's duckdb oracle
+    applies verbatim (the q225/q195 convention). The feed is genuinely
+    multi-batch (4 doc_id-mod chunks, maxFilesPerTrigger=1), so the
+    answer requires the gate's counters to survive across batches —
+    which is what a production ingest gate does: accumulate accept/
+    reject rates per source and alarm when a crawl's quality drifts."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..functions import tokens
+    from .text import classifier_logit_micro
+
+    d = _documents_chunks_dir(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdocs = file_stream(spark, d, schema, max_files_per_trigger=1)
+    scored = sdocs.select(
+        "source", tokens("text").alias("w")
+    ).select("source", classifier_logit_micro().alias("lm"))
+    ps = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((col("lm") < 0).cast("long")).alias("n_spam"),
+        F.sum("lm").alias("slm"),
+        F.min("lm").alias("mlm"),
+    )
+    drained = _run_to_table(ps, spark)
+    return drained.select(
+        "source",
+        "n_docs",
+        "n_spam",
+        F.round(col("slm").cast("double") / col("n_docs") / lit(1e6), 4).alias(
+            "avg_logit"
+        ),
+        F.round(col("mlm") / lit(1e6), 4).alias("min_logit"),
+    ).orderBy("source")
+
+
 from .analytics import ORACLES as _A_ORACLES
 from .sketch import ORACLES as _SKETCH_ORACLES
 from .text import ORACLES as _TEXT_ORACLES
@@ -1031,6 +1084,9 @@ ORACLES = {
     # Streaming DoReMi must land on q221's batch EG step exactly (the
     # per-source loss sufficient statistics are additive integers).
     "q225_stream_doremi": _TEXT_ORACLES["q221_doremi_step"],
+    # Streaming quality gate must land on q201's batch aggregate exactly
+    # (sum-merged counters + min-merged logit).
+    "q231_stream_quality_gate": _TEXT_ORACLES["q201_classifier_score"],
     "q145_stream_topk": f"""
 WITH r AS (
   SELECT event_type, event_id, value,
@@ -1113,4 +1169,5 @@ QUERIES = {
     "q195_stream_count_min": q195_stream_count_min,
     "q216_stream_quantile_sketch": q216_stream_quantile_sketch,
     "q225_stream_doremi": q225_stream_doremi,
+    "q231_stream_quality_gate": q231_stream_quality_gate,
 }

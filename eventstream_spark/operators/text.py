@@ -2975,8 +2975,207 @@ FROM wm CROSS JOIN nm ORDER BY source
 """
 
 
+# --- q228: concat-and-split sequence packing --------------------------------
+# The modern pretraining layout (GPT-style): all selected documents are
+# concatenated in a deterministic order and the token stream is cut every C
+# tokens into fixed-length training sequences — documents STRADDLE sequence
+# boundaries (fragments at the edges), unlike q82's next-fit shard packing
+# where a document never splits. q82 answers "which docs share a shard";
+# this answers "which fixed windows does each doc land in", which is what
+# an indexed packed dataset (sample i = tokens [i*C, (i+1)*C)) needs.
+
+_PACK_C = 512  # context length (tokens) of one packed training sequence
+_PACK_SHARDS = 8  # deterministic hash shards (q202's writer convention)
+
+
+def q228_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, total_tokens, n_seqs, n_straddle, fill_m,
+    assign_sum): per-shard audit of the concat-and-split packed layout.
+    Order within a shard is the deterministic hash order
+    (hash48('pack:' doc_id), doc_id) — reproducible forever, epoch-style;
+    a doc's first/last sequence ids derive from the running token count
+    BEFORE it (seq = floor(offset / C)), n_straddle counts docs cut by a
+    sequence boundary, fill_m the last-window padding loss in milli, and
+    assign_sum pins every (doc → first-sequence) assignment via a hash48
+    checksum — any reordering or off-by-one-token shift changes it.
+
+    Scale: the token count is map-side; the only exchange is the
+    per-shard hash partition + writer sort the packed-file write pays
+    anyway (q202's convention — shard count scales with corpus so each
+    shard is one output file of bounded size). The running sum is a
+    frame-bounded window per shard, never global. Zero-token docs are
+    excluded (they occupy no window positions)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    ).where(col("n_tok") > 0)
+    k = hash48(F.concat_ws(":", lit("pack"), col("doc_id").cast("string")))
+    d = t.select(
+        "doc_id", "n_tok", k.alias("k"), (k % _PACK_SHARDS).alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("cum0", F.coalesce(F.sum("n_tok").over(w), lit(0)))
+    d = d.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.floor(col("cum0") / lit(float(_PACK_C))).alias("seq_first"),
+        F.floor((col("cum0") + col("n_tok") - 1) / lit(float(_PACK_C))).alias(
+            "seq_last"
+        ),
+    )
+    n_seqs = F.floor(
+        (F.sum("n_tok") + lit(_PACK_C - 1)) / lit(float(_PACK_C))
+    ).cast("long")
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            n_seqs.alias("n_seqs"),
+            F.sum((col("seq_last") > col("seq_first")).cast("long")).alias(
+                "n_straddle"
+            ),
+            F.round(
+                F.sum("n_tok").cast("double")
+                * lit(1000.0)
+                / (n_seqs * lit(_PACK_C)),
+                3,
+            ).alias("fill_m"),
+            F.sum(
+                hash48(
+                    F.concat_ws(
+                        ":",
+                        col("doc_id").cast("string"),
+                        col("seq_first").cast("string"),
+                    )
+                )
+                % lit(1000003)
+            ).alias("assign_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SEQUENCE_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({tokens_sql()}) AS BIGINT) AS n_tok FROM documents),
+d AS (
+  SELECT doc_id, n_tok,
+         {hash48_sql("'pack:' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM t WHERE n_tok > 0),
+s AS (SELECT doc_id, n_tok, k, k % {_PACK_SHARDS} AS shard FROM d),
+c AS (
+  SELECT shard, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM s),
+f AS (
+  SELECT shard, doc_id, n_tok,
+         CAST(FLOOR(cum0 / {_PACK_C}.0) AS BIGINT) AS seq_first,
+         CAST(FLOOR((cum0 + n_tok - 1) / {_PACK_C}.0) AS BIGINT) AS seq_last
+  FROM c)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(FLOOR((SUM(n_tok) + {_PACK_C - 1}) / {_PACK_C}.0) AS BIGINT)
+         AS n_seqs,
+       CAST(SUM(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddle,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) * 1000.0
+             / (FLOOR((SUM(n_tok) + {_PACK_C - 1}) / {_PACK_C}.0)
+                * {_PACK_C}), 3) AS fill_m,
+       CAST(SUM({hash48_sql(
+           "CAST(doc_id AS VARCHAR) || ':' || CAST(seq_first AS VARCHAR)"
+       )} % 1000003) AS BIGINT) AS assign_sum
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q230: classifier calibration audit (reliability diagram + ECE) ---------
+
+
+def q230_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n_docs, n_pos, mean_pred_m, emp_rate_m, gap_m): the
+    reliability diagram of q201's quality classifier against the held-in
+    reference labels (doc_id % 4 — the q211/q221/q201b convention), the
+    audit every model-based data gate runs before trusting its threshold:
+    docs bucket by predicted probability decile (pm = the q201b
+    milli-sigmoid of the micro-logit, clamped to [1, 999]); each bin
+    reports mean predicted vs empirical positive rate (both milli) and
+    the |gap| whose n-weighted sum over bins is the expected calibration
+    error. A well-calibrated gate has gap_m ≈ 0 in the bins that matter;
+    q214 (the operating curve) says what a threshold KEEPS, this says
+    whether the scores it thresholds MEAN anything.
+
+    Determinism: the logit is q201's exact integer fold; the sigmoid is
+    the q201b milli-quantized spelling (one EXP both engines evaluate on
+    the same double); everything after is integer sums with one rounded
+    division per output column.
+
+    Scale: pure map-side scoring (zero shuffle, no UDF) into a 10-row
+    groupBy — partial aggs absorb the corpus; the result is bin-bounded
+    regardless of corpus size."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id", classifier_logit_micro().alias("lm")
+    )
+    pm = F.least(
+        lit(999),
+        F.greatest(
+            lit(1),
+            F.floor(
+                lit(1000.0) / (lit(1.0) + F.exp(-(col("lm") / lit(1e6))))
+                + lit(0.5)
+            ).cast("long"),
+        ),
+    )
+    d = d.select(
+        (col("doc_id") % 4 == 0).cast("long").alias("y"), pm.alias("pm")
+    ).withColumn("bin", F.floor(col("pm") / lit(100.0)).cast("int"))
+    mean_pred = F.sum("pm").cast("double") / F.count("*")
+    emp_rate = lit(1000.0) * F.sum("y") / F.count("*")
+    return (
+        d.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            F.round(mean_pred, 3).alias("mean_pred_m"),
+            F.round(emp_rate, 3).alias("emp_rate_m"),
+            F.round(F.abs(mean_pred - emp_rate), 3).alias("gap_m"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+{clf_scored_cte_sql('tok')},
+p AS (
+  SELECT doc_id,
+         LEAST(999, GREATEST(1,
+           CAST(FLOOR(1000.0 / (1.0 + EXP(-(lm / 1e6))) + 0.5) AS BIGINT)))
+           AS pm,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS y
+  FROM scored_tok),
+b AS (SELECT CAST(FLOOR(pm / 100.0) AS INTEGER) AS bin, pm, y FROM p)
+SELECT bin, COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(pm) AS DOUBLE) / COUNT(*), 3) AS mean_pred_m,
+       ROUND(1000.0 * SUM(y) / COUNT(*), 3) AS emp_rate_m,
+       ROUND(ABS(CAST(SUM(pm) AS DOUBLE) / COUNT(*)
+                 - 1000.0 * SUM(y) / COUNT(*)), 3) AS gap_m
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLES = {
     "q205_gopher_funnel": _gopher_funnel_sql(),
+    "q228_sequence_pack": _SEQUENCE_PACK_SQL,
+    "q230_calibration_ece": _calibration_sql(),
     "q221_doremi_step": _DOREMI_SQL,
     "q224_rho_select": _RHO_SQL,
     "q223_curriculum_order": _CURRICULUM_SQL,
@@ -3245,6 +3444,8 @@ for _k in ("q162_bpe_encode", "q211_dsir_select"):
 
 QUERIES = {
     "q205_gopher_funnel": q205_gopher_funnel,
+    "q228_sequence_pack": q228_sequence_pack,
+    "q230_calibration_ece": q230_calibration_ece,
     "q221_doremi_step": q221_doremi_step,
     "q224_rho_select": q224_rho_select,
     "q223_curriculum_order": q223_curriculum_order,

@@ -301,6 +301,20 @@ SCALE_QUERIES = [
     # q227 reduced-space recall audit: q226's reduction + a sqrt(N)-cell
     # IVF build in K=4 dims + the q222 audit joins.
     "q227_reduced_ivf_recall",
+    # round 9: q228 concat-split packing — map-side token counts, one
+    # shard exchange + per-shard running-sum window (the writer sort).
+    "q228_sequence_pack",
+    # q229 cluster-balanced selection: GEMM assignment (q217b's lesson)
+    # + per-cell window over ~sqrt(N) rows.
+    "q229_cluster_balanced_select",
+    # q230 calibration: pure map-side scoring into a 10-row groupBy.
+    "q230_calibration_ece",
+    # q232 int8 recall: |dims|-row scale agg + two broadcast-query
+    # brute-force passes — corpus-linear by construction.
+    "q232_int8_recall_audit",
+    # q233 threshold curve: q41's prefix-filtered pair join + one doc
+    # groupBy + a 5-row broadcast curve.
+    "q233_dedup_threshold_curve",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica
@@ -334,6 +348,9 @@ STREAM_QUERIES = [
     # DoReMi sums: state = |sources| rows of three additive longs —
     # bounded forever; the LM build side is vocabulary-sized static.
     "q225_stream_doremi",
+    # quality-gate counters: state = |sources| rows of four scalars
+    # (three sum-merged, one min-merged) — bounded forever.
+    "q231_stream_quality_gate",
 ]
 _STREAM_MAX_FILES = "4"
 

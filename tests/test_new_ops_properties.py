@@ -796,3 +796,212 @@ def test_curriculum_order_is_staged_and_contiguous(spark, sf_dir):
         expect_first = r.last_pos + 1
     logs = [r.avg_logp for r in rows]
     assert all(a >= b for a, b in zip(logs, logs[1:]))
+
+
+def test_sequence_pack_matches_bruteforce_packing(spark, sf_dir):
+    """q228: per-shard totals, sequence counts, straddle counts, and the
+    (doc -> first sequence) assignment checksum all equal a Python
+    brute-force replay of the concat-and-split layout (same hash order,
+    same running sum, same C)."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import tokens
+    from eventstream_spark.operators.similarity import _h48_py
+    from eventstream_spark.operators.text import (
+        _PACK_C,
+        _PACK_SHARDS,
+        q228_sequence_pack,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = {
+        int(r.doc_id): int(r.n)
+        for r in docs.select(
+            "doc_id", F.size(tokens("text")).alias("n")
+        ).collect()
+        if int(r.n) > 0
+    }
+    by_shard: dict[int, list[tuple[int, int, int]]] = {}
+    for doc_id, n in toks.items():
+        k = _h48_py(f"pack:{doc_id}")
+        by_shard.setdefault(k % _PACK_SHARDS, []).append((k, doc_id, n))
+    expect = {}
+    for shard, items in by_shard.items():
+        items.sort()
+        cum = 0
+        straddle = 0
+        assign = 0
+        for k, doc_id, n in items:
+            first = cum // _PACK_C
+            last = (cum + n - 1) // _PACK_C
+            straddle += 1 if last > first else 0
+            assign += _h48_py(f"{doc_id}:{first}") % 1000003
+            cum += n
+        expect[shard] = (
+            len(items),
+            cum,
+            -(-cum // _PACK_C),
+            straddle,
+            assign,
+        )
+    got = {
+        int(r.shard): (
+            int(r.n_docs),
+            int(r.total_tokens),
+            int(r.n_seqs),
+            int(r.n_straddle),
+            int(r.assign_sum),
+        )
+        for r in q228_sequence_pack(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_calibration_bins_are_consistent(spark, sf_dir):
+    """q230: bins partition the corpus, each bin's mean prediction sits
+    inside the bin's probability range, and gap_m = |mean_pred - emp|."""
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.text import q230_calibration_ece
+
+    rows = q230_calibration_ece(spark, sf_dir).collect()
+    n_corpus = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        lo, hi = r.bin * 100, r.bin * 100 + 99
+        assert lo <= r.mean_pred_m <= hi + 1, r
+        assert 0 <= r.n_pos <= r.n_docs
+        emp = 1000.0 * r.n_pos / r.n_docs
+        assert abs(r.gap_m - abs(r.mean_pred_m - round(emp, 3))) < 0.01, r
+
+
+def test_cluster_balanced_select_matches_numpy(spark, sf_dir):
+    """q229: per-cell membership, quota (ceil sqrt), and the kept-id
+    checksum equal a numpy replay of the milli-quantized assignment +
+    closest-first selection."""
+    import math
+
+    import numpy as np
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import as_double_array
+    from eventstream_spark.operators.similarity import (
+        _h48_py,
+        auto_cells,
+        q229_cluster_balanced_select,
+    )
+    from pyspark.sql.functions import col
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        "vec_id", as_double_array(col("embedding")).alias("v")
+    )
+    rows = sorted((int(r.vec_id), list(r.v)) for r in e.collect())
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    X = np.floor(np.array([v for _, v in rows]) * 1000.0 + 0.5)
+    n_cells = auto_cells(len(rows))
+    C = X[:n_cells]  # seeds = lowest vec_ids, rows sorted
+    cell_ids = ids[:n_cells]
+    D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    ci = D.argmin(1)
+    d = D.min(1).astype(np.int64)
+    expect = {}
+    for c_pos in set(ci):
+        mask = ci == c_pos
+        members = sorted(zip(d[mask], ids[mask]))
+        quota = math.ceil(math.sqrt(len(members)))
+        kept = members[:quota]
+        expect[int(cell_ids[c_pos])] = (
+            len(members),
+            quota,
+            sum(_h48_py(str(int(v))) % 1000003 for _, v in kept),
+        )
+    got = {
+        int(r.cell): (int(r.n_members), int(r.n_kept), int(r.kept_sum))
+        for r in q229_cluster_balanced_select(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_int8_recall_matches_numpy(spark, sf_dir):
+    """q232: recall@5 equals a numpy replay of absmax-int8 quantization
+    and both exact 5-NN rankings (vec_id tiebreak)."""
+    import numpy as np
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import as_double_array
+    from eventstream_spark.operators.similarity import q232_int8_recall_audit
+    from pyspark.sql.functions import col
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        "vec_id", as_double_array(col("embedding")).alias("v")
+    )
+    rows = sorted((int(r.vec_id), list(r.v)) for r in e.collect())
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    X = np.array([v for _, v in rows])
+    scales = np.maximum(np.abs(X).max(0), 1e-12) / 127.0
+    # numpy rounds half-to-even; Spark/duckdb ROUND is half-away-from-zero
+    Q = np.clip(np.floor(np.abs(X / scales) + 0.5) * np.sign(X), -127, 127)
+    M = np.floor(X * 1000.0 + 0.5)
+
+    def top5(mat, qi):
+        dd = ((mat - mat[qi]) ** 2).sum(1)
+        order = sorted((dd[j], ids[j]) for j in range(len(ids)) if j != qi)
+        return [v for _, v in order[:5]]
+
+    expect = {}
+    for q in (100, 101, 102):
+        qi = int(np.where(ids == q)[0][0])
+        hits = len(set(top5(Q, qi)) & set(top5(M, qi)))
+        expect[q] = (hits, round(hits / 5.0, 4))
+    got = {
+        int(r.q_id): (int(r.hits), float(r.recall_at_5))
+        for r in q232_int8_recall_audit(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_stream_quality_gate_equals_batch_and_bounded_state(spark, sf_dir):
+    """q231: the drained streaming gate equals q201's batch aggregate
+    row-for-row, the drain is genuinely multi-batch, and peak state is
+    exactly |sources| rows."""
+    from eventstream_spark.operators.streaming_queries import (
+        LAST_RUN_INFO,
+        q231_stream_quality_gate,
+    )
+    from eventstream_spark.operators.text import q201_classifier_score
+
+    got = [tuple(r) for r in q231_stream_quality_gate(spark, sf_dir).collect()]
+    info = dict(LAST_RUN_INFO)
+    expect = [tuple(r) for r in q201_classifier_score(spark, sf_dir).collect()]
+    assert got == expect
+    assert info["n_batches"] >= 2
+    assert info["state_rows_peak"] == len(expect)
+
+
+def test_dedup_threshold_curve_is_monotone_and_anchored(spark, sf_dir):
+    """q233: flagged counts are non-increasing in the threshold, and the
+    t=500 row equals the number of distinct higher-id docs in q41's exact
+    pair table (the curve's anchor)."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.dedup import (
+        q41_ngram_jaccard,
+        q233_dedup_threshold_curve,
+    )
+
+    rows = sorted(
+        q233_dedup_threshold_curve(spark, sf_dir).collect(),
+        key=lambda r: r.t_milli,
+    )
+    release_cached()
+    flagged = {int(r.d2) for r in q41_ngram_jaccard(spark, sf_dir).collect()}
+    assert rows[0].t_milli == 500 and rows[0].n_flagged == len(flagged)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_flagged >= b.n_flagged
+        assert a.flagged_tokens >= b.flagged_tokens
+    for r in rows:
+        assert 0 <= r.pct_docs_m <= 1000
+        assert 0 <= r.pct_tokens_m <= 1000
