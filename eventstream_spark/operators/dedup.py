@@ -985,12 +985,15 @@ def q122_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token position falls out of ONE global sort + a lag/lead comparison.
 
 _SFX_DEPTH = 16  # bounded suffix depth (tokens) == the cap on reported length
-# Per-task suffix-sort budget: ~2M suffix rows × ~(depth × token) bytes keeps
-# one task's sort working set comfortably in executor memory instead of
-# spilling. The round-8 100× smoke triage showed the plan was right but the
-# FIXED 32 range partitions forced 1.6 GB of per-task spill at 100× — the
-# partition count must scale with the input (SCALING.md, round-9 A/B).
-_SFX_ROWS_PER_TASK = 2_000_000
+# Per-task suffix-sort budget. The round-8 100× smoke triage showed the plan
+# was right but FIXED 32 range partitions forced 1.6 GB of per-task spill at
+# 100× (suffix-sort rows are ~130-byte strings: 2M rows/task is ~260 MB raw,
+# >1 GB with JVM sort overhead). Round-9 A/B at the 100× smoke, same box,
+# back-to-back (SCALING.md): 2M rows/task (32 parts — the floor, i.e. the
+# round-8 plan) q219+q220 = 477.5 s; 250k (99 parts) = 344.3 s; 100k
+# (248 parts) = 336.3 s. 250k adopted — the knee; finer splits trade task
+# overhead for nothing outside noise.
+_SFX_ROWS_PER_TASK = 250_000
 
 
 def _sfx_partitions(docs: DataFrame) -> int:
