@@ -246,6 +246,11 @@ HEADLINE = [
     "q229_cluster_balanced_select",
     "q230_calibration_ece",
     "q232_int8_recall_audit",
+    # K x K domain transfer matrix: one corpus groupBy, then vocab- and
+    # K-bounded joins. q235 (DoReMi trajectory) re-runs q221's LM passes
+    # before the K-row EG iteration — the q162/q173 double-count
+    # convention keeps it oracle-gated, not headlined.
+    "q234_domain_transfer_matrix",
 ]
 
 

@@ -2672,6 +2672,159 @@ def _doremi_finish(ps: DataFrame) -> DataFrame:
     )
 
 
+# --- q235: DoReMi trajectory (multi-step EG, the full published loop) --------
+
+_TRAJ_T = 3  # EG steps in the trajectory
+
+
+def q235_doremi_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(step, source, alpha): the full DoReMi loop — T=3 exponentiated-
+    gradient steps over the fixed per-source excess losses, not just
+    q221's single step. The published algorithm iterates EG against the
+    proxy's evolving losses; with the two-LM excess held fixed (the
+    monitoring setting q225 streams), iteration shows the MIXTURE's
+    convergence path: weights concentrate on high-excess domains
+    geometrically while the smoothing floor c/K keeps every domain
+    sampled — step 0 is the base share, step t the weights a t-round
+    reweighting run would hand the sampler.
+
+    Determinism: the corpus-derived quantities (excess from the milli-nat
+    integer sums) are q221's; the iterate is re-quantized to integer
+    MICRO-weights after every step (a_micro → round(a·e^(η·excess)) →
+    integer normalizer → round back to micro), so all engines walk one
+    integer sequence (the q54b/q131/q201b/q218 iterative convention
+    applied to a dimension-side recurrence).
+
+    Scale: the corpus is absorbed by q221's one groupBy(source, term);
+    every EG step is |sources|-row dimension math (two tiny aggregates
+    per step) — T is a constant, the iteration never re-reads data."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    st = (
+        docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum((col("doc_id") % 4 == 0).cast("long")).alias("cref"),
+        )
+    )
+    ll, _ = _two_lm_tables(st)
+    ps = (
+        st.join(ll, "term")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.sum(col("c") * col("lf")).alias("sf"),
+            F.sum(col("c") * col("lr")).alias("sr"),
+        )
+    )
+    tot = ps.agg(F.sum("n_tok").alias("t_full"))
+    nll_f = -col("sf") / col("n_tok") / lit(1e3)
+    nll_r = -col("sr") / col("n_tok") / lit(1e3)
+    base = persist_tracked(
+        ps.crossJoin(F.broadcast(tot)).select(
+            "source",
+            F.greatest(nll_r - nll_f, lit(0.0)).alias("excess"),
+            F.round(lit(1e6) * col("n_tok") / col("t_full"))
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    steps = [base.select(lit(0).alias("step"), "source", "a")]
+    cur = base
+    for t in range(1, _TRAJ_T + 1):
+        w = cur.select(
+            "source",
+            "excess",
+            F.round(col("a") * F.exp(lit(_DRM_ETA) * col("excess")))
+            .cast("long")
+            .alias("wq"),
+        )
+        nm = w.agg(F.sum("wq").alias("nm"), F.count("*").alias("k"))
+        cur = persist_tracked(
+            w.crossJoin(F.broadcast(nm)).select(
+                "source",
+                "excess",
+                F.round(
+                    lit((1.0 - _DRM_SMOOTH) * 1e6) * col("wq") / col("nm")
+                    + lit(_DRM_SMOOTH * 1e6) / col("k")
+                )
+                .cast("long")
+                .alias("a"),
+            )
+        )
+        steps.append(cur.select(lit(t).alias("step"), "source", "a"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.union(s)
+    return out.select(
+        "step", "source", F.round(col("a") / lit(1e6), 4).alias("alpha")
+    ).orderBy("step", "source")
+
+
+def _doremi_trajectory_sql() -> str:
+    """Unrolled-step mirror of q235 (the q218/q201b unrolled-CTE
+    convention): q221's LM CTEs, then T EG steps of integer-quantized
+    dimension math."""
+    base = f"""
+st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cref
+  FROM (SELECT doc_id, source, unnest({tokens_sql()}) AS term FROM documents)
+  GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tc,
+                 CAST(SUM(cref) AS BIGINT) AS tr
+          FROM st GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(tc) AS BIGINT) AS t_full,
+               CAST(SUM(tr) AS BIGINT) AS t_ref
+        FROM vocab),
+ll AS (SELECT term,
+              CAST(ROUND(LN((tc + 1.0) / (t_full + v)) * 1e3) AS BIGINT) AS lf,
+              CAST(ROUND(LN((tr + 1.0) / (t_ref + v)) * 1e3) AS BIGINT) AS lr
+       FROM vocab CROSS JOIN tot),
+ps AS (SELECT s.source, CAST(SUM(s.c) AS BIGINT) AS n_tok,
+              CAST(SUM(s.c * l.lf) AS BIGINT) AS sf,
+              CAST(SUM(s.c * l.lr) AS BIGINT) AS sr
+       FROM st s JOIN ll l USING (term) GROUP BY s.source),
+b AS (
+  SELECT source,
+         GREATEST((-sr / n_tok / 1e3) - (-sf / n_tok / 1e3), 0.0) AS excess,
+         CAST(ROUND(1e6 * n_tok / t_full) AS BIGINT) AS a
+  FROM ps CROSS JOIN (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_full FROM ps) t)"""
+    parts = [base]
+    selects = ["SELECT 0 AS step, source, ROUND(a / 1e6, 4) AS alpha FROM b"]
+    prev = "b"
+    for t in range(1, _TRAJ_T + 1):
+        parts.append(
+            f"""w{t} AS (
+  SELECT source, excess,
+         CAST(ROUND(a * EXP({_DRM_ETA} * excess)) AS BIGINT) AS wq
+  FROM {prev})"""
+        )
+        parts.append(
+            f"""n{t} AS (SELECT CAST(SUM(wq) AS BIGINT) AS nm,
+              CAST(COUNT(*) AS BIGINT) AS k FROM w{t})"""
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT source, excess,
+         CAST(ROUND({(1.0 - _DRM_SMOOTH) * 1e6} * wq / nm
+                    + {_DRM_SMOOTH * 1e6} / k) AS BIGINT) AS a
+  FROM w{t} CROSS JOIN n{t})"""
+        )
+        selects.append(
+            f"SELECT {t} AS step, source, ROUND(a / 1e6, 4) AS alpha FROM a{t}"
+        )
+        prev = f"a{t}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step, source"
+    )
+
+
 # --- q223: curriculum ordering (difficulty-staged epoch order) ---------------
 
 _CURR_K = 10  # difficulty stages (deciles of the unigram-LM score)
@@ -3095,6 +3248,118 @@ FROM f GROUP BY 1 ORDER BY 1
 """
 
 
+# --- q234: domain transfer matrix (K×K cross-source perplexity) --------------
+
+
+def q234_domain_transfer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(train_source, eval_source, n_tok, ce): the K×K domain-interaction
+    matrix behind principled data mixing (DoGE, data-mixing-laws): a
+    Laplace-smoothed unigram LM per TRAIN source, evaluated as
+    cross-entropy (nats/token) on every EVAL source's token stream. The
+    diagonal is in-domain perplexity; off-diagonal cells say which
+    domains transfer — the measurement that upgrades q221's single
+    reference slice to a full domain-by-domain picture, and q146's
+    source-vs-corpus KL to source-vs-source.
+
+    Determinism: the q221 discipline — all LMs share ONE union vocab,
+    ln(p) quantizes to integer MILLI-nats per (train, term), so each
+    cell's numerator is an exact integer sum; unseen terms contribute
+    the train LM's Laplace floor times an exact integer token count
+    (n_eval − seen), never a per-term NULL path.
+
+    Scale: ONE corpus-sized groupBy(source, term) absorbs the corpus;
+    the LM table, floors, and the scoring join are all vocabulary- or
+    K-bounded from there (the (eval, term, c) × (train, term, lp) join
+    is on term over two ≤K·|vocab| aggregates — corpus size never
+    re-enters); the K² output assembles from |sources|-row tables."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    st = persist_tracked(
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    vtot = st.select(F.count_distinct("term").alias("v"))
+    tots = st.groupBy("source").agg(F.sum("c").alias("n"))
+    lm = (
+        st.join(tots, "source")
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            col("source").alias("ts"),
+            "term",
+            F.round(
+                F.log((col("c") + lit(1.0)) / (col("n") + col("v"))) * 1e3
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    floors = tots.crossJoin(F.broadcast(vtot)).select(
+        col("source").alias("ts"),
+        F.round(F.log(lit(1.0) / (col("n") + col("v"))) * 1e3)
+        .cast("long")
+        .alias("fl"),
+    )
+    j = (
+        st.select(col("source").alias("es"), "term", "c")
+        .join(lm, "term")
+        .groupBy("es", "ts")
+        .agg(
+            F.sum("c").alias("seen_tok"),
+            F.sum(col("c") * col("lp")).alias("lp_sum"),
+        )
+    )
+    pairs = tots.select(
+        col("source").alias("es"), col("n").alias("n_tok")
+    ).crossJoin(F.broadcast(floors))
+    num = F.coalesce(col("lp_sum"), lit(0)) + (
+        col("n_tok") - F.coalesce(col("seen_tok"), lit(0))
+    ) * col("fl")
+    return (
+        pairs.join(j, ["es", "ts"], "left")
+        .select(
+            col("ts").alias("train_source"),
+            col("es").alias("eval_source"),
+            "n_tok",
+            F.round(-num.cast("double") / col("n_tok") / lit(1e3), 4).alias(
+                "ce"
+            ),
+        )
+        .orderBy("train_source", "eval_source")
+    )
+
+
+_TRANSFER_SQL = f"""
+WITH st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({tokens_sql()}) AS term FROM documents)
+  GROUP BY 1, 2),
+vtot AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM st),
+tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+lm AS (
+  SELECT st.source AS ts, st.term,
+         CAST(ROUND(LN((st.c + 1.0) / (t.n + vtot.v)) * 1e3) AS BIGINT) AS lp
+  FROM st JOIN tots t USING (source) CROSS JOIN vtot),
+floors AS (
+  SELECT source AS ts,
+         CAST(ROUND(LN(1.0 / (n + v)) * 1e3) AS BIGINT) AS fl
+  FROM tots CROSS JOIN vtot),
+j AS (
+  SELECT e.source AS es, lm.ts,
+         CAST(SUM(e.c) AS BIGINT) AS seen_tok,
+         CAST(SUM(e.c * lm.lp) AS BIGINT) AS lp_sum
+  FROM st e JOIN lm ON e.term = lm.term GROUP BY 1, 2),
+pairs AS (
+  SELECT t.source AS es, t.n AS n_tok, f.ts, f.fl
+  FROM tots t CROSS JOIN floors f)
+SELECT p.ts AS train_source, p.es AS eval_source, p.n_tok,
+       ROUND(-(COALESCE(lp_sum, 0)
+               + (p.n_tok - COALESCE(seen_tok, 0)) * p.fl)
+             / CAST(p.n_tok AS DOUBLE) / 1e3, 4) AS ce
+FROM pairs p LEFT JOIN j ON j.es = p.es AND j.ts = p.ts
+ORDER BY 1, 2
+"""
+
+
 # --- q230: classifier calibration audit (reliability diagram + ECE) ---------
 
 
@@ -3176,6 +3441,8 @@ ORACLES = {
     "q205_gopher_funnel": _gopher_funnel_sql(),
     "q228_sequence_pack": _SEQUENCE_PACK_SQL,
     "q230_calibration_ece": _calibration_sql(),
+    "q234_domain_transfer_matrix": _TRANSFER_SQL,
+    "q235_doremi_trajectory": _doremi_trajectory_sql(),
     "q221_doremi_step": _DOREMI_SQL,
     "q224_rho_select": _RHO_SQL,
     "q223_curriculum_order": _CURRICULUM_SQL,
@@ -3446,6 +3713,8 @@ QUERIES = {
     "q205_gopher_funnel": q205_gopher_funnel,
     "q228_sequence_pack": q228_sequence_pack,
     "q230_calibration_ece": q230_calibration_ece,
+    "q234_domain_transfer_matrix": q234_domain_transfer_matrix,
+    "q235_doremi_trajectory": q235_doremi_trajectory,
     "q221_doremi_step": q221_doremi_step,
     "q224_rho_select": q224_rho_select,
     "q223_curriculum_order": q223_curriculum_order,

@@ -315,6 +315,12 @@ SCALE_QUERIES = [
     # q233 threshold curve: q41's prefix-filtered pair join + one doc
     # groupBy + a 5-row broadcast curve.
     "q233_dedup_threshold_curve",
+    # q234 transfer matrix: one corpus groupBy(source, term); the LM
+    # table, floors, and scoring join are vocabulary-/K-bounded after.
+    "q234_domain_transfer_matrix",
+    # q235 DoReMi trajectory: q221's corpus passes + T constant-size
+    # dimension steps — the smoke verifies the iteration stays flat.
+    "q235_doremi_trajectory",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

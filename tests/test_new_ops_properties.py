@@ -1005,3 +1005,86 @@ def test_dedup_threshold_curve_is_monotone_and_anchored(spark, sf_dir):
     for r in rows:
         assert 0 <= r.pct_docs_m <= 1000
         assert 0 <= r.pct_tokens_m <= 1000
+
+
+def test_domain_transfer_matrix_matches_python_replay(spark, sf_dir):
+    """q234: the K×K matrix equals an exact Python replay of the
+    milli-nat Laplace LMs (shared union vocab, per-train floors), and
+    every diagonal cell is its row's minimum on the fixture (each
+    source's own LM explains it best)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import tokens
+    from eventstream_spark.operators.text import q234_domain_transfer_matrix
+
+    def r_away(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .count()
+        .collect()
+    )
+    counts: dict[str, dict[str, int]] = {}
+    for r in st:
+        counts.setdefault(r.source, {})[r.term] = int(r["count"])
+    vocab = len({t for d in counts.values() for t in d})
+    tot = {s: sum(d.values()) for s, d in counts.items()}
+    lp = {
+        s: {t: r_away(math.log((c + 1.0) / (tot[s] + vocab)) * 1e3)
+            for t, c in d.items()}
+        for s, d in counts.items()
+    }
+    fl = {s: r_away(math.log(1.0 / (tot[s] + vocab)) * 1e3) for s in counts}
+    expect = {}
+    for ts in counts:
+        for es in counts:
+            num = sum(
+                c * lp[ts].get(t, fl[ts]) for t, c in counts[es].items()
+            )
+            expect[(ts, es)] = round(-num / tot[es] / 1e3, 4)
+    got = {
+        (r.train_source, r.eval_source): r.ce
+        for r in q234_domain_transfer_matrix(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    assert all(abs(got[k] - expect[k]) < 5e-4 for k in expect)
+    for es in counts:
+        row_min = min(got[(ts, es)] for ts in counts)
+        assert got[(es, es)] == row_min, es
+
+
+def test_doremi_trajectory_is_a_converging_distribution(spark, sf_dir):
+    """q235: every step's weights form a (quantized) distribution with the
+    smoothing floor, step 0 is the base share, and the maximum-excess
+    source's weight is non-decreasing across steps (EG concentrates)."""
+    from eventstream_spark.operators.text import (
+        _DRM_SMOOTH,
+        _TRAJ_T,
+        q221_doremi_step,
+        q235_doremi_trajectory,
+    )
+
+    rows = q235_doremi_trajectory(spark, sf_dir).collect()
+    by_step: dict[int, dict[str, float]] = {}
+    for r in rows:
+        by_step.setdefault(int(r.step), {})[r.source] = float(r.alpha)
+    assert sorted(by_step) == list(range(_TRAJ_T + 1))
+    k = len(by_step[0])
+    for step, w in by_step.items():
+        assert len(w) == k
+        assert abs(sum(w.values()) - 1.0) < k * 1e-4
+        if step > 0:
+            assert all(a >= _DRM_SMOOTH / k - 1e-4 for a in w.values())
+    q221 = {r.source: (r.excess, r.base_share) for r in
+            q221_doremi_step(spark, sf_dir).collect()}
+    for s, (_, share) in q221.items():
+        assert abs(by_step[0][s] - share) < 1e-3
+    hot = max(q221, key=lambda s: q221[s][0])
+    traj = [by_step[t][hot] for t in range(_TRAJ_T + 1)]
+    assert all(b >= a - 1e-4 for a, b in zip(traj, traj[1:])), traj
