@@ -1044,7 +1044,17 @@ def q231_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sdocs = file_stream(spark, d, schema, max_files_per_trigger=1)
-    scored = sdocs.select(
+    # Spread each micro-batch to cluster width BEFORE the expensive
+    # scoring fold: a one-file trigger is ONE input partition, and the
+    # classifier costs ~2 ms/doc — without this exchange the whole batch
+    # scores on a single core (measured at the 100× smoke: the drain
+    # blew the 600 s harness timeout; with it the same drain finishes in
+    # ~1 min). This is the real landing-zone shape too: arrival files
+    # are unsplittable units, so an ingest gate repartitions to workers
+    # before per-doc model work. The tiny text shuffle is the price; the
+    # per-source sums are additive, so the answer is unchanged.
+    n_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = sdocs.repartition(n_sp).select(
         "source", tokens("text").alias("w")
     ).select("source", classifier_logit_micro().alias("lm"))
     ps = scored.groupBy("source").agg(
