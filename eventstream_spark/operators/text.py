@@ -2825,6 +2825,91 @@ b AS (
     )
 
 
+# --- q236: mixture loss prediction (what the transfer matrix is FOR) ---------
+
+
+def q236_mixture_loss_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mixture, eval_source, pred_nats): predicted per-domain validation
+    loss under candidate sampling mixtures — the linear mixing-law read
+    of q234's transfer matrix (L̂_e(α) = Σ_s α_s · CE(e, s), the
+    first-order estimate data-mixing-laws fit refinements to): for each
+    candidate α — uniform, token-proportional, and q221's one-step
+    DoReMi weights — the α-weighted row of the K×K matrix says what
+    each domain's loss would look like if training sampled by α. The
+    consumer step that turns the q234 measurement + q221 reweighting
+    into a decision ("does DoReMi's mixture actually lower predicted
+    loss on the domains we care about").
+
+    Determinism: both inputs arrive as 4-decimal-rounded doubles that
+    are IDENTICAL across engines (each passed its own differential
+    gate), re-quantized here to integers (×1e4) so every prediction is
+    ONE integer dot product — no float fold order anywhere.
+
+    Scale: composes two already-bounded results — the K×K matrix and
+    the K-row weight table; this operator itself is K²-bounded math. It
+    re-runs the q221 + q234 corpus passes (the q89b composition
+    convention — oracle-gated, not headlined)."""
+    m = q234_domain_transfer_matrix(spark, sf_dir).select(
+        "train_source",
+        "eval_source",
+        F.round(col("ce") * lit(1e4)).cast("long").alias("ce4"),
+    )
+    w = q221_doremi_step(spark, sf_dir)
+    k = w.agg(F.count("*").alias("k"))
+    mixes = w.crossJoin(F.broadcast(k)).select(
+        "source",
+        F.round(lit(10000.0) / col("k")).cast("long").alias("uniform"),
+        F.round(col("base_share") * lit(1e4)).cast("long").alias("token_share"),
+        F.round(col("doremi_weight") * lit(1e4)).cast("long").alias("doremi"),
+    )
+    a = mixes.select(
+        "source",
+        F.explode(
+            F.map_from_arrays(
+                F.array(lit("uniform"), lit("token_share"), lit("doremi")),
+                F.array(col("uniform"), col("token_share"), col("doremi")),
+            )
+        ).alias("mixture", "a4"),
+    )
+    return (
+        m.join(a, m.train_source == a.source)
+        .groupBy("mixture", "eval_source")
+        .agg(
+            F.round(F.sum(col("a4") * col("ce4")) / lit(1e8), 4).alias(
+                "pred_nats"
+            )
+        )
+        .orderBy("mixture", "eval_source")
+    )
+
+
+def _mixture_predict_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT train_source, eval_source,
+         CAST(ROUND(ce * 1e4) AS BIGINT) AS ce4
+  FROM ({_TRANSFER_SQL})),
+w AS (SELECT * FROM ({_DOREMI_SQL})),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM w),
+mixes AS (
+  SELECT source,
+         CAST(ROUND(10000.0 / k) AS BIGINT) AS uniform,
+         CAST(ROUND(base_share * 1e4) AS BIGINT) AS token_share,
+         CAST(ROUND(doremi_weight * 1e4) AS BIGINT) AS doremi
+  FROM w CROSS JOIN kk),
+a AS (
+  SELECT source, 'uniform' AS mixture, uniform AS a4 FROM mixes
+  UNION ALL
+  SELECT source, 'token_share', token_share FROM mixes
+  UNION ALL
+  SELECT source, 'doremi', doremi FROM mixes)
+SELECT a.mixture, m.eval_source,
+       ROUND(SUM(a.a4 * m.ce4) / 1e8, 4) AS pred_nats
+FROM m JOIN a ON m.train_source = a.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- q223: curriculum ordering (difficulty-staged epoch order) ---------------
 
 _CURR_K = 10  # difficulty stages (deciles of the unigram-LM score)
@@ -3443,6 +3528,7 @@ ORACLES = {
     "q230_calibration_ece": _calibration_sql(),
     "q234_domain_transfer_matrix": _TRANSFER_SQL,
     "q235_doremi_trajectory": _doremi_trajectory_sql(),
+    "q236_mixture_loss_predict": _mixture_predict_sql(),
     "q221_doremi_step": _DOREMI_SQL,
     "q224_rho_select": _RHO_SQL,
     "q223_curriculum_order": _CURRICULUM_SQL,
@@ -3715,6 +3801,7 @@ QUERIES = {
     "q230_calibration_ece": q230_calibration_ece,
     "q234_domain_transfer_matrix": q234_domain_transfer_matrix,
     "q235_doremi_trajectory": q235_doremi_trajectory,
+    "q236_mixture_loss_predict": q236_mixture_loss_predict,
     "q221_doremi_step": q221_doremi_step,
     "q224_rho_select": q224_rho_select,
     "q223_curriculum_order": q223_curriculum_order,

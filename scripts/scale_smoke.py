@@ -321,6 +321,9 @@ SCALE_QUERIES = [
     # q235 DoReMi trajectory: q221's corpus passes + T constant-size
     # dimension steps — the smoke verifies the iteration stays flat.
     "q235_doremi_trajectory",
+    # q236 mixture prediction: composes q234 + q221 (two corpus reads)
+    # into K^2-bounded integer dot products.
+    "q236_mixture_loss_predict",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

@@ -1088,3 +1088,41 @@ def test_doremi_trajectory_is_a_converging_distribution(spark, sf_dir):
     hot = max(q221, key=lambda s: q221[s][0])
     traj = [by_step[t][hot] for t in range(_TRAJ_T + 1)]
     assert all(b >= a - 1e-4 for a, b in zip(traj, traj[1:])), traj
+
+
+def test_mixture_loss_predict_is_the_integer_dot_product(spark, sf_dir):
+    """q236: every prediction equals the integer dot product of q221's
+    quantized mixture weights with q234's quantized matrix row, and the
+    uniform mixture's prediction is the (quantized) row mean."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.text import (
+        q221_doremi_step,
+        q234_domain_transfer_matrix,
+        q236_mixture_loss_predict,
+    )
+
+    got = {
+        (r.mixture, r.eval_source): r.pred_nats
+        for r in q236_mixture_loss_predict(spark, sf_dir).collect()
+    }
+    release_cached()
+    m = {
+        (r.train_source, r.eval_source): round(r.ce * 1e4)
+        for r in q234_domain_transfer_matrix(spark, sf_dir).collect()
+    }
+    release_cached()
+    w = {r.source: r for r in q221_doremi_step(spark, sf_dir).collect()}
+    k = len(w)
+    srcs = sorted(w)
+    evals = sorted({e for _, e in m})
+    mixes = {
+        "uniform": {s: round(10000.0 / k) for s in srcs},
+        "token_share": {s: round(w[s].base_share * 1e4) for s in srcs},
+        "doremi": {s: round(w[s].doremi_weight * 1e4) for s in srcs},
+    }
+    for mix, a in mixes.items():
+        for e in evals:
+            pred = round(sum(a[s] * m[(s, e)] for s in srcs) / 1e8, 4)
+            assert abs(got[(mix, e)] - pred) < 1e-9, (mix, e)
+    for a in mixes.values():
+        assert abs(sum(a.values()) - 10000) <= k  # quantized distribution
