@@ -62,6 +62,11 @@ PICKS = {
     "q221_doremi_step": "DoReMi: one (source, term) corpus groupBy; LM table aggregates FROM it; broadcast totals; K-row dimension math with an integer micro-sum normalizer",
     "q224_rho_select": "RHO selection: (doc, term) groupBy + vocab-join scoring; global quarter cut via the range-partitioned rank",
     "q222_ann_recall_audit": "ANN recall audit: shares the IVF-PQ GEMM build; exact side is one broadcast corpus scan; audit joins are rows <= 5 x |queries|",
+    "q223_curriculum_order": "curriculum: stage assigned MAP-SIDE against the 9 broadcast boundary tuples (the r8-late reclaim); ONE range exchange for the global position, down from two",
+    "q226_pca_project": "PCA projection: the corpus projects in ONE MapInPandas GEMM pass (zero exchange before the K-row audit groupBy); components are a broadcast literal matrix",
+    "q228_sequence_pack": "sequence packing: map-side token counts; the only exchange is the per-shard hash partition + writer sort; frame-bounded running-sum window per shard",
+    "q229_cluster_balanced_select": "cluster-balanced select: MapInPandas GEMM assignment (no centroid join); one cell-key exchange; the per-cell window sorts ~sqrt(N) rows per cell",
+    "q234_domain_transfer_matrix": "transfer matrix: one (source, term) corpus groupBy; LM/floors/scoring joins all run on vocabulary-bounded aggregates — corpus size never re-enters the K^2 assembly",
 }
 
 
