@@ -251,6 +251,9 @@ HEADLINE = [
     # before the K-row EG iteration — the q162/q173 double-count
     # convention keeps it oracle-gated, not headlined.
     "q234_domain_transfer_matrix",
+    # incremental IVF ingest: one GEMM assignment pass + one cell-key
+    # groupBy against frozen standing centroids.
+    "q237_incremental_ivf_ingest",
 ]
 
 

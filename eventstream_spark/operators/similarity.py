@@ -2573,6 +2573,119 @@ FROM k GROUP BY 1 ORDER BY 1
 """
 
 
+# --- q237: incremental IVF index ingest (the vector twin of q120) ------------
+
+
+def q237_incremental_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, n_standing, n_delta, growth_m, d_standing, d_delta): absorb
+    a landing batch into an EXISTING IVF index — the maintenance
+    operation a production vector store runs per ingest, and the vector
+    twin of q120's incremental dedup: the standing corpus (vec_id % 10
+    != 0, the at-rest index) defines the grown-cells geometry and
+    centroids; the delta (vec_id % 10 == 0, the landing batch) is
+    assigned against those FROZEN centroids. Per cell: standing/delta
+    occupancy, the growth rate, and the mean assignment distance of each
+    population — a delta whose d_delta runs consistently above
+    d_standing is drifting off-centroid, the signal that schedules a
+    re-train (the FAISS re-cluster heuristic).
+
+    Determinism: q217b's milli-quantized integer metric — assignment
+    argmins and distance sums are exact integers; the two mean
+    distances divide once per cell.
+
+    Scale: per-ingest cost is ONE GEMM assignment pass (both
+    populations ride the same pass with a flag — the standing side is
+    the audit baseline an index would already have materialized) and
+    one cell-key groupBy; centroids are a √N×dim broadcast. The delta
+    never joins the standing ROWS — only their per-cell aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    standing = e.where(col("vec_id") % 10 != 0)
+    n = standing.count()
+    n_cells = auto_cells(n)
+    seeds = sorted(
+        (int(r.vec_id), list(r.v))
+        for r in standing.orderBy("vec_id").limit(n_cells).collect()
+    )
+    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
+    C = np.floor(
+        np.asarray([cv for _, cv in seeds], dtype=np.float64) * 1000.0 + 0.5
+    )
+    c_sq = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.floor(
+                np.asarray(pdf["v"].tolist(), dtype=np.float64) * 1000.0 + 0.5
+            )
+            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            ci = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell_ids[ci],
+                    "d": D.min(axis=1).astype(np.int64),
+                }
+            )
+
+    asg = e.mapInPandas(assign, schema="vec_id long, cell long, d long")
+    is_d = (col("vec_id") % 10 == 0).cast("long")
+    md = lambda s, c: F.round(s.cast("double") / c / lit(1e6), 4)  # noqa: E731
+    ns = F.sum(lit(1) - is_d)
+    nd = F.sum(is_d)
+    return (
+        asg.groupBy("cell")
+        .agg(
+            ns.alias("n_standing"),
+            nd.alias("n_delta"),
+            F.round(lit(1000.0) * nd / ns, 3).alias("growth_m"),
+            md(F.sum(F.when(is_d == 0, col("d"))), ns).alias("d_standing"),
+            md(F.sum(F.when(is_d == 1, col("d"))), F.when(nd > 0, nd)).alias(
+                "d_delta"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def _incremental_ivf_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id,
+             list_transform({as_double_array_sql('embedding')},
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
+      FROM embeddings),
+standing AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+params AS (
+  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS n_cells FROM standing),
+cents AS (
+  SELECT vec_id AS cell, xm AS cm
+  FROM (SELECT vec_id, xm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM standing)
+  CROSS JOIN params WHERE rn <= n_cells),
+asn AS (
+  SELECT e.vec_id,
+         MIN({{'d': {sq_l2_sql('e.xm', 'c.cm')}, 'c': c.cell}})['c'] AS cell,
+         MIN({{'d': {sq_l2_sql('e.xm', 'c.cm')}, 'c': c.cell}})['d'] AS d,
+         CASE WHEN e.vec_id % 10 = 0 THEN 1 ELSE 0 END AS is_d
+  FROM e, cents c GROUP BY e.vec_id)
+SELECT cell,
+       CAST(SUM(1 - is_d) AS BIGINT) AS n_standing,
+       CAST(SUM(is_d) AS BIGINT) AS n_delta,
+       ROUND(1000.0 * SUM(is_d) / SUM(1 - is_d), 3) AS growth_m,
+       ROUND(CAST(SUM(CASE WHEN is_d = 0 THEN d END) AS DOUBLE)
+             / SUM(1 - is_d) / 1e6, 4) AS d_standing,
+       ROUND(CAST(SUM(CASE WHEN is_d = 1 THEN d END) AS DOUBLE)
+             / (CASE WHEN SUM(is_d) > 0 THEN SUM(is_d) END) / 1e6, 4)
+         AS d_delta
+FROM asn GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- q232: scalar-quantization (int8) recall audit ---------------------------
 
 
@@ -2694,6 +2807,7 @@ ORACLES = {
     "q212_embedding_gram": _GRAM_SQL,
     "q229_cluster_balanced_select": _cluster_select_sql(),
     "q232_int8_recall_audit": _int8_recall_sql(),
+    "q237_incremental_ivf_ingest": _incremental_ivf_sql(),
     "q217_ivfpq_ann": _ivfpq_sql(),
     "q217b_ivfpq_ann_scaled": _ivfpq_grown_sql(),
     "q222_ann_recall_audit": _ann_recall_sql(),
@@ -2874,6 +2988,7 @@ QUERIES = {
     "q51b_matmul_knn": q51b_matmul_knn,
     "q229_cluster_balanced_select": q229_cluster_balanced_select,
     "q232_int8_recall_audit": q232_int8_recall_audit,
+    "q237_incremental_ivf_ingest": q237_incremental_ivf_ingest,
 }
 
 # q51b shares q51's oracle verbatim: same semantics, different physical plan.

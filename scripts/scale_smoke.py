@@ -324,6 +324,9 @@ SCALE_QUERIES = [
     # q236 mixture prediction: composes q234 + q221 (two corpus reads)
     # into K^2-bounded integer dot products.
     "q236_mixture_loss_predict",
+    # q237 incremental IVF ingest: one GEMM pass over standing+delta,
+    # one cell groupBy; per-ingest cost rides the assignment pass.
+    "q237_incremental_ivf_ingest",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica

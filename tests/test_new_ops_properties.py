@@ -1126,3 +1126,60 @@ def test_mixture_loss_predict_is_the_integer_dot_product(spark, sf_dir):
             assert abs(got[(mix, e)] - pred) < 1e-9, (mix, e)
     for a in mixes.values():
         assert abs(sum(a.values()) - 10000) <= k  # quantized distribution
+
+
+def test_incremental_ivf_ingest_matches_numpy(spark, sf_dir):
+    """q237: standing/delta occupancy, growth, and both mean distances
+    equal a numpy replay of assignment against the FROZEN standing
+    centroids; totals partition the corpus by the %10 gate."""
+    import math
+
+    import numpy as np
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import as_double_array
+    from eventstream_spark.operators.similarity import (
+        auto_cells,
+        q237_incremental_ivf_ingest,
+    )
+    from pyspark.sql.functions import col
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        "vec_id", as_double_array(col("embedding")).alias("v")
+    )
+    rows = sorted((int(r.vec_id), list(r.v)) for r in e.collect())
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    X = np.floor(np.array([v for _, v in rows]) * 1000.0 + 0.5)
+    st_mask = ids % 10 != 0
+    st_ids = ids[st_mask]
+    n_cells = auto_cells(int(st_mask.sum()))
+    seed_idx = np.where(st_mask)[0][:n_cells]  # lowest standing vec_ids
+    C = X[seed_idx]
+    cell_ids = ids[seed_idx]
+    D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    ci = D.argmin(1)
+    d = D.min(1).astype(np.int64)
+    expect = {}
+    for c_pos in set(ci):
+        mask = ci == c_pos
+        isd = (ids[mask] % 10 == 0)
+        ns, nd = int((~isd).sum()), int(isd.sum())
+        ds = round(float(d[mask][~isd].sum()) / ns / 1e6, 4)
+        dd = round(float(d[mask][isd].sum()) / nd / 1e6, 4) if nd else None
+        expect[int(cell_ids[c_pos])] = (
+            ns, nd, round(1000.0 * nd / ns, 3), ds, dd,
+        )
+    got = {
+        int(r.cell): (
+            int(r.n_standing),
+            int(r.n_delta),
+            float(r.growth_m),
+            float(r.d_standing),
+            None if r.d_delta is None or (isinstance(r.d_delta, float) and math.isnan(r.d_delta)) else float(r.d_delta),
+        )
+        for r in q237_incremental_ivf_ingest(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == int(st_mask.sum())
+    assert sum(v[1] for v in got.values()) == int((~st_mask).sum())
