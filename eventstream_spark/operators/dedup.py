@@ -106,99 +106,167 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact n-gram Jaccard (verification oracle for near-dup) ---------------
 
-def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """All near-dup pairs by bigram-shingle Jaccard >= threshold.
+_JAC_ROWS_PER_TASK = 100_000  # posting rows per pair-join/count-agg task:
+# sized so a task's SMJ sort (~3 MB) and count-agg hash map (rows x join
+# fanout x ~40 B) stay in execution memory — the q219 suffix-sort
+# convention applied to the shingle inverted index.
 
-    Prefix-filtered set-similarity join (PPJoin-style): each doc's shingles
-    are ranked by global frequency (rarest first) and only the prefix of
-    length n - ceil(t'*n) + 1 is indexed — two docs can reach Jaccard >= t'
-    only if their prefixes intersect, so the candidate join touches the
-    rare end of the inverted index instead of all ~C(doc_freq, 2) pairs per
-    hot shingle. Exact (no false negatives) for Jaccard >= t'; t' is set a
-    hair under ``threshold`` so values that ROUND up to the threshold
-    survive. Verified overlap is then computed only for candidates.
 
-    Scale: the candidate join shuffles on rare shingles (well distributed by
-    construction); the verification joins shuffle on doc_id. No step is
-    quadratic in a hot key's document frequency.
+def _jac_partitions(docs: DataFrame) -> int:
+    """Partition count for the shingle pair join, scaled to the corpus:
+    at least the session's shuffle.partitions, growing ~linearly with the
+    estimated posting count (n_chars/6 ≈ tokens ≈ shingles — metadata
+    column when present, so the estimate is a column-pruned scan; a wrong
+    estimate changes only task sizing, never results)."""
+    if "n_chars" in docs.columns:
+        total = docs.agg(F.sum("n_chars")).head()[0] or 0
+        est_rows = int(total) // 6
+    else:
+        est_rows = int(docs.agg(F.sum(F.size(tokens("text")))).head()[0] or 0)
+    base = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(base, -(-est_rows // _JAC_ROWS_PER_TASK))
+
+
+_DF_CAP = 256  # inverted-index document-frequency cap: a shingle seen in
+# more docs than this is "heavy" (boilerplate) and is kept out of the
+# pair-count join — see jaccard_pairs for the exact completion paths.
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float, df_cap: int = _DF_CAP
+) -> DataFrame:
+    """All near-dup pairs by word-trigram-shingle Jaccard >= threshold.
+
+    Pair intersection counts come from the inverted-index self-join — the
+    same ``com`` structure the duckdb oracle runs — restricted to LIGHT
+    shingles (document frequency <= ``df_cap``): the join emits one
+    fixed-width (d1, d2) row per shared light shingle, so its output is
+    bounded by df_cap * shingle_rows / 2 — corpus-LINEAR by construction,
+    never quadratic in a hot key's document frequency. HEAVY shingles
+    (df > df_cap: boilerplate n-grams, the 100 TB hot keys) are completed
+    exactly on two bounded side paths:
+
+    * a pair with light evidence gets its heavy overlap from a per-doc
+      HEAVY-ONLY array intersect — arrays bounded by the number of heavy
+      shingle kinds in the doc (few, by definition of heavy), never the
+      full shingle set;
+    * a pair with NO light evidence can reach Jaccard >= t' only if both
+      docs are heavy-dominated: c <= min(nh1, nh2) while
+      c >= ceil(t'/(1+t') * (n1+n2)) >= t' * n_i (via the length bound
+      n2 >= t' * n1), so nh_i >= t' * n_i on both sides. Only such docs'
+      heavy postings enter the pair join; a corpus where MANY docs are
+      majority-boilerplate has a genuinely quadratic true-pair OUTPUT and
+      belongs to the clustering operators (q55), not a pair list.
+
+    t' is ``threshold`` less a hair so values that ROUND(6) up to the
+    threshold survive the pruning bound. Hashing: shingles are compared as
+    xxhash64 values (single codegen'd JVM call, 8-byte join keys); the
+    result equals the string-set value unless two distinct shingles
+    collide in 64 bits (~1e-10 at fixture cardinality).
+
+    Round-10 replan: the previous PPJoin prefix-filter + per-doc full-array
+    verification was exact but generated ~500 candidates per true pair on
+    this corpus profile and shipped a ~n-long hash array per candidate
+    through two shuffles — 14 GB of sort spill at the 100x smoke
+    (TRIAGE_SMOKE r9 q233). The count join ships only (long, long, count)
+    rows and aggregates with map-side combine; the heavy paths are empty
+    on healthy corpora (fixture max df = 25) and are pinned by a synthetic
+    boilerplate unit test with df_cap=2.
     """
-    t_prefix = max(threshold - 0.001, 0.0)
-    # Work on 64-bit shingle hashes, not strings: xxhash64 is a single JVM
-    # codegen'd call, the shuffle rows shrink ~4×, and array_intersect on
-    # longs beats string compares. The final jac equals the string-set value
-    # unless two distinct shingles inside one compared pair collide in 64
-    # bits (~1e-10 at this cardinality — below any fixture's significance).
-    # Persist the PER-DOC hash arrays (a few KB per doc), not the exploded
-    # table: the expensive text parse runs once, the exploded views derive
-    # cheaply from the cache, and the verification step reads the arrays
-    # directly — no collect_set re-aggregation shuffle. Tracked: callers
-    # free it via eventstream_spark.cache.release_cached().
+    t_p = max(threshold - 0.001, 0.0)
     docs = spread(docs)
-    arr = persist_tracked(
-        docs.select(
-            "doc_id",
-            F.transform(word_shingles("text"), lambda s: F.xxhash64(s)).alias("hs"),
-        ).withColumn("n", F.size("hs"))
+    hs = F.transform(word_shingles("text"), lambda s: F.xxhash64(s))
+    # n (the doc's distinct-shingle count) rides every posting row for
+    # free (array size before the explode) — it feeds the length filter
+    # inside the pair join and the Jaccard denominator with ZERO extra
+    # joins against a per-doc stats table (a stats join here was measured
+    # as a 7 GiB sort spill at the 100x smoke: pairs >> docs, and SMJ
+    # sorted the pair table to meet a 12 MB side).
+    base = docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h")
     )
-    sh = arr.select("doc_id", "n", F.explode("hs").alias("h"))
-
-    # Global shingle frequency as a window over h (not groupBy+rejoin):
-    # saves a whole shuffle — the plan is exchange(h) → count window →
-    # exchange(doc_id) → rank window, two exchanges total (the per-doc
-    # shingle count n rides along from the array size, no third window).
-    df_w = Window.partitionBy("h")
-    rank_w = Window.partitionBy("doc_id").orderBy("df", "h")
-    ranked = (
-        sh.withColumn("df", F.count("*").over(df_w))
-        .select("doc_id", "h", "df", "n", F.row_number().over(rank_w).alias("r"))
+    # Global shingle frequency as a window over h (not groupBy+rejoin).
+    # Persisted: both pair-join sides and the heavy table read it;
+    # aliasing would otherwise re-run the text parse per reader.
+    sh = persist_tracked(
+        base.withColumn("df", F.count("*").over(Window.partitionBy("h")))
     )
-    # Persist: both sides of the candidate self-join read prefix; aliasing
-    # defeats exchange reuse, so without this the two windows (and their
-    # exchanges) execute twice — measured ~25% of the operator's runtime.
-    prefix = persist_tracked(
-        ranked.where(
-            col("r") <= col("n") - F.ceil(lit(t_prefix) * col("n")) + 1
-        ).select("doc_id", "h", "r", "n")
+    # Heavy table: one row per doc that HAS heavy shingles — empty on
+    # healthy corpora, small wherever a pair list is the right tool (a
+    # corpus with corpus-scale boilerplate saturation has quadratically
+    # many true pairs and belongs to q55's clustering instead). Broadcast
+    # by construction.
+    hv = persist_tracked(
+        sh.where(col("df") > df_cap)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nh"),
+            F.max("n").alias("n"),
+            F.collect_list("h").alias("hh"),
+        )
     )
-
-    # PPJoin candidate join on the rare prefix, tightened by the length
-    # filter (J >= t forces t*n1 <= n2) and the positional filter (the
-    # remaining-suffix overlap bound 1 + min(n1-r1, n2-r2) must reach the
-    # required overlap ceil(t/(1+t)*(n1+n2))). Both prune before distinct.
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    alpha = F.ceil(
-        lit(t_prefix / (1.0 + t_prefix)) * (col("a.n") + col("b.n"))
+    hdom = hv.where(col("nh") >= lit(t_p) * col("n")).select("doc_id")
+    post = (
+        sh.where(col("df") <= df_cap)
+        .select("doc_id", "n", "h")
+        .unionByName(
+            sh.where(col("df") > df_cap)
+            .join(F.broadcast(hdom), "doc_id")
+            .select("doc_id", "n", "h")
+        )
     )
-    candidates = (
+    # Partition the pair join + count agg to the corpus (q219's
+    # rows-per-task convention): at the session's static 32 partitions the
+    # 100x smoke put ~4M count groups per task and spilled 11 GiB in each
+    # aggregate; task-sized partitions keep every hash map in memory.
+    n_parts = _jac_partitions(docs)
+    post = post.repartition(n_parts, "h")
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
         a.join(
             b,
             (col("a.h") == col("b.h"))
             & (col("a.doc_id") < col("b.doc_id"))
-            & (col("b.n") >= lit(t_prefix) * col("a.n"))
-            & (col("a.n") >= lit(t_prefix) * col("b.n"))
-            & (
-                lit(1)
-                + F.least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))
-                >= alpha
-            ),
+            # length filter: J >= t forces t*n1 <= n2 (both directions) —
+            # prunes join output before the count aggregate.
+            & (col("b.n") >= lit(t_p) * col("a.n"))
+            & (col("a.n") >= lit(t_p) * col("b.n")),
         )
-        .select(col("a.doc_id").alias("d1"), col("b.doc_id").alias("d2"))
-        .distinct()
+        .select(
+            col("a.doc_id").alias("d1"),
+            col("b.doc_id").alias("d2"),
+            col("a.n").alias("n1"),
+            col("b.n").alias("n2"),
+        )
+        .repartition(n_parts, "d1", "d2")
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("cj"), F.max("n1").alias("n1"), F.max("n2").alias("n2"))
     )
-
-    # Verification: exact overlap via the cached per-doc hash arrays +
-    # array_intersect — two equi-joins on doc_id carrying one array per row,
-    # instead of a candidates×shingles×shingles join; AQE broadcasts the
-    # (cached, small) array side.
-    inter = F.size(F.array_intersect(col("ss1"), col("ss2"))).cast("double")
-    union = (F.size(col("ss1")) + F.size(col("ss2"))).cast("double") - inter
+    nh1 = F.coalesce(col("nh1"), lit(0))
+    nh2 = F.coalesce(col("nh2"), lit(0))
+    hd1 = nh1 >= lit(t_p) * col("n1")
+    hd2 = nh2 >= lit(t_p) * col("n2")
+    # Upper bound on the pair's TOTAL intersection: cj already includes
+    # heavy overlap iff both docs are heavy-dominated (only their heavy
+    # postings joined); otherwise at most min(nh1, nh2) heavy shingles can
+    # still be shared. Prune on the bound, then complete exactly with the
+    # heavy-only array intersect (guarded so both-heavy-dominated pairs,
+    # whose heavy overlap is already inside cj, are not double-counted).
+    c_ub = col("cj") + F.when(hd1 & hd2, lit(0)).otherwise(F.least(nh1, nh2))
+    need_hv = ~(hd1 & hd2) & (nh1 > 0) & (nh2 > 0)
+    c = col("cj") + F.when(
+        need_hv, F.size(F.array_intersect("hh1", "hh2"))
+    ).otherwise(lit(0))
+    jac = F.round(
+        c.cast("double") / (col("n1") + col("n2") - c).cast("double"), 6
+    )
+    hv1 = hv.select(col("doc_id").alias("d1"), col("nh").alias("nh1"), col("hh").alias("hh1"))
+    hv2 = hv.select(col("doc_id").alias("d2"), col("nh").alias("nh2"), col("hh").alias("hh2"))
     return (
-        candidates.join(
-            arr.select(col("doc_id").alias("d1"), col("hs").alias("ss1")), "d1"
-        )
-        .join(arr.select(col("doc_id").alias("d2"), col("hs").alias("ss2")), "d2")
-        .select("d1", "d2", F.round(inter / union, 6).alias("jac"))
+        pairs.join(F.broadcast(hv1), "d1", "left")
+        .join(F.broadcast(hv2), "d2", "left")
+        .where(c_ub >= lit(t_p / (1.0 + t_p)) * (col("n1") + col("n2")))
+        .select("d1", "d2", jac.alias("jac"))
         .where(col("jac") >= threshold)
     )
 
@@ -223,10 +291,11 @@ def q233_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id doc (the q58 keep-one convention), so the curve needs one
     pair table, not one dedup run per threshold.
 
-    Scale: rides q41's prefix-filtered set-similarity join (exact for
-    J ≥ 0.5, PPJoin pruning — never all-pairs); the per-doc max is one
-    doc-key groupBy; thresholds are a 5-row broadcast. Everything after
-    the pair table is corpus-linear with bounded output."""
+    Scale: rides q41's df-capped inverted-index count join (exact for
+    J ≥ 0.5, corpus-linear — never all-pairs, no per-doc arrays through
+    a shuffle); the per-doc max is one doc-key groupBy; thresholds are a
+    5-row broadcast. Everything after the pair table is corpus-linear
+    with bounded output."""
     docs = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, 0.5)
     mx = pairs.groupBy(col("d2").alias("doc_id")).agg(F.max("jac").alias("mj"))
@@ -1045,7 +1114,22 @@ def suffix_repeat_lengths(
     same joined strings, the differential gate cannot catch it. Callers
     feeding non-printable corpora must map control bytes out first (the
     q121 scrub class); the fixtures (and any printable-text corpus)
-    satisfy the precondition as-is."""
+    satisfy the precondition as-is.
+
+    Shared-stage memo (round-10): q219 (the duplication profile) and q220
+    (the removal sweep) both stand on this one sorted-suffix stage; in a
+    session computing both, the second caller reuses the first's
+    persisted range-sorted table and its collected partition edges —
+    one global range exchange feeding both outputs — instead of re-paying
+    the sort (the 43x q220 TRIAGE row was exactly a re-paid sort). Keyed
+    by (plan semanticHash, depth, n_parts); flushed with the persisted
+    working set by cache.release_cached(), so the memo can never outlive
+    the blocks it points at."""
+    n_parts = n_parts or _sfx_partitions(docs)
+    memo_key = (docs.semanticHash(), depth, n_parts)
+    hit = _SFX_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     toks = docs.select("doc_id", "source", tokens("text").alias("w"))
     keys = F.transform(
         col("w"), lambda x, i: F.array_join(F.slice(col("w"), i + 1, depth), " ")
@@ -1096,14 +1180,32 @@ def suffix_repeat_lengths(
     w = Window.partitionBy("_pid").orderBy("key", "doc_id", "pos")
     pk = F.coalesce(F.lag("key").over(w), pid_case(prev_last))
     nk = F.coalesce(F.lead("key").over(w), pid_case(next_first))
-    return rp.select(
-        "doc_id",
-        "source",
-        "pos",
-        F.greatest(lcp(col("key"), pk), lcp(col("key"), nk))
-        .cast("int")
-        .alias("rep_len"),
+    # Persist the rep_len RESULT, not just the sorted suffix table: it is
+    # the narrow (4 scalar columns — no suffix-key strings) end of the
+    # stage, so the second caller skips the window + LCP pass too, not
+    # only the range exchange (A/B: q220 at the 100x smoke 193 s unshared
+    # -> re-measured with this persist in SCALING.md).
+    out = persist_tracked(
+        rp.select(
+            "doc_id",
+            "source",
+            "pos",
+            F.greatest(lcp(col("key"), pk), lcp(col("key"), nk))
+            .cast("int")
+            .alias("rep_len"),
+        )
     )
+    _SFX_MEMO[memo_key] = out
+    return out
+
+
+# Shared sorted-suffix stage, see suffix_repeat_lengths docstring. Flushed
+# alongside the persisted blocks it references (cache.release_cached).
+_SFX_MEMO: dict[tuple, DataFrame] = {}
+
+from ..cache import register_memo_clearer as _reg_clear  # noqa: E402
+
+_reg_clear(_SFX_MEMO.clear)
 
 
 def q219_suffix_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -802,6 +802,65 @@ def q217b_ivfpq_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_adc_topk(enc, qt)
 
 
+def _seed_matrix(seeds, quantize: bool):
+    """cell_ids (ascending) + centroid matrix + row square-norms from a
+    sorted [(vec_id, vector)] seed list; milli-quantized to exact integer
+    values when ``quantize``."""
+    import numpy as np
+
+    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
+    C = np.asarray([cv for _, cv in seeds], dtype=np.float64)
+    if quantize:
+        C = np.floor(C * 1000.0 + 0.5)
+    return cell_ids, C, (C * C).sum(axis=1)
+
+
+def _gemm_assign(
+    df: DataFrame,
+    cell_ids,
+    C,
+    c_sq,
+    vec_col: str,
+    payload: str,
+    quantize_input: bool,
+) -> DataFrame:
+    """(vec_id, cell, <payload>): nearest-seed assignment as ONE numpy GEMM
+    per Arrow batch — the shared spelling of the q217b/q227/q229/q237
+    assignment block (round-9 ADVICE: metric/tiebreak fixes land in one
+    place). Exact: all terms integer-valued and < 2^53, BLAS-exact; ties
+    resolve to the smallest cell id because cell_ids ascend and argmin
+    returns the first minimum. payload: 'd' (integer squared distance),
+    'residual' (X - C[assigned], array<double>), or 'vector' (input
+    vector passthrough, array<long>)."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if quantize_input:
+                X = np.floor(X * 1000.0 + 0.5)
+            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            ci = D.argmin(axis=1)
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "cell": cell_ids[ci]}
+            if payload == "d":
+                out["d"] = D.min(axis=1).astype(np.int64)
+            elif payload == "residual":
+                out["rv"] = list(X - C[ci])
+            else:  # 'vector'
+                out["rv"] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    schema = {
+        "d": "vec_id long, cell long, d long",
+        "residual": "vec_id long, cell long, rv array<double>",
+        "vector": "vec_id long, cell long, rv array<long>",
+    }[payload]
+    return df.mapInPandas(assign, schema=schema)
+
+
 def _ivfpq_grown_index(spark: SparkSession, sf_dir: str):
     """(assigned, enc, qt) — the grown-geometry quantized IVF-PQ index
     build shared by q217b (ADC ranking) and q222 (recall audit):
@@ -826,30 +885,10 @@ def _ivfpq_grown_index(spark: SparkSession, sf_dir: str):
         (int(r.vec_id), list(r.v))
         for r in e.orderBy("vec_id").limit(n_cells).collect()
     )
-    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
-    C = quant([cv for _, cv in seeds])  # n_cells × dim, integer-valued
-    c_sq = (C * C).sum(axis=1)
-
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = quant(pdf["v"].tolist())
-            # exact: all terms integer-valued and < 2^53, BLAS-exact
-            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
-            # argmin with smallest-cell-id ties: cell_ids ascend, so the
-            # first minimum along axis 1 IS the smallest id
-            ci = D.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cell": cell_ids[ci],
-                    "rv": list(X - C[ci]),
-                }
-            )
+    cell_ids, C, c_sq = _seed_matrix(seeds, quantize=True)
 
     assigned = persist_tracked(
-        e.mapInPandas(assign, schema="vec_id long, cell long, rv array<double>")
+        _gemm_assign(e, cell_ids, C, c_sq, "v", "residual", quantize_input=True)
     )
 
     sres = sorted(
@@ -1182,6 +1221,98 @@ def q54b_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
     return kmeans_step(emb, kmeans_iterate(emb, centroids, iters=1))
+
+
+def q238_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer TRAINING payoff, measured: candidate recall@5 of
+    the q53 IVF layout (16 cells, 2 probes, pinned queries) under the
+    deterministic lowest-vec_id seeding VS the same layout after two
+    Lloyd rounds (kmeans_iterate — the q54b rounded-handoff convention,
+    which is what makes a trained index oracle-able at all). Every IVF
+    index in the repo (q53/q217/q217b/q227/q229/q237) seeds rather than
+    trains, trading recall for oracle determinism; this is the index-
+    quality rung a production 100 TB vector store runs before committing
+    to a quantizer — (variant, query) recall rows, trained vs seeded,
+    against the exact ground truth.
+
+    Candidate recall IS end-to-end recall for plain IVF (in-cell re-rank
+    is exact), so the one number isolates the quantizer. Scale: training
+    is iters x one-shuffle Lloyd steps (canonical distributed k-means,
+    dim-bounded driver handoff); both assignments are map-side GEMM-shape
+    against centroid literals; the exact side is the q51 broadcast-query
+    shape; audit joins are <= 5*|queries| rows a side. Stays out of the
+    bench headline: it re-runs q54b's training as a sub-stage (the
+    q162/q173 double-count convention)."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select("vec_id", as_double_array(col("embedding")).alias("v"))
+        .collect()
+    )
+    c_seed = [(int(r.vec_id), list(r.v)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+    c_train = kmeans_iterate(emb, c_seed, iters=2)
+    e = persist_tracked(
+        spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    )
+    q = e.where(col("vec_id").isin(100, 101, 102)).select(
+        col("vec_id").alias("q_id"), col("v").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(col("d"), col("neighbor_id"))
+    exact = persist_tracked(
+        e.crossJoin(broadcast(q))
+        .where(col("vec_id") != col("q_id"))
+        .select(
+            "q_id",
+            col("vec_id").alias("neighbor_id"),
+            sq_l2(col("v"), col("qv")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    parts = []
+    for variant, cents in (("seeded", c_seed), ("trained", c_train)):
+        dists, cells = _centroid_dists(col("v"), cents)
+        best = F.array_min(
+            F.zip_with(dists, cells, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
+        )
+        asn = e.select(
+            col("vec_id").alias("neighbor_id"), best["c"].cast("long").alias("cell")
+        )
+        qd, qc = _centroid_dists(col("qv"), cents)
+        probe_cells = F.slice(
+            F.array_sort(
+                F.zip_with(qd, qc, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
+            ),
+            1,
+            _IVF_PROBE,
+        )
+        probes = q.select(
+            "q_id",
+            F.explode(
+                F.transform(probe_cells, lambda s: s["c"].cast("long"))
+            ).alias("cell"),
+        )
+        hits = (
+            exact.join(asn, "neighbor_id")
+            .join(broadcast(probes), ["q_id", "cell"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("h"))
+        )
+        parts.append(
+            q.select("q_id")
+            .join(hits, "q_id", "left")
+            .select(
+                lit(variant).alias("variant"),
+                "q_id",
+                F.coalesce(col("h"), lit(0)).cast("long").alias("n_hits"),
+                F.round(F.coalesce(col("h"), lit(0)) / lit(5.0), 4).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("variant", "q_id")
 
 
 # --- semantic dedup (SemDeDup) ---------------------------------------------
@@ -1667,7 +1798,6 @@ def q227_reduced_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_recall isolates what the PROJECTION + cell routing lose;
     recall_at_5 the end-to-end answer quality a reduced index buys."""
     import numpy as np
-    import pandas as pd
 
     red0, d, comps = _pca_reduce(spark, sf_dir)
     red = persist_tracked(red0)
@@ -1678,27 +1808,11 @@ def q227_reduced_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), list(r.rv))
         for r in red.orderBy("vec_id").limit(n_cells).collect()
     )
-    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
-    Cr = np.array([rv for _, rv in seeds], dtype=np.float64)
-    c_sq = (Cr * Cr).sum(axis=1)
-
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.asarray(pdf["rv"].tolist(), dtype=np.float64)
-            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cr.T) + c_sq[None, :]
-            ci = D.argmin(axis=1)  # first min = smallest cell id
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cell": cell_ids[ci],
-                    "rv": pdf["rv"],
-                }
-            )
+    # reduced-space vectors are already exact integers — no milli quant
+    cell_ids, Cr, c_sq = _seed_matrix(seeds, quantize=False)
 
     asg = persist_tracked(
-        red.mapInPandas(assign, schema="vec_id long, cell long, rv array<long>")
+        _gemm_assign(red, cell_ids, Cr, c_sq, "rv", "vector", quantize_input=False)
     )
 
     qrows = sorted(
@@ -2470,9 +2584,6 @@ def q229_cluster_balanced_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts ~sqrt(N) rows per cell — bounded, never a global sort. The
     quota rule makes output size Σ ceil(sqrt(n_c)) ≈ N^(3/4) — the
     selected sample grows sublinearly, which is the operator's point."""
-    import numpy as np
-    import pandas as pd
-
     emb = load(spark, sf_dir, "embeddings")
     e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
     n = e.count()
@@ -2481,30 +2592,9 @@ def q229_cluster_balanced_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), list(r.v))
         for r in e.orderBy("vec_id").limit(n_cells).collect()
     )
-    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
-    C = np.floor(
-        np.asarray([cv for _, cv in seeds], dtype=np.float64) * 1000.0 + 0.5
-    )
-    c_sq = (C * C).sum(axis=1)
+    cell_ids, C, c_sq = _seed_matrix(seeds, quantize=True)
 
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.floor(
-                np.asarray(pdf["v"].tolist(), dtype=np.float64) * 1000.0 + 0.5
-            )
-            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
-            ci = D.argmin(axis=1)  # cell_ids ascend: first min = smallest id
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cell": cell_ids[ci],
-                    "d": D.min(axis=1).astype(np.int64),
-                }
-            )
-
-    asg = e.mapInPandas(assign, schema="vec_id long, cell long, d long")
+    asg = _gemm_assign(e, cell_ids, C, c_sq, "v", "d", quantize_input=True)
     wr = Window.partitionBy("cell").orderBy("d", "vec_id")
     wc = Window.partitionBy("cell")
     ranked = asg.select(
@@ -2598,9 +2688,6 @@ def q237_incremental_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit baseline an index would already have materialized) and
     one cell-key groupBy; centroids are a √N×dim broadcast. The delta
     never joins the standing ROWS — only their per-cell aggregates."""
-    import numpy as np
-    import pandas as pd
-
     emb = load(spark, sf_dir, "embeddings")
     e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
     standing = e.where(col("vec_id") % 10 != 0)
@@ -2610,41 +2697,26 @@ def q237_incremental_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), list(r.v))
         for r in standing.orderBy("vec_id").limit(n_cells).collect()
     )
-    cell_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
-    C = np.floor(
-        np.asarray([cv for _, cv in seeds], dtype=np.float64) * 1000.0 + 0.5
-    )
-    c_sq = (C * C).sum(axis=1)
+    cell_ids, C, c_sq = _seed_matrix(seeds, quantize=True)
 
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.floor(
-                np.asarray(pdf["v"].tolist(), dtype=np.float64) * 1000.0 + 0.5
-            )
-            D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
-            ci = D.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cell": cell_ids[ci],
-                    "d": D.min(axis=1).astype(np.int64),
-                }
-            )
-
-    asg = e.mapInPandas(assign, schema="vec_id long, cell long, d long")
+    asg = _gemm_assign(e, cell_ids, C, c_sq, "v", "d", quantize_input=True)
     is_d = (col("vec_id") % 10 == 0).cast("long")
     md = lambda s, c: F.round(s.cast("double") / c / lit(1e6), 4)  # noqa: E731
+    # ns >= 1 in every emitted cell today (each cell contains its own
+    # standing seed, which assigns to itself at d=0), but guard it like
+    # nd anyway: if seeding/tiebreak ever changed, an unguarded 0 divisor
+    # would yield NULL here and inf in duckdb — a silent engine
+    # divergence (round-9 ADVICE).
     ns = F.sum(lit(1) - is_d)
     nd = F.sum(is_d)
+    ns_g = F.when(ns > 0, ns)
     return (
         asg.groupBy("cell")
         .agg(
             ns.alias("n_standing"),
             nd.alias("n_delta"),
-            F.round(lit(1000.0) * nd / ns, 3).alias("growth_m"),
-            md(F.sum(F.when(is_d == 0, col("d"))), ns).alias("d_standing"),
+            F.round(lit(1000.0) * nd / ns_g, 3).alias("growth_m"),
+            md(F.sum(F.when(is_d == 0, col("d"))), ns_g).alias("d_standing"),
             md(F.sum(F.when(is_d == 1, col("d"))), F.when(nd > 0, nd)).alias(
                 "d_delta"
             ),
@@ -2676,9 +2748,12 @@ asn AS (
 SELECT cell,
        CAST(SUM(1 - is_d) AS BIGINT) AS n_standing,
        CAST(SUM(is_d) AS BIGINT) AS n_delta,
-       ROUND(1000.0 * SUM(is_d) / SUM(1 - is_d), 3) AS growth_m,
+       ROUND(1000.0 * SUM(is_d)
+             / (CASE WHEN SUM(1 - is_d) > 0 THEN SUM(1 - is_d) END), 3)
+         AS growth_m,
        ROUND(CAST(SUM(CASE WHEN is_d = 0 THEN d END) AS DOUBLE)
-             / SUM(1 - is_d) / 1e6, 4) AS d_standing,
+             / (CASE WHEN SUM(1 - is_d) > 0 THEN SUM(1 - is_d) END) / 1e6, 4)
+         AS d_standing,
        ROUND(CAST(SUM(CASE WHEN is_d = 1 THEN d END) AS DOUBLE)
              / (CASE WHEN SUM(is_d) > 0 THEN SUM(is_d) END) / 1e6, 4)
          AS d_delta
@@ -2945,6 +3020,80 @@ SELECT cell, i, COUNT(*) AS n_members, ROUND(AVG(v[i]), 4) AS mean_x
 FROM a, UNNEST(range(1, len(v) + 1)) AS t(i)
 GROUP BY cell, i ORDER BY cell, i
 """,
+    # Two unrolled Lloyd rounds (the q54b convention: round-1/round-2 means
+    # ROUND(4) so both engines assign against bit-identical centroids),
+    # then per-variant assignment + probe + exact-top5 hit counting.
+    "q238_ivf_trained_recall": f"""
+WITH e AS (SELECT vec_id, {as_double_array_sql('embedding')} AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c0.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq_l2_sql('e.v', 'c0.cv')}, c0.cell) AS rn
+    FROM e, c0) t WHERE rn = 1),
+c1 AS (
+  SELECT cell, list(mean_x ORDER BY i) AS cv FROM (
+    SELECT cell, i, ROUND(AVG(v[i]), 4) AS mean_x
+    FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i) GROUP BY cell, i)
+  GROUP BY cell),
+a2 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c1.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq_l2_sql('e.v', 'c1.cv')}, c1.cell) AS rn
+    FROM e, c1) t WHERE rn = 1),
+c2 AS (
+  SELECT cell, list(mean_x ORDER BY i) AS cv FROM (
+    SELECT cell, i, ROUND(AVG(v[i]), 4) AS mean_x
+    FROM a2, UNNEST(range(1, len(v) + 1)) AS t(i) GROUP BY cell, i)
+  GROUP BY cell),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (100, 101, 102)),
+ex AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY {sq_l2_sql('c.v', 'q.qv')}, c.vec_id) AS rank
+    FROM e c, qs q WHERE c.vec_id <> q.q_id) t
+  WHERE rank <= 5),
+asn_t AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT e.vec_id, c2.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sq_l2_sql('e.v', 'c2.cv')}, c2.cell) AS rn
+    FROM e, c2) t WHERE rn = 1),
+pr_s AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c0.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY {sq_l2_sql('q.qv', 'c0.cv')}, c0.cell) AS pr
+    FROM qs q, c0) t WHERE pr <= {_IVF_PROBE}),
+pr_t AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c2.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY {sq_l2_sql('q.qv', 'c2.cv')}, c2.cell) AS pr
+    FROM qs q, c2) t WHERE pr <= {_IVF_PROBE}),
+h_s AS (
+  SELECT ex.q_id, COUNT(*) AS h
+  FROM ex JOIN (SELECT vec_id AS neighbor_id, cell FROM a1) a USING (neighbor_id)
+  JOIN pr_s p ON p.q_id = ex.q_id AND p.cell = a.cell GROUP BY ex.q_id),
+h_t AS (
+  SELECT ex.q_id, COUNT(*) AS h
+  FROM ex JOIN asn_t a USING (neighbor_id)
+  JOIN pr_t p ON p.q_id = ex.q_id AND p.cell = a.cell GROUP BY ex.q_id)
+SELECT variant, q_id, n_hits, recall_at_5 FROM (
+  SELECT 'seeded' AS variant, q.q_id,
+         CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         ROUND(COALESCE(h, 0) / 5.0, 4) AS recall_at_5
+  FROM qs q LEFT JOIN h_s USING (q_id)
+  UNION ALL
+  SELECT 'trained' AS variant, q.q_id,
+         CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         ROUND(COALESCE(h, 0) / 5.0, 4) AS recall_at_5
+  FROM qs q LEFT JOIN h_t USING (q_id)) u
+ORDER BY variant, q_id
+""",
 }
 
 # Evaluate-once CTE pinning (see functions.materialize_ctes): the PQ /
@@ -2954,7 +3103,8 @@ GROUP BY cell, i ORDER BY cell, i
 from ..functions import materialize_ctes as _mat
 
 for _k in ("q85_pq_ann", "q217_ivfpq_ann", "q217b_ivfpq_ann_scaled",
-           "q222_ann_recall_audit", "q54b_kmeans_iter2"):
+           "q222_ann_recall_audit", "q54b_kmeans_iter2",
+           "q238_ivf_trained_recall"):
     ORACLES[_k] = _mat(ORACLES[_k])
 
 ORACLES["q226_pca_project"] = _pca_project_sql()
@@ -2981,6 +3131,7 @@ QUERIES = {
     "q53_ivf_ann": q53_ivf_ann,
     "q54_kmeans_step": q54_kmeans_step,
     "q54b_kmeans_iter2": q54b_kmeans_iter2,
+    "q238_ivf_trained_recall": q238_ivf_trained_recall,
     "q85_pq_ann": q85_pq_ann,
     "q59_label_centroids": q59_label_centroids,
     "q69_doc_vec_join": q69_doc_vec_join,

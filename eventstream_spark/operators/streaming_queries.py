@@ -158,10 +158,15 @@ def _run_to_table(agg: DataFrame, spark: SparkSession, mode: str = "complete") -
         raise TimeoutError("availableNow drain did not finish within 600s")
     progs = q.recentProgress or []
     LAST_RUN_INFO.clear()
+    batch_ms = [
+        int((p.durationMs or {}).get("triggerExecution", 0)) for p in progs
+    ]
+    input_rows = sum(int(p.numInputRows or 0) for p in progs)
+    drain_sec = sum(batch_ms) / 1000.0
     LAST_RUN_INFO.update(
         {
             "n_batches": len(progs),
-            "input_rows": sum(int(p.numInputRows or 0) for p in progs),
+            "input_rows": input_rows,
             "state_rows_peak": max(
                 (
                     sum(int(so.numRowsTotal or 0) for so in (p.stateOperators or []))
@@ -169,6 +174,19 @@ def _run_to_table(agg: DataFrame, spark: SparkSession, mode: str = "complete") -
                 ),
                 default=0,
             ),
+            # Throughput, not just state bounds (round-9 VERDICT #5): the
+            # numbers that size a landing zone — how fast the drain
+            # actually moved rows and how long each micro-batch held the
+            # trigger. A one-core drain (the q231 round-9 lesson) shows up
+            # here as rows_per_sec collapsing while state stays tiny.
+            "drain_sec": round(drain_sec, 3),
+            "rows_per_sec": (
+                int(input_rows / drain_sec) if drain_sec > 0 else 0
+            ),
+            "batch_ms_avg": (
+                round(sum(batch_ms) / len(batch_ms), 1) if batch_ms else 0.0
+            ),
+            "batch_ms_max": max(batch_ms, default=0),
         }
     )
     return spark.table(name)

@@ -21,7 +21,7 @@ PICKS = {
     "q13_topk_per_group": "WindowGroupLimit caps per-group state before the sort",
     "q44_embedding_neardup": "LSH-bucketed near-dup: equi-join on the bucket key, no BroadcastNestedLoopJoin",
     "q15_topn": "TakeOrderedAndProject: per-partition heaps, no global sort",
-    "q41_ngram_jaccard": "PPJoin prefix plan: window-based frequency, two exchanges feed the ranked prefix",
+    "q41_ngram_jaccard": "df-capped inverted-index count join (r10 replan): window df rides the h exchange into the pair self-join; counts aggregate at corpus-scaled partitions; heavy tables broadcast; NO per-doc array crosses a shuffle",
     "q53_ivf_ann": "map-side centroid assignment: literal planes, no centroid join before the cell shuffle",
     "q62_exists_subquery": "EXISTS decorrelates to a left-semi join (AQE-broadcastable)",
     "q64_range_frame": "RANGE frame: one exchange on user_id, linear in-partition state",
@@ -57,7 +57,7 @@ PICKS = {
     "q217_ivfpq_ann": "IVF-PQ: assignment/encode are literal-matrix map work (no exchange); the |queries|x n_probe LUT table broadcasts onto the cell-keyed inverted lists",
     "q217b_ivfpq_ann_scaled": "grown-cells IVF-PQ: assignment+encode are MapInPandas GEMM passes (no centroid join in the plan); the LUT table broadcasts onto the cell-keyed codes",
     "q219_suffix_span_dedup": "suffix dedup: ONE range exchange on the suffix key; lag/lead windows partition on the range-partition id (no single-task window)",
-    "q220_substring_removal": "substring removal: q219's sort + one doc_id hash exchange for the per-doc coverage sweep",
+    "q220_substring_removal": "substring removal: reads the SHARED persisted rep_len stage (q219's sort+LCP, computed once per session) + one doc_id hash exchange for the per-doc coverage sweep",
     "q210_quantile_sketch": "quantile sketch: TakeOrdered sample + bucketed rank-pick — histogram aggregate and a window over ONLY the target buckets; no full-table range exchange (the r8 reclaim)",
     "q221_doremi_step": "DoReMi: one (source, term) corpus groupBy; LM table aggregates FROM it; broadcast totals; K-row dimension math with an integer micro-sum normalizer",
     "q224_rho_select": "RHO selection: (doc, term) groupBy + vocab-join scoring; global quarter cut via the range-partitioned rank",

@@ -82,10 +82,19 @@ _KEEP = ("spill size", "peak memory", "shuffle bytes written", "number of output
 
 
 def _run_with_metrics(queries, name, spark, sf_dir) -> dict:
+    from eventstream_spark.cache import release_cached
+
     for _ in range(2):  # second run is warm (plan compiled, AQE stats fresh)
+        # Release tracked persists/memos BEFORE each timed run (the
+        # scale_smoke round-7 fix, applied here in round 10): the warm run
+        # must recompute the persisted lineage, not read the first run's
+        # cache — otherwise any query whose persist sits upstream of
+        # everything measures a cache read instead of the plan.
+        release_cached()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+    release_cached()
     metrics = _last_execution_metrics(spark)
     picked = {k: v for k, v in metrics.items() if any(w in k for w in _KEEP)}
     return {"sec": round(dt, 3), **{k: int(v) for k, v in picked.items()}}

@@ -962,6 +962,11 @@ def test_int8_recall_matches_numpy(spark, sf_dir):
         for r in q232_int8_recall_audit(spark, sf_dir).collect()
     }
     assert got == expect
+    # The audit pins query ids 100/101/102; a fixture or scale generator
+    # that dropped them would make the recall gate silently measure
+    # nothing (zero rows, both engines trivially agree) — fail LOUD here
+    # instead (round-9 ADVICE).
+    assert set(got) == {100, 101, 102}
 
 
 def test_stream_quality_gate_equals_batch_and_bounded_state(spark, sf_dir):
@@ -1005,6 +1010,64 @@ def test_dedup_threshold_curve_is_monotone_and_anchored(spark, sf_dir):
     for r in rows:
         assert 0 <= r.pct_docs_m <= 1000
         assert 0 <= r.pct_tokens_m <= 1000
+
+
+def test_jaccard_pairs_heavy_shingle_paths_match_bruteforce(spark):
+    """jaccard_pairs df-cap escape hatches: with df_cap=2 on a synthetic
+    boilerplate corpus, heavy shingles (df > 2) flow through BOTH side
+    paths — the per-pair heavy-array completion (pairs with light
+    evidence) and the heavy-dominated posting inclusion (pairs whose
+    overlap is pure boilerplate) — and every pair still matches a
+    brute-force Python Jaccard over the same distinct-trigram sets. The
+    fixtures never exercise these paths (max df 25 < 256), so this test
+    is their only pin."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.dedup import jaccard_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    prose = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"  # 11 shared prose tokens
+    docs = [
+        # pure-boilerplate near-identical group: ALL shared shingles are
+        # heavy AND every doc is heavy-dominated (nh >= t'*n) — the
+        # heavy-dominated posting-inclusion path
+        (0, boiler),
+        (1, boiler + " extra"),
+        (2, boiler + " other tail"),
+        # majority-light pair sharing the heavy boilerplate run: nh=10 <
+        # t'*n=0.499*22, so NOT heavy-dominated — the per-pair
+        # heavy-array completion path (need_hv)
+        (3, prose + " x3 " + boiler),
+        (4, prose + " x4 " + boiler),
+        # light-only near-dup pair, no boilerplate at all
+        (5, "one two three four five six seven eight nine ten"),
+        (6, "one two three four five six seven eight nine eleven"),
+        # unrelated doc
+        (7, "completely different text with no overlap whatsoever here"),
+    ]
+
+    def trigrams(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expect = {}
+    for i, (d1, t1) in enumerate(docs):
+        for d2, t2 in docs[i + 1 :]:
+            s1, s2 = trigrams(t1), trigrams(t2)
+            jac = round(len(s1 & s2) / len(s1 | s2), 6)
+            if jac >= 0.5:
+                expect[(d1, d2)] = jac
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.d1, r.d2): r.jac
+        for r in jaccard_pairs(df, 0.5, df_cap=2).collect()
+    }
+    release_cached()
+    assert got == expect
+    # sanity: the synthetic corpus really exercises both escape hatches
+    assert expect, "test corpus must contain qualifying pairs"
+    assert (0, 1) in expect  # heavy-dominated (pure-boilerplate) path
+    assert (3, 4) in expect  # light evidence + heavy completion path
 
 
 def test_domain_transfer_matrix_matches_python_replay(spark, sf_dir):
