@@ -218,9 +218,17 @@ def jaccard_pairs(
     # Partition the pair join + count agg to the corpus (q219's
     # rows-per-task convention): at the session's static 32 partitions the
     # 100x smoke put ~4M count groups per task and spilled 11 GiB in each
-    # aggregate; task-sized partitions keep every hash map in memory.
+    # aggregate; task-sized partitions keep every hash map in memory. At
+    # bench scale the corpus-derived count stays at the session default —
+    # skip the explicit repartitions entirely there (they would be
+    # redundant exchanges on top of the window's/aggregate's own).
+    base_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     n_parts = _jac_partitions(docs)
-    post = post.repartition(n_parts, "h")
+    grow = n_parts > base_parts
+    if grow:
+        post = post.repartition(n_parts, "h")
     a, b = post.alias("a"), post.alias("b")
     pairs = (
         a.join(
@@ -238,8 +246,11 @@ def jaccard_pairs(
             col("a.n").alias("n1"),
             col("b.n").alias("n2"),
         )
-        .repartition(n_parts, "d1", "d2")
-        .groupBy("d1", "d2")
+    )
+    if grow:
+        pairs = pairs.repartition(n_parts, "d1", "d2")
+    pairs = (
+        pairs.groupBy("d1", "d2")
         .agg(F.count("*").alias("cj"), F.max("n1").alias("n1"), F.max("n2").alias("n2"))
     )
     nh1 = F.coalesce(col("nh1"), lit(0))

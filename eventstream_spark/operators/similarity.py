@@ -1315,6 +1315,188 @@ def q238_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1]).orderBy("variant", "q_id")
 
 
+def q240_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q238's question asked of the PQ layer: ADC recall@5 of a flat
+    product-quantized index under the SEEDED codebooks (subvectors of
+    the _PQ_K lowest vec_ids — q85's determinism trade) vs after ONE
+    Lloyd round per subspace, against the exact 5-NN ground truth.
+    Everything runs in the milli-quantized integer metric (q217b/q222
+    convention), and the trained codeword means re-quantize to integers
+    (FLOOR(sum/count + 0.5) — one double division both engines compute
+    identically), so every assignment argmin, LUT entry, ADC sum, and
+    rank boundary is an exact integer: a TRAINED codebook stays
+    oracle-able, which is the point (q54b's rounded handoff applied to
+    the PQ training loop).
+
+    Scale: training is ONE extra encode pass + one (subspace, code, dim)
+    groupBy whose group count is M*K*dsub = dim*K — dimension-bounded,
+    as is the collected codebook handoff; encode passes are numpy-GEMM
+    mapInPandas (the q217b shape); ADC is the q85 broadcast-LUT plan.
+    Oracle-gated, not headlined: it re-runs q85's encode shape twice
+    plus a training pass (the q162/q173 double-count convention)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    dsub = dim // _PQ_M
+    e = persist_tracked(
+        spread(emb).select(
+            "vec_id",
+            F.transform(
+                as_double_array(col("embedding")),
+                lambda x: F.floor(x * 1000 + lit(0.5)).cast("long"),
+            ).alias("xm"),
+        )
+    )
+    srows = sorted(
+        (int(r.vec_id), list(r.xm))
+        for r in e.orderBy("vec_id").limit(_PQ_K).collect()
+    )
+    S0 = np.asarray([v for _, v in srows], dtype=np.float64)
+    cb0 = [
+        (np.arange(_PQ_K, dtype=np.int64), S0[:, m * dsub : (m + 1) * dsub])
+        for m in range(_PQ_M)
+    ]
+
+    def make_encode(cbs):
+        mats = [(ids, M, (M * M).sum(axis=1)) for ids, M in cbs]
+
+        def encode(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.asarray(pdf["xm"].tolist(), dtype=np.float64)
+                out = {"vec_id": pdf["vec_id"].to_numpy()}
+                for m, (ids, M, msq) in enumerate(mats):
+                    sub = X[:, m * dsub : (m + 1) * dsub]
+                    D = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ M.T)
+                        + msq[None, :]
+                    )
+                    # ids ascend: argmin's first minimum = smallest code
+                    out[f"c{m}"] = ids[D.argmin(axis=1)]
+                yield pd.DataFrame(out)
+
+        return encode
+
+    enc_schema = "vec_id long, " + ", ".join(f"c{m} long" for m in range(_PQ_M))
+    codes0 = persist_tracked(e.mapInPandas(make_encode(cb0), schema=enc_schema))
+
+    # ONE Lloyd round per subspace: per-(code, dim) integer-rounded means
+    # of the members codes0 assigned. Group count = dim * K — the
+    # dimension-bounded collect convention.
+    carr = F.array(*[col(f"c{m}") for m in range(_PQ_M)])
+    tr = (
+        codes0.join(e, "vec_id")
+        .select(carr.alias("cs"), F.posexplode("xm").alias("i0", "x"))
+        .select(
+            "i0",
+            "x",
+            F.element_at(
+                "cs", (F.floor(col("i0") / lit(dsub)) + 1).cast("int")
+            ).alias("k"),
+        )
+        .groupBy("k", "i0")
+        .agg(
+            F.floor(F.sum("x") / F.count("*") + lit(0.5))
+            .cast("long")
+            .alias("v")
+        )
+        .collect()
+    )
+    by_mk: dict[tuple[int, int], dict[int, int]] = {}
+    for r in tr:
+        m = int(r.i0) // dsub
+        by_mk.setdefault((m, int(r.k)), {})[int(r.i0)] = int(r.v)
+    cb1 = []
+    for m in range(_PQ_M):
+        ids = sorted(k for (mm, k) in by_mk if mm == m)
+        mat = np.asarray(
+            [[by_mk[(m, k)][i] for i in sorted(by_mk[(m, k)])] for k in ids],
+            dtype=np.float64,
+        )
+        cb1.append((np.asarray(ids, dtype=np.int64), mat))
+    codes1 = e.mapInPandas(make_encode(cb1), schema=enc_schema)
+
+    qrows = sorted(
+        (int(r.vec_id), list(r.xm))
+        for r in e.where(col("vec_id").isin(100, 101, 102)).collect()
+    )
+
+    def lut_table(cbs):
+        rows = []
+        for q_id, qm in qrows:
+            x = np.asarray(qm, dtype=np.float64)
+            luts = []
+            for m, (ids, M) in enumerate(cbs):
+                sub = x[m * dsub : (m + 1) * dsub]
+                d = ((M - sub[None, :]) ** 2).sum(axis=1)
+                arr = [0] * _PQ_K  # dropped codes never referenced
+                for j, k in enumerate(ids):
+                    arr[int(k)] = int(d[j])
+                luts.append(arr)
+            rows.append((q_id, *luts))
+        schema = "q_id long, " + ", ".join(
+            f"lut{m} array<long>" for m in range(_PQ_M)
+        )
+        return spark.createDataFrame(rows, schema)
+
+    q = e.where(col("vec_id").isin(100, 101, 102)).select(
+        col("vec_id").alias("q_id"), col("xm").alias("qm")
+    )
+    w = Window.partitionBy("q_id").orderBy(col("d"), col("neighbor_id"))
+    exact = persist_tracked(
+        e.crossJoin(broadcast(q))
+        .where(col("vec_id") != col("q_id"))
+        .select(
+            "q_id",
+            col("vec_id").alias("neighbor_id"),
+            sq_l2(col("xm"), col("qm")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+
+    parts = []
+    for variant, codes, cbs in (("seeded", codes0, cb0), ("trained", codes1, cb1)):
+        adc = None
+        for m in range(_PQ_M):
+            term = F.element_at(col(f"lut{m}"), (col(f"c{m}") + 1).cast("int"))
+            adc = term if adc is None else adc + term
+        wa = Window.partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
+        approx = (
+            codes.crossJoin(broadcast(lut_table(cbs)))
+            .where(col("vec_id") != col("q_id"))
+            .select(
+                "q_id", col("vec_id").alias("neighbor_id"), adc.alias("adc")
+            )
+            .withColumn("rank", F.row_number().over(wa))
+            .where(col("rank") <= 5)
+            .select("q_id", "neighbor_id")
+        )
+        hits = (
+            exact.join(approx, ["q_id", "neighbor_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("h"))
+        )
+        parts.append(
+            q.select("q_id")
+            .join(hits, "q_id", "left")
+            .select(
+                lit(variant).alias("variant"),
+                "q_id",
+                F.coalesce(col("h"), lit(0)).cast("long").alias("n_hits"),
+                F.round(F.coalesce(col("h"), lit(0)) / lit(5.0), 4).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("variant", "q_id")
+
+
 # --- semantic dedup (SemDeDup) ---------------------------------------------
 
 _SEM_T = 0.4  # same cosine regime as q44's near-dup threshold
@@ -2198,6 +2380,124 @@ ranked AS (
   FROM cand)
 SELECT q_id, neighbor_id, rank, ROUND(adc_raw, 4) AS adc
 FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
+def _pq_trained_sql() -> str:
+    """q240 mirror. Both codebook variants, the one-Lloyd-round training,
+    the LUTs, and the ADC ranking all run in the milli-quantized integer
+    metric, so every argmin/sum/rank is an exact integer in both engines;
+    the trained codeword means re-quantize through the SAME single double
+    division (FLOOR(CAST(SUM(x) AS DOUBLE)/COUNT(*) + 0.5)) the Spark
+    side computes. Code ids are seed RANK positions (0..K-1); struct-MIN
+    ties therefore break to the smallest id, matching numpy argmin's
+    first minimum over ascending ids."""
+
+    def sl(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m} * dsub + 1, ({m} + 1) * dsub)"
+
+    code0_aggs = ",\n         ".join(
+        f"MIN({{'d': {sq_l2_sql(sl('e.xm', m), sl('s.xm', m))}, 'c': s.k}})['c'] AS c{m}"
+        for m in range(_PQ_M)
+    )
+    code1_aggs = ",\n         ".join(
+        f"MIN(CASE WHEN b.m = {m} THEN"
+        f" {{'d': {sq_l2_sql(sl('e.xm', m), 'b.cv')}, 'c': b.k}} END)['c'] AS c{m}"
+        for m in range(_PQ_M)
+    )
+    carr = "[" + ", ".join(f"c.c{m}" for m in range(_PQ_M)) + "]"
+    lut0_cols = ",\n         ".join(
+        f"{sq_l2_sql(sl('q.qm', m), sl('s.xm', m))} AS d{m}"
+        for m in range(_PQ_M)
+    )
+    qslice = "list_slice(q.qm, b.m * dsub + 1, (b.m + 1) * dsub)"
+    adc0 = " + ".join(f"j{m}.d{m}" for m in range(_PQ_M))
+    adc1 = " + ".join(f"j{m}.d" for m in range(_PQ_M))
+    joins0 = "\n  ".join(
+        f"JOIN l0 j{m} ON j{m}.q_id = qs.q_id AND j{m}.k = c.c{m}"
+        for m in range(_PQ_M)
+    )
+    joins1 = "\n  ".join(
+        f"JOIN l1 j{m} ON j{m}.q_id = qs.q_id AND j{m}.m = {m}"
+        f" AND j{m}.k = c.c{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH dims AS (SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1),
+e AS (SELECT vec_id,
+             list_transform({as_double_array_sql('embedding')},
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS xm
+      FROM embeddings),
+s AS (SELECT rn - 1 AS k, xm
+      FROM (SELECT vec_id, xm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM e) t
+      WHERE rn <= {_PQ_K}),
+codes0 AS (
+  SELECT e.vec_id,
+         {code0_aggs}
+  FROM e, s, dims GROUP BY e.vec_id),
+tr AS (
+  SELECT t.i AS i, e.xm[t.i] AS x,
+         {carr}[CAST((t.i - 1) // dsub AS INT) + 1] AS k
+  FROM codes0 c JOIN e USING (vec_id) CROSS JOIN dims,
+       UNNEST(range(1, len(e.xm) + 1)) AS t(i)),
+cw AS (
+  SELECT m, k, list(v ORDER BY i) AS cv FROM (
+    SELECT CAST((i - 1) // dsub AS BIGINT) AS m, k, i,
+           CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS v
+    FROM tr CROSS JOIN dims GROUP BY 1, 2, 3) u
+  GROUP BY m, k),
+codes1 AS (
+  SELECT e.vec_id,
+         {code1_aggs}
+  FROM e, cw b, dims GROUP BY e.vec_id),
+qs AS (SELECT vec_id AS q_id, xm AS qm FROM e WHERE vec_id IN (100, 101, 102)),
+l0 AS (SELECT q.q_id, s.k,
+         {lut0_cols}
+       FROM qs q, s, dims),
+l1 AS (SELECT q.q_id, b.m, b.k,
+         {sq_l2_sql(qslice, 'b.cv')} AS d
+       FROM qs q, cw b, dims),
+ex AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY {sq_l2_sql('c.xm', 'q.qm')}, c.vec_id) AS rank
+    FROM e c, qs q WHERE c.vec_id <> q.q_id) t
+  WHERE rank <= 5),
+a0 AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT qs.q_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qs.q_id
+             ORDER BY {adc0}, c.vec_id) AS rank
+    FROM codes0 c CROSS JOIN qs
+    {joins0}
+    WHERE c.vec_id <> qs.q_id) t
+  WHERE rank <= 5),
+a1 AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT qs.q_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qs.q_id
+             ORDER BY {adc1}, c.vec_id) AS rank
+    FROM codes1 c CROSS JOIN qs
+    {joins1}
+    WHERE c.vec_id <> qs.q_id) t
+  WHERE rank <= 5),
+h0 AS (SELECT ex.q_id, COUNT(*) AS h FROM ex JOIN a0 USING (q_id, neighbor_id)
+       GROUP BY ex.q_id),
+h1 AS (SELECT ex.q_id, COUNT(*) AS h FROM ex JOIN a1 USING (q_id, neighbor_id)
+       GROUP BY ex.q_id)
+SELECT variant, q_id, n_hits, recall_at_5 FROM (
+  SELECT 'seeded' AS variant, q.q_id,
+         CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         ROUND(COALESCE(h, 0) / 5.0, 4) AS recall_at_5
+  FROM qs q LEFT JOIN h0 USING (q_id)
+  UNION ALL
+  SELECT 'trained' AS variant, q.q_id,
+         CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         ROUND(COALESCE(h, 0) / 5.0, 4) AS recall_at_5
+  FROM qs q LEFT JOIN h1 USING (q_id)) u
+ORDER BY variant, q_id
 """
 
 
@@ -3102,9 +3402,11 @@ ORDER BY variant, q_id
 # step (q85 measured 6.6 s -> 4.7 s, q217 4.4 s -> 3.3 s at sf0.1).
 from ..functions import materialize_ctes as _mat
 
+ORACLES["q240_pq_trained_recall"] = _pq_trained_sql()
+
 for _k in ("q85_pq_ann", "q217_ivfpq_ann", "q217b_ivfpq_ann_scaled",
            "q222_ann_recall_audit", "q54b_kmeans_iter2",
-           "q238_ivf_trained_recall"):
+           "q238_ivf_trained_recall", "q240_pq_trained_recall"):
     ORACLES[_k] = _mat(ORACLES[_k])
 
 ORACLES["q226_pca_project"] = _pca_project_sql()
@@ -3132,6 +3434,7 @@ QUERIES = {
     "q54_kmeans_step": q54_kmeans_step,
     "q54b_kmeans_iter2": q54b_kmeans_iter2,
     "q238_ivf_trained_recall": q238_ivf_trained_recall,
+    "q240_pq_trained_recall": q240_pq_trained_recall,
     "q85_pq_ann": q85_pq_ann,
     "q59_label_centroids": q59_label_centroids,
     "q69_doc_vec_join": q69_doc_vec_join,

@@ -1093,7 +1093,98 @@ def q231_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q239_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q237's incremental IVF index ingest executed AT THE STREAM
+    BOUNDARY — the maintenance loop a production vector store actually
+    runs: the standing corpus (vec_id % 10 != 0, the at-rest index)
+    freezes the grown-cells geometry/centroids and materializes its
+    per-cell baseline BATCH-side (stats the index already has); the
+    landing delta (vec_id % 10 == 0) arrives as a file stream, each
+    micro-batch GEMM-assigns against the frozen centroids (stateless
+    map — the shared `_gemm_assign` spelling, exact integer metric) and
+    folds into per-cell additive counters (n_delta, Σd). Streaming
+    state is <= n_cells = ceil(sqrt(N_standing)) rows — bounded by the
+    INDEX GEOMETRY, not the delta volume. Additivity makes the drained
+    counters exactly q237's batch delta aggregates under any
+    micro-batching or replay split, so q237's duckdb oracle applies
+    VERBATIM (the q225/q231 convention). Completes the family: q132
+    ingests into LSH buckets, q231 gates quality at ingest, this
+    maintains the IVF index + its drift signal (d_delta vs d_standing)
+    at ingest."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions import as_double_array
+    from .similarity import _gemm_assign, _seed_matrix, auto_cells
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    d = _link_table(sf_dir, "embeddings", "es_ivfstream")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Standing geometry + baseline from a BATCH read of the same landing
+    # dir (a stream can't be collected at plan build — the q132 dim
+    # convention): centroid seeds are a sqrt(N)-bounded collect.
+    e_at_rest = spark.read.schema(schema).parquet(d).select(
+        "vec_id", as_double_array(col("embedding")).alias("v")
+    )
+    standing = e_at_rest.where(col("vec_id") % 10 != 0)
+    n_cells = auto_cells(standing.count())
+    seeds = sorted(
+        (int(r.vec_id), list(r.v))
+        for r in standing.orderBy("vec_id").limit(n_cells).collect()
+    )
+    cell_ids, C, c_sq = _seed_matrix(seeds, quantize=True)
+    st = (
+        _gemm_assign(standing, cell_ids, C, c_sq, "v", "d", quantize_input=True)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_standing"), F.sum("d").alias("sd"))
+    )
+
+    emb_s = file_stream(spark, d, schema, max_files_per_trigger=_max_files())
+    delta = emb_s.where(col("vec_id") % 10 == 0).select(
+        "vec_id", as_double_array(col("embedding")).alias("v")
+    )
+    ps = (
+        _gemm_assign(delta, cell_ids, C, c_sq, "v", "d", quantize_input=True)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_delta"), F.sum("d").alias("sdd"))
+    )
+    drained = _run_to_table(ps, spark)
+
+    nd = F.coalesce(col("n_delta"), lit(0)).cast("long")
+    ns = col("n_standing")
+    ns_g = F.when(ns > 0, ns)  # q237's zero-divisor guard, mirrored
+    return (
+        st.join(drained, "cell", "left")
+        .select(
+            "cell",
+            ns.alias("n_standing"),
+            nd.alias("n_delta"),
+            F.round(lit(1000.0) * nd / ns_g, 3).alias("growth_m"),
+            F.round(col("sd").cast("double") / ns_g / lit(1e6), 4).alias(
+                "d_standing"
+            ),
+            F.round(
+                col("sdd").cast("double") / F.when(nd > 0, nd) / lit(1e6), 4
+            ).alias("d_delta"),
+        )
+        .orderBy("cell")
+    )
+
+
 from .analytics import ORACLES as _A_ORACLES
+from .similarity import ORACLES as _SIM_ORACLES
 from .sketch import ORACLES as _SKETCH_ORACLES
 from .text import ORACLES as _TEXT_ORACLES
 
@@ -1115,6 +1206,9 @@ ORACLES = {
     # Streaming quality gate must land on q201's batch aggregate exactly
     # (sum-merged counters + min-merged logit).
     "q231_stream_quality_gate": _TEXT_ORACLES["q201_classifier_score"],
+    # Streaming IVF ingest must land on q237's batch maintenance view
+    # exactly (per-cell delta counters are additive integers).
+    "q239_stream_ivf_ingest": _SIM_ORACLES["q237_incremental_ivf_ingest"],
     "q145_stream_topk": f"""
 WITH r AS (
   SELECT event_type, event_id, value,
@@ -1198,4 +1292,5 @@ QUERIES = {
     "q216_stream_quantile_sketch": q216_stream_quantile_sketch,
     "q225_stream_doremi": q225_stream_doremi,
     "q231_stream_quality_gate": q231_stream_quality_gate,
+    "q239_stream_ivf_ingest": q239_stream_ivf_ingest,
 }

@@ -327,6 +327,13 @@ SCALE_QUERIES = [
     # q237 incremental IVF ingest: one GEMM pass over standing+delta,
     # one cell groupBy; per-ingest cost rides the assignment pass.
     "q237_incremental_ivf_ingest",
+    # q238 trained-quantizer recall: iters x one-shuffle Lloyd steps +
+    # map-side assignments; the smoke verifies training stays corpus-
+    # linear per step.
+    "q238_ivf_trained_recall",
+    # q240 trained-PQ recall: two GEMM encode passes + one dim*K-bounded
+    # training groupBy + broadcast-LUT ADC rankings.
+    "q240_pq_trained_recall",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica
@@ -363,6 +370,10 @@ STREAM_QUERIES = [
     # quality-gate counters: state = |sources| rows of four scalars
     # (three sum-merged, one min-merged) — bounded forever.
     "q231_stream_quality_gate",
+    # IVF-ingest counters: state = one row per INDEX CELL (ceil(sqrt(N))
+    # of the standing corpus) of two additive longs — bounded by the
+    # index geometry, not the delta volume.
+    "q239_stream_ivf_ingest",
 ]
 _STREAM_MAX_FILES = "4"
 

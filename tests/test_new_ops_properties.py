@@ -1012,6 +1012,115 @@ def test_dedup_threshold_curve_is_monotone_and_anchored(spark, sf_dir):
         assert 0 <= r.pct_tokens_m <= 1000
 
 
+def test_pq_trained_recall_matches_numpy(spark, sf_dir):
+    """q240: both variants' recall@5 equal a numpy replay of the milli
+    metric, the seeded codebooks, the one-Lloyd-round training (integer
+    re-quantized means), and the ADC rankings (vec_id tiebreak)."""
+    import numpy as np
+
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.functions import as_double_array
+    from eventstream_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        q240_pq_trained_recall,
+    )
+    from pyspark.sql.functions import col
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = spread(emb).select(
+        "vec_id", as_double_array(col("embedding")).alias("v")
+    )
+    rows = sorted((int(r.vec_id), list(r.v)) for r in e.collect())
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    X = np.floor(np.array([v for _, v in rows]) * 1000.0 + 0.5)
+    dim = X.shape[1]
+    dsub = dim // _PQ_M
+    S0 = X[np.argsort(ids)[: _PQ_K]]  # ids sorted already; lowest K
+
+    def encode(cbs):
+        codes = np.zeros((len(ids), _PQ_M), dtype=np.int64)
+        for m, (kids, M) in enumerate(cbs):
+            sub = X[:, m * dsub : (m + 1) * dsub]
+            D = ((sub[:, None, :] - M[None, :, :]) ** 2).sum(2)
+            codes[:, m] = kids[D.argmin(1)]
+        return codes
+
+    cb0 = [
+        (np.arange(_PQ_K, dtype=np.int64), S0[:, m * dsub : (m + 1) * dsub])
+        for m in range(_PQ_M)
+    ]
+    codes0 = encode(cb0)
+    cb1 = []
+    for m in range(_PQ_M):
+        kids, mats = [], []
+        for k in range(_PQ_K):
+            members = X[codes0[:, m] == k][:, m * dsub : (m + 1) * dsub]
+            if len(members):
+                kids.append(k)
+                mats.append(
+                    np.floor(members.sum(0) / len(members) + 0.5)
+                )
+        cb1.append((np.array(kids, dtype=np.int64), np.array(mats)))
+    codes1 = encode(cb1)
+
+    def top5_adc(codes, cbs, qi):
+        adc = np.zeros(len(ids))
+        for m, (kids, M) in enumerate(cbs):
+            qsub = X[qi, m * dsub : (m + 1) * dsub]
+            lut = ((M - qsub[None, :]) ** 2).sum(1)
+            pos = {int(k): j for j, k in enumerate(kids)}
+            adc += np.array([lut[pos[int(c)]] for c in codes[:, m]])
+        order = sorted(
+            (adc[j], ids[j]) for j in range(len(ids)) if j != qi
+        )
+        return {v for _, v in order[:5]}
+
+    def top5_exact(qi):
+        d = ((X - X[qi]) ** 2).sum(1)
+        order = sorted((d[j], ids[j]) for j in range(len(ids)) if j != qi)
+        return {v for _, v in order[:5]}
+
+    expect = {}
+    for q in (100, 101, 102):
+        qi = int(np.where(ids == q)[0][0])
+        ex = top5_exact(qi)
+        expect[("seeded", q)] = len(ex & top5_adc(codes0, cb0, qi))
+        expect[("trained", q)] = len(ex & top5_adc(codes1, cb1, qi))
+    got = {
+        (r.variant, int(r.q_id)): int(r.n_hits)
+        for r in q240_pq_trained_recall(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert set(got) == {(v, q) for v in ("seeded", "trained") for q in (100, 101, 102)}
+
+
+def test_stream_ivf_ingest_equals_batch_and_bounded_state(spark, sf_dir):
+    """q239: the drained streaming IVF ingest equals q237's batch
+    maintenance view row-for-row, and peak state is bounded by the cell
+    count (one counter row per cell with delta members), never the
+    delta's row count."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.similarity import (
+        q237_incremental_ivf_ingest,
+    )
+    from eventstream_spark.operators.streaming_queries import (
+        LAST_RUN_INFO,
+        q239_stream_ivf_ingest,
+    )
+
+    got = [tuple(r) for r in q239_stream_ivf_ingest(spark, sf_dir).collect()]
+    info = dict(LAST_RUN_INFO)
+    release_cached()
+    expect = [
+        tuple(r) for r in q237_incremental_ivf_ingest(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    n_cells_with_delta = sum(1 for r in expect if r[2] > 0)
+    assert 0 < info["state_rows_peak"] <= n_cells_with_delta
+    assert info["rows_per_sec"] > 0 and info["drain_sec"] > 0
+
+
 def test_jaccard_pairs_heavy_shingle_paths_match_bruteforce(spark):
     """jaccard_pairs df-cap escape hatches: with df_cap=2 on a synthetic
     boilerplate corpus, heavy shingles (df > 2) flow through BOTH side
