@@ -1139,7 +1139,17 @@ def suffix_repeat_lengths(
     n_parts = n_parts or _sfx_partitions(docs)
     memo_key = (docs.semanticHash(), depth, n_parts)
     hit = _SFX_MEMO.get(memo_key)
-    if hit is not None:
+    # A memo hit is valid ONLY while its persisted blocks are live: the
+    # collected partition-edge literals are bound to ONE materialization
+    # of the range exchange, and repartitionByRange re-samples its
+    # boundaries per RDD id — a recompute after an out-of-band
+    # spark.catalog.clearCache() (which bypasses release_cached's
+    # memo flush) would pair fresh partitioning with stale edges and
+    # silently corrupt rep_len. storageLevel goes back to NONE when the
+    # cache is dropped, whoever dropped it.
+    if hit is not None and (
+        hit.storageLevel.useMemory or hit.storageLevel.useDisk
+    ):
         return hit
     toks = docs.select("doc_id", "source", tokens("text").alias("w"))
     keys = F.transform(

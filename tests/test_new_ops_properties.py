@@ -1012,6 +1012,33 @@ def test_dedup_threshold_curve_is_monotone_and_anchored(spark, sf_dir):
         assert 0 <= r.pct_tokens_m <= 1000
 
 
+def test_suffix_memo_survives_out_of_band_cache_clear(spark, sf_dir):
+    """Regression: spark.catalog.clearCache() (which bypasses
+    release_cached's memo flush) must NOT leave the q219/q220 shared
+    suffix stage poisoned — a stale memo hit would recompute the range
+    exchange under a new RDD id (fresh sampled boundaries) while keeping
+    the previous materialization's collected edge literals, silently
+    corrupting rep_len. The memo must detect the dropped cache and
+    rebuild; results before and after the clear must be identical."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.operators.dedup import (
+        q219_suffix_span_dedup,
+        suffix_repeat_lengths,
+    )
+
+    release_cached()
+    before = [tuple(r) for r in q219_suffix_span_dedup(spark, sf_dir).collect()]
+    docs = spread(load(spark, sf_dir, "documents"))
+    memo_hit = suffix_repeat_lengths(docs)
+    spark.catalog.clearCache()
+    rebuilt = suffix_repeat_lengths(docs)
+    assert rebuilt is not memo_hit  # stale (uncached) memo must not serve
+    after = [tuple(r) for r in q219_suffix_span_dedup(spark, sf_dir).collect()]
+    release_cached()
+    assert after == before
+
+
 def test_pq_trained_recall_matches_numpy(spark, sf_dir):
     """q240: both variants' recall@5 equal a numpy replay of the milli
     metric, the seeded codebooks, the one-Lloyd-round training (integer
