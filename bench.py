@@ -254,6 +254,12 @@ HEADLINE = [
     # incremental IVF ingest: one GEMM assignment pass + one cell-key
     # groupBy against frozen standing centroids.
     "q237_incremental_ivf_ingest",
+    # round 10: exact-span benchmark decontamination (broadcast window
+    # set, map-side corpus probe). q238/q240 (trained-quantizer recall
+    # audits) re-run q54b/q85 machinery — the q162/q173 double-count
+    # convention keeps them oracle-gated; q239 is a streaming re-run of
+    # q237's plan (the q190/q195/q231 convention).
+    "q241_exact_span_decontam",
 ]
 
 

@@ -1055,6 +1055,84 @@ def q122_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q241: exact-span benchmark decontamination ------------------------------
+
+_DECON_N = 13  # the GPT-3 (Brown et al. '20, Appendix C) decontamination
+# span width: a corpus document collides with the benchmark if any 13
+# consecutive tokens occur verbatim in a benchmark document.
+
+
+def q241_exact_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_windows, n_contam, hit_windows, pct_docs_m):
+    GPT-3-style exact-collision benchmark decontamination — the audit a
+    training corpus runs before any eval is trusted. Benchmark = the
+    doc_id % 50 == 0 slice (q116's held-out convention); a corpus doc is
+    CONTAMINATED if any of its _DECON_N-token windows occurs verbatim
+    anywhere in the benchmark set. Complements q116 (which counts shared
+    3-gram shingles — topical overlap): the 13-token exact window is the
+    published memorization-risk rule, not a similarity heuristic.
+
+    Scale: the benchmark window set is benchmark-sized — small by
+    definition of a benchmark — so it BROADCASTS (the q116 shape) and
+    the corpus never shuffles: windows explode map-side, probe the
+    broadcast, and fold into one source rollup exchange. Docs shorter
+    than the window have zero windows and count as clean."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    pos = span_positions("text", _DECON_N)
+    bench_set = (
+        docs.where(col("doc_id") % 50 == 0)
+        .select(F.explode(F.array_distinct(pos)).alias("s"))
+        .distinct()
+    )
+    corp = docs.where(col("doc_id") % 50 != 0)
+    hits = (
+        corp.select("doc_id", F.explode(pos).alias("s"))
+        .join(F.broadcast(bench_set), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hw"))
+    )
+    per_doc = corp.select("doc_id", "source", F.size(pos).alias("nw")).join(
+        hits, "doc_id", "left"
+    )
+    hw = F.coalesce(col("hw"), lit(0))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_windows"),
+            F.sum((hw > 0).cast("long")).alias("n_contam"),
+            F.sum(hw).cast("long").alias("hit_windows"),
+            F.round(
+                lit(1000.0) * F.sum((hw > 0).cast("long")) / F.count("*"), 3
+            ).alias("pct_docs_m"),
+        )
+        .orderBy("source")
+    )
+
+
+def _decontam_sql() -> str:
+    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(_DECON_N))
+    return f"""
+WITH tok AS (SELECT doc_id, source, {tokens_sql()} AS w FROM documents),
+sp AS (SELECT doc_id, {joined} AS s
+       FROM tok, UNNEST(range(1, len(w) - {_DECON_N - 2})) AS t(i)),
+b AS (SELECT DISTINCT s FROM sp WHERE doc_id % 50 = 0),
+h AS (SELECT doc_id, COUNT(*) AS hw FROM sp JOIN b USING (s)
+      WHERE doc_id % 50 <> 0 GROUP BY 1),
+d AS (SELECT doc_id, source, GREATEST(len(w) - {_DECON_N - 1}, 0) AS nw
+      FROM tok WHERE doc_id % 50 <> 0)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN COALESCE(hw, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contam,
+       CAST(SUM(COALESCE(hw, 0)) AS BIGINT) AS hit_windows,
+       ROUND(1000.0 * SUM(CASE WHEN COALESCE(hw, 0) > 0 THEN 1 ELSE 0 END)
+             / COUNT(*), 3) AS pct_docs_m
+FROM d LEFT JOIN h USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- variable-length exact-substring dedup (q219) ---------------------------
 # The SUFFIX-ORDERING form of Lee et al. ACL'22 — the production shape of
 # exact-substring dedup, of which q122's fixed 5-gram span coverage is the
@@ -1834,6 +1912,7 @@ FROM th LEFT JOIN fl USING (t_milli) CROSS JOIN tot ORDER BY 1
 """,
     "q42_minhash_lsh": _minhash_sql(),
     "q42b_minhash_lsh_grown": _minhash_grown_sql(),
+    "q241_exact_span_decontam": _decontam_sql(),
     "q120_incremental_dedup": _incremental_sql(),
     "q116_contamination": f"""
 WITH sh AS ({_SHINGLES_SQL}),
@@ -1896,4 +1975,5 @@ QUERIES = {
     "q122_span_coverage": q122_span_coverage,
     "q219_suffix_span_dedup": q219_suffix_span_dedup,
     "q220_substring_removal": q220_substring_removal,
+    "q241_exact_span_decontam": q241_exact_span_decontam,
 }

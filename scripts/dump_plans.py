@@ -67,6 +67,7 @@ PICKS = {
     "q228_sequence_pack": "sequence packing: map-side token counts; the only exchange is the per-shard hash partition + writer sort; frame-bounded running-sum window per shard",
     "q229_cluster_balanced_select": "cluster-balanced select: MapInPandas GEMM assignment (no centroid join); one cell-key exchange; the per-cell window sorts ~sqrt(N) rows per cell",
     "q234_domain_transfer_matrix": "transfer matrix: one (source, term) corpus groupBy; LM/floors/scoring joins all run on vocabulary-bounded aggregates — corpus size never re-enters the K^2 assembly",
+    "q241_exact_span_decontam": "exact-span decontamination: the benchmark window set broadcasts into the corpus probe (BroadcastHashJoin) — corpus windows explode map-side, the corpus never shuffles before the per-doc fold",
 }
 
 

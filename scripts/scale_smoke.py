@@ -334,6 +334,10 @@ SCALE_QUERIES = [
     # q240 trained-PQ recall: two GEMM encode passes + one dim*K-bounded
     # training groupBy + broadcast-LUT ADC rankings.
     "q240_pq_trained_recall",
+    # q241 exact-span decontamination: benchmark window set broadcasts;
+    # corpus windows explode map-side and never shuffle — one source
+    # rollup exchange.
+    "q241_exact_span_decontam",
 ]
 
 # Graph queries measure against a SEPARATE events replica set: each replica
