@@ -332,17 +332,25 @@ def main() -> None:
         steady[name] = min(runs[1:])
         spread[name] = round(max(runs[1:]) - min(runs[1:]), 3)
 
+    # Field ORDER is part of the artifact contract: the driver's capture
+    # tails the line with a bounded buffer, so the PRIMARY per-query dict
+    # (`queries`, the min-of-3 steady times) goes LAST — BENCH_r10.json
+    # lost the steady dict because warm_spread_queries happened to sit at
+    # the end. metric_rev marks the round-10 redefinition of value/queries
+    # from cold-first-run to min-of-3-warm, so trendline tooling can
+    # detect the boundary instead of reading it as a step change.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_time",
+                "metric_rev": 2,
                 "value": round(sum(steady.values()), 3),
                 "unit": "sec",
-                "queries": steady,
+                "sf": sf,
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "warm_spread_queries": spread,
-                "sf": sf,
+                "queries": steady,
             }
         )
     )

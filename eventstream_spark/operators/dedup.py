@@ -22,6 +22,8 @@ these are the north-star additions required of the rebuild.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
@@ -127,6 +129,10 @@ def _jac_partitions(docs: DataFrame) -> int:
     return max(base, -(-est_rows // _JAC_ROWS_PER_TASK))
 
 
+_HV_BROADCAST_CAP = 256 << 20  # 256 MiB: ceiling on the estimated size of
+# the broadcast heavy-doc table in jaccard_pairs — past this, the corpus
+# is boilerplate-saturated and the operator raises instead of OOMing.
+
 _DF_CAP = 256  # inverted-index document-frequency cap: a shingle seen in
 # more docs than this is "heavy" (boilerplate) and is kept out of the
 # pair-count join — see jaccard_pairs for the exact completion paths.
@@ -205,6 +211,27 @@ def jaccard_pairs(
             F.collect_list("h").alias("hh"),
         )
     )
+    # Broadcast guard (round-11 ADVICE): hv is broadcast twice below, and
+    # on a boilerplate-saturated corpus it is unbounded — without this
+    # check the failure mode is a broadcast/driver OOM mid-join rather
+    # than an actionable error. The stats aggregate is one pass over the
+    # (already persisted, needed-anyway) hv table; 8 bytes/hash + struct
+    # overhead is the executor-side estimate of the built relation.
+    hv_stats = hv.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("nh"), lit(0)).alias("cells"),
+    ).head()
+    est_bytes = int(hv_stats["n_docs"]) * 48 + int(hv_stats["cells"]) * 8
+    if est_bytes > _HV_BROADCAST_CAP:
+        raise ValueError(
+            f"jaccard_pairs: heavy-shingle table too large to broadcast "
+            f"(~{est_bytes >> 20} MiB across {hv_stats['n_docs']} docs with "
+            f"df>{df_cap} shingles; cap {_HV_BROADCAST_CAP >> 20} MiB). "
+            f"This corpus is boilerplate-saturated — its true near-dup "
+            f"pair OUTPUT is quadratic and a pair list is the wrong tool: "
+            f"use the q55 clustering operators, raise df_cap, or strip the "
+            f"boilerplate (q121-class scrub) first."
+        )
     hdom = hv.where(col("nh") >= lit(t_p) * col("n")).select("doc_id")
     post = (
         sh.where(col("df") <= df_cap)
@@ -1224,11 +1251,16 @@ def suffix_repeat_lengths(
     # spark.catalog.clearCache() (which bypasses release_cached's
     # memo flush) would pair fresh partitioning with stale edges and
     # silently corrupt rep_len. storageLevel goes back to NONE when the
-    # cache is dropped, whoever dropped it.
-    if hit is not None and (
-        hit.storageLevel.useMemory or hit.storageLevel.useDisk
+    # cache is dropped, whoever dropped it. semanticHash is 32-bit, so a
+    # hit additionally confirms full-plan equivalence via sameSemantics
+    # against the stored source (round-11 ADVICE: two distinct plans that
+    # collide in 32 bits must MISS, not serve the wrong corpus's table).
+    if (
+        hit is not None
+        and (hit.out.storageLevel.useMemory or hit.out.storageLevel.useDisk)
+        and docs.sameSemantics(hit.src)
     ):
-        return hit
+        return hit.out
     toks = docs.select("doc_id", "source", tokens("text").alias("w"))
     keys = F.transform(
         col("w"), lambda x, i: F.array_join(F.slice(col("w"), i + 1, depth), " ")
@@ -1236,7 +1268,6 @@ def suffix_repeat_lengths(
     suf = toks.select(
         "doc_id", "source", F.posexplode(keys).alias("i0", "key")
     ).select("doc_id", "source", (col("i0") + 1).alias("pos"), "key")
-    n_parts = n_parts or _sfx_partitions(docs)
     rp = persist_tracked(
         suf.repartitionByRange(n_parts, "key", "doc_id", "pos").withColumn(
             "_pid", F.spark_partition_id()
@@ -1294,13 +1325,18 @@ def suffix_repeat_lengths(
             .alias("rep_len"),
         )
     )
-    _SFX_MEMO[memo_key] = out
+    _SFX_MEMO[memo_key] = _SfxMemoEntry(src=docs, out=out)
     return out
+
+
+class _SfxMemoEntry(NamedTuple):
+    src: DataFrame  # the docs plan the stage was built from (sameSemantics)
+    out: DataFrame  # the persisted rep_len table
 
 
 # Shared sorted-suffix stage, see suffix_repeat_lengths docstring. Flushed
 # alongside the persisted blocks it references (cache.release_cached).
-_SFX_MEMO: dict[tuple, DataFrame] = {}
+_SFX_MEMO: dict[tuple, _SfxMemoEntry] = {}
 
 from ..cache import register_memo_clearer as _reg_clear  # noqa: E402
 
