@@ -1497,6 +1497,146 @@ def q240_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1]).orderBy("variant", "q_id")
 
 
+def _lloyd_milli(e: DataFrame, cell_ids, C, c_sq, iters: int):
+    """Integer-milli Lloyd rounds on a grown geometry: per round, one
+    map-side GEMM assignment (_gemm_assign — the q217b spelling) and one
+    (cell, dim) groupBy whose group count is n_cells × dim = sqrt(N) × dim
+    (the seed-fetch collect bound). Centroid handoff is the q240
+    convention — FLOOR(sum/count + 0.5) on exact integer sums < 2^53, one
+    double division both engines compute identically — so the trained
+    centroids stay exact integers and every downstream argmin/probe rank
+    is tie-stable cross-engine. Cells that lose all members drop out
+    (standard Lloyd; ids stay ascending, preserving first-min ties)."""
+    import numpy as np
+
+    for _ in range(iters):
+        asn = _gemm_assign(
+            e, cell_ids, C, c_sq, "xm", "vector", quantize_input=False
+        )
+        rows = (
+            asn.select("cell", F.posexplode("rv").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(
+                F.floor(F.sum("x") / F.count("*") + lit(0.5))
+                .cast("long")
+                .alias("v")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r.cell), {})[int(r.i)] = int(r.v)
+        pairs = sorted(
+            (cell, [dims[i] for i in sorted(dims)])
+            for cell, dims in by_cell.items()
+        )
+        cell_ids = np.array([c for c, _ in pairs], dtype=np.int64)
+        C = np.asarray([v for _, v in pairs], dtype=np.float64)
+        c_sq = (C * C).sum(axis=1)
+    return cell_ids, C, c_sq
+
+
+def q242_ivf_trained_grown_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q238's trained-vs-seeded question asked of the DEPLOYABLE grown
+    geometry (round-10 VERDICT ask #4): candidate recall@5 of the
+    auto_cells(N)/auto_probe IVF layout — the q217b/q227/q237/q239 index
+    shape — under deterministic lowest-vec_id seeding VS after two
+    integer-milli Lloyd rounds (_lloyd_milli). q238 proved training lifts
+    recall on q53's fixed 16-cell layout; this measures it on the
+    geometry a 100 TB store actually ships, making the trained quantizer
+    a drop-in for the grown index family (same cell-id labeling, same
+    integer metric, same probe rule).
+
+    Determinism: everything runs in the milli-quantized integer metric
+    (q217b/q222 convention) and the Lloyd handoff re-quantizes to
+    integers (q240's FLOOR(sum/count + 0.5)), so every assignment argmin,
+    probe rank, and exact-ground-truth rank is an exact integer both
+    engines order identically.
+
+    Scale: training is iters × (map-side GEMM assignment + one
+    sqrt(N)·dim-bounded groupBy/collect) — the canonical distributed
+    k-means; both variant assignments are one GEMM pass each; the exact
+    side is the q51 broadcast-query shape; audit joins are ≤ 5·|queries|
+    rows a side. Oracle-gated, not headlined: it re-runs the q217b
+    assignment shape three times plus training (the q162/q173
+    double-count convention)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = persist_tracked(
+        spread(emb).select(
+            "vec_id",
+            F.transform(
+                as_double_array(col("embedding")),
+                lambda x: F.floor(x * 1000 + lit(0.5)).cast("long"),
+            ).alias("xm"),
+        )
+    )
+    n = e.count()
+    n_cells = auto_cells(n)
+    n_probe = auto_probe(n_cells)
+    seeds = sorted(
+        (int(r.vec_id), list(r.xm))
+        for r in e.orderBy("vec_id").limit(n_cells).collect()
+    )
+    ids0, C0, sq0 = _seed_matrix(seeds, quantize=False)
+    ids2, C2, sq2 = _lloyd_milli(e, ids0, C0, sq0, iters=2)
+
+    q = e.where(col("vec_id").isin(100, 101, 102)).select(
+        col("vec_id").alias("q_id"), col("xm").alias("qm")
+    )
+    w = Window.partitionBy("q_id").orderBy(col("d"), col("neighbor_id"))
+    exact = persist_tracked(
+        e.crossJoin(broadcast(q))
+        .where(col("vec_id") != col("q_id"))
+        .select(
+            "q_id",
+            col("vec_id").alias("neighbor_id"),
+            sq_l2(col("xm"), col("qm")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    import numpy as np
+
+    qrows = sorted(
+        (int(r.q_id), list(r.qm)) for r in q.collect()
+    )
+    parts = []
+    for variant, (ids, C, csq) in (
+        ("seeded", (ids0, C0, sq0)),
+        ("trained", (ids2, C2, sq2)),
+    ):
+        asn = _gemm_assign(
+            e, ids, C, csq, "xm", "d", quantize_input=False
+        ).select(col("vec_id").alias("neighbor_id"), "cell")
+        probe_rows = []
+        for q_id, qm in qrows:
+            x = np.asarray(qm, dtype=np.float64)
+            dq = (x * x).sum() - 2.0 * (C @ x) + csq
+            for ci in np.lexsort((ids, dq))[:n_probe]:
+                probe_rows.append((q_id, int(ids[ci])))
+        probes = spark.createDataFrame(probe_rows, "q_id long, cell long")
+        hits = (
+            exact.join(asn, "neighbor_id")
+            .join(broadcast(probes), ["q_id", "cell"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("h"))
+        )
+        parts.append(
+            q.select("q_id")
+            .join(hits, "q_id", "left")
+            .select(
+                lit(variant).alias("variant"),
+                "q_id",
+                F.coalesce(col("h"), lit(0)).cast("long").alias("n_hits"),
+                F.round(F.coalesce(col("h"), lit(0)) / lit(5.0), 4).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("variant", "q_id")
+
+
 # --- semantic dedup (SemDeDup) ---------------------------------------------
 
 _SEM_T = 0.4  # same cosine regime as q44's near-dup threshold
@@ -3404,9 +3544,99 @@ from ..functions import materialize_ctes as _mat
 
 ORACLES["q240_pq_trained_recall"] = _pq_trained_sql()
 
+
+def _ivf_trained_grown_sql() -> str:
+    """q242 mirror: grown-geometry (params CTE = auto_cells/auto_probe
+    integer twins) seeded-vs-trained candidate recall with two unrolled
+    integer-milli Lloyd rounds — centroid means re-quantize via
+    FLOOR(CAST(SUM AS DOUBLE)/COUNT + 0.5) (q240's convention), so every
+    distance, assignment argmin, and probe rank is an exact integer both
+    engines order identically."""
+
+    def asn(src: str, cents: str) -> str:
+        return (
+            f"SELECT e.vec_id, MIN({{'d': {sq_l2_sql('e.xm', f'{cents}.cm')},"
+            f" 'c': {cents}.cell}})['c'] AS cell"
+            f" FROM e, {cents} GROUP BY e.vec_id"
+        )
+
+    def means(asn_cte: str) -> str:
+        return f"""
+  SELECT cell, list(v ORDER BY i) AS cm FROM (
+    SELECT a.cell, t.i,
+           CAST(FLOOR(CAST(SUM(e.xm[i]) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS v
+    FROM {asn_cte} a JOIN e USING (vec_id),
+         UNNEST(range(1, len(e.xm) + 1)) AS t(i)
+    GROUP BY a.cell, t.i) GROUP BY cell"""
+
+    def probes(cents: str) -> str:
+        return f"""
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY {sq_l2_sql('q.qm', 'c.cm')}, c.cell) AS pr
+    FROM qs q, {cents} c) t
+  WHERE pr <= (SELECT n_probe FROM params)"""
+
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform({as_double_array_sql('embedding')},
+                                 x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))
+                    AS xm
+           FROM embeddings),
+params AS (
+  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS n_cells,
+         GREATEST(2, CAST(CEIL(LOG2(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) + 1))
+                          AS BIGINT)) AS n_probe
+  FROM e),
+c0 AS (
+  SELECT vec_id AS cell, xm AS cm
+  FROM (SELECT vec_id, xm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+  CROSS JOIN params WHERE rn <= n_cells),
+a1 AS ({asn('e', 'c0')}),
+c1 AS ({means('a1')}),
+a2 AS ({asn('e', 'c1')}),
+c2 AS ({means('a2')}),
+a3 AS ({asn('e', 'c2')}),
+qs AS (SELECT vec_id AS q_id, xm AS qm FROM e WHERE vec_id IN (100, 101, 102)),
+ex AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY {sq_l2_sql('c.xm', 'q.qm')}, c.vec_id) AS rank
+    FROM e c, qs q WHERE c.vec_id <> q.q_id) t
+  WHERE rank <= 5),
+pr_s AS ({probes('c0')}),
+pr_t AS ({probes('c2')}),
+h_s AS (
+  SELECT ex.q_id, COUNT(*) AS h
+  FROM ex JOIN (SELECT vec_id AS neighbor_id, cell FROM a1) a USING (neighbor_id)
+  JOIN pr_s p ON p.q_id = ex.q_id AND p.cell = a.cell GROUP BY ex.q_id),
+h_t AS (
+  SELECT ex.q_id, COUNT(*) AS h
+  FROM ex JOIN (SELECT vec_id AS neighbor_id, cell FROM a3) a USING (neighbor_id)
+  JOIN pr_t p ON p.q_id = ex.q_id AND p.cell = a.cell GROUP BY ex.q_id)
+SELECT variant, q_id, n_hits, recall_at_5 FROM (
+  SELECT 'seeded' AS variant, q.q_id,
+         CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         ROUND(COALESCE(h, 0) / 5.0, 4) AS recall_at_5
+  FROM qs q LEFT JOIN h_s USING (q_id)
+  UNION ALL
+  SELECT 'trained' AS variant, q.q_id,
+         CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+         ROUND(COALESCE(h, 0) / 5.0, 4) AS recall_at_5
+  FROM qs q LEFT JOIN h_t USING (q_id)) u
+ORDER BY variant, q_id
+"""
+
+
+ORACLES["q242_ivf_trained_grown_recall"] = _ivf_trained_grown_sql()
+
 for _k in ("q85_pq_ann", "q217_ivfpq_ann", "q217b_ivfpq_ann_scaled",
            "q222_ann_recall_audit", "q54b_kmeans_iter2",
-           "q238_ivf_trained_recall", "q240_pq_trained_recall"):
+           "q238_ivf_trained_recall", "q240_pq_trained_recall",
+           "q242_ivf_trained_grown_recall"):
     ORACLES[_k] = _mat(ORACLES[_k])
 
 ORACLES["q226_pca_project"] = _pca_project_sql()
@@ -3435,6 +3665,7 @@ QUERIES = {
     "q54b_kmeans_iter2": q54b_kmeans_iter2,
     "q238_ivf_trained_recall": q238_ivf_trained_recall,
     "q240_pq_trained_recall": q240_pq_trained_recall,
+    "q242_ivf_trained_grown_recall": q242_ivf_trained_grown_recall,
     "q85_pq_ann": q85_pq_ann,
     "q59_label_centroids": q59_label_centroids,
     "q69_doc_vec_join": q69_doc_vec_join,

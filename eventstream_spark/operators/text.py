@@ -11,6 +11,8 @@ except the final small aggregation, filters/projections push into the scan.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
@@ -1099,6 +1101,15 @@ def q148_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_EST_TOK_GATE = 2_000_000  # free n_chars pre-gate: below this token
+# estimate the scored stream cannot reach partial-agg-spill volume and the
+# (one-postings-pass) scored-volume estimate is skipped entirely — the
+# bench-scale plan is byte-identical to the ungated form
+_BM25_SCORED_ROWS_PER_TASK = 2_000_000  # (query, doc, term) score rows per
+# partial-aggregate task — 24-byte unsafe rows, so a task's hash map stays
+# well inside executor memory
+
+
 def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-text retrieval: BM25 top-5 per query (k1=1.2, b=0.75) with the
     query side drawn from the corpus (doc_id % 211 == 0). Ranking, not the
@@ -1111,21 +1122,61 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the quantize is a fixed IEEE expression tree both engines
     evaluate identically.
 
-    Scale: the query term list is tiny → broadcast into the posting
-    (term-frequency) table — cost is |postings of query terms|, linear in
-    the corpus. df/dl joins are AQE-sized; per-query top-k is a
-    WindowGroupLimit, never a global sort."""
+    Scale (round-11 replan; the round-6 triage read 19 GB of spill, re-
+    measured at 13.8x/19.3 GB under the fixed protocol): the scored stream
+    is |query terms| x |postings per term| — it grows QUADRATICALLY when
+    the query panel scales with the corpus (queries x100 AND per-term
+    postings x100 at the 100x smoke = a 1.02 B-row scored stream off a
+    25 M-row postings table), so (a) nothing corpus-sized may join ONTO
+    it, and (b) the partial aggregate that absorbs it must see join-input
+    partitions sized to the SCORED volume, not the corpus — the 19 GB was
+    the partial agg's sort-fallback on ~30 M-row tasks. Above the free
+    n_chars pre-gate the plan estimates the scored volume from one pass
+    over the persisted postings (postings^2 / (211 * vocab)), repartitions
+    the postings to scored/2M tasks, and attaches dl/df via two windows
+    riding those exchanges (hash(doc_id) from the first repartition
+    satisfies the dl window; df pays the one term exchange) — both stats
+    ride the postings BEFORE the query fan-out, corpus-linear, no
+    docs-bounded broadcast anywhere. The query term list stays a broadcast
+    (1/211 of the postings rows — the panel contract). Map-side partial
+    aggregation then compresses the scored stream ~12x (a (q, d) pair
+    merges across its shared terms within a task) before the one
+    (query, doc) exchange; per-query top-k is a WindowGroupLimit, never a
+    global sort. At bench scale the original shape is kept bit-for-bit:
+    AQE broadcast-joins the two small stat aggregates onto the scored
+    stream (measured faster there — the windows' two postings exchanges
+    only pay off once the scored stream dwarfs them)."""
     docs = spread(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    # ONE tokenize pass: tf persists and dlen/df/total_len all derive from
+    base_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if "n_chars" in docs.columns:
+        est_tok = int(docs.agg(F.sum("n_chars")).head()[0] or 0) // 6
+    else:
+        est_tok = int(
+            docs.agg(F.sum(F.size(tokens("text")))).head()[0] or 0
+        )
+    # ONE tokenize pass: tf persists and dl/df/total_len all derive from
     # it (dl = Σ tf per doc, total_len = Σ tf — identical values, three
     # fewer corpus scans; at 100 TB this is "materialize the postings
     # table once", which is exactly what the q142 inverted index builds).
     tf = persist_tracked(
         tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     )
-    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_parts = base_parts
+    if est_tok > _BM25_EST_TOK_GATE:
+        st = tf.agg(
+            F.count("*").alias("m"),
+            F.approx_count_distinct("term").alias("v"),
+        ).head()
+        scored_est = (int(st["m"]) // 211 + 1) * max(
+            int(st["m"]) // max(int(st["v"]), 1), 1
+        )
+        n_parts = max(
+            base_parts, -(-scored_est // _BM25_SCORED_ROWS_PER_TASK)
+        )
+    grow = n_parts > base_parts
     consts = docs.agg(F.count("*").alias("n_docs")).crossJoin(
         tf.agg(F.sum("tf").alias("total_len"))
     )
@@ -1145,14 +1196,36 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_micro = F.round(((idf * (col("tf") * lit(2.2))) / denom) * lit(1e6)).cast(
         "long"
     )
-    scored = (
-        F.broadcast(qterms)
-        .join(tf, "term")
-        .join(stats, "term")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(consts))
-        .select("query_id", "doc_id", s_micro.alias("s_micro"))
-    )
+    if grow:
+        # Corpus-scale path: enrich the postings BEFORE the query fan-out,
+        # at scored-volume-sized partitions. The doc_id repartition's hash
+        # partitioning satisfies the dl window (no extra exchange); df
+        # pays the one term exchange, whose output partitioning then feeds
+        # the broadcast query join map-side — so each partial-agg task
+        # sees ~scored/n_parts rows and its hash map never sort-spills.
+        post = (
+            tf.repartition(n_parts, "doc_id")
+            .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+            .repartition(n_parts, "term")
+            .withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        )
+        scored = (
+            F.broadcast(qterms)
+            .join(post, "term")
+            .crossJoin(F.broadcast(consts))
+            .select("query_id", "doc_id", s_micro.alias("s_micro"))
+        )
+    else:
+        dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+        scored = (
+            F.broadcast(qterms)
+            .join(tf, "term")
+            .join(stats, "term")
+            .join(dlen, "doc_id")
+            .crossJoin(F.broadcast(consts))
+            .select("query_id", "doc_id", s_micro.alias("s_micro"))
+        )
     agg = scored.groupBy("query_id", "doc_id").agg(
         (F.sum("s_micro") / lit(1e6)).alias("bm25")
     )
@@ -1281,18 +1354,77 @@ def classifier_logit_micro() -> Column:
     The dot product is an exact integer fold (micro-weights × occurrence),
     and the single division happens on exact doubles < 2^53 — the score is
     engine-exact, never a float accumulation. Pure map-side expression:
-    zero shuffle, whole-stage codegen, no UDF."""
+    zero shuffle, no UDF.
+
+    The bucket hash is computed ONCE per gram in a ``transform`` and the
+    weight CASE dispatches on the precomputed element. Spelling the CASE
+    directly on the md5 expression (``CASE (md5(...)) WHEN b1 ...``)
+    desugars to one ``h = b_i`` comparison PER ARM with the discriminant
+    RE-EVALUATED each time — higher-order-function lambdas get no
+    common-subexpression elimination, so the 14-arm model paid 14 md5
+    calls per gram. Measured at 20x sf0.1 (100k docs): 6.7 s -> 1.1 s for
+    the identical integer result (round-11; the whole q201 family rides
+    this expression)."""
     h = "CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % " + str(_CLF_DIM)
     arms = " ".join(
         f"WHEN {b} THEN {w}L" for b, w in sorted(_clf_bucket_weights().items())
     )
-    case = f"CASE ({h}) {arms} ELSE 0L END"
     grams = _clf_grams_expr()
     return F.expr(
         f"{_CLF_BIAS_MICRO}L + CAST(FLOOR(CAST("
-        f"aggregate({grams}, 0L, (acc, g) -> acc + {case})"
+        f"aggregate(transform({grams}, g -> {h}), 0L,"
+        f" (acc, b) -> acc + CASE b {arms} ELSE 0L END)"
         f" AS DOUBLE) / size({grams})) AS BIGINT)"
     )
+
+
+class _ClfMemoEntry(NamedTuple):
+    src: DataFrame  # the docs plan the stage was scored from (sameSemantics)
+    out: DataFrame  # the persisted (doc_id, source, n_tok, lm) table
+
+
+# Shared classifier-scoring stage (the q219/q220 suffix-memo convention,
+# applied per round-10 VERDICT ask #5): q201, q214 and q230 all stand on
+# one per-doc scored table; in a session computing several, the later
+# callers reuse the first's persisted stage instead of re-paying the
+# tokenize+hash+score pass. Flushed with the persisted working set by
+# cache.release_cached(), so the memo can never outlive its blocks.
+_CLF_MEMO: dict[int, _ClfMemoEntry] = {}
+
+
+def clf_scored_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok, lm): the per-document classifier scoring
+    stage every q201-family consumer reads — token count and the exact
+    integer micro-logit of the literal-weight model, persisted and
+    memoized per docs plan.
+
+    Memo validity mirrors suffix_repeat_lengths: a hit must still hold
+    live persisted blocks AND pass sameSemantics against the stored
+    source plan (semanticHash is 32 bits; a collision must miss, never
+    serve another corpus's scores)."""
+    key = docs.semanticHash()
+    hit = _CLF_MEMO.get(key)
+    if (
+        hit is not None
+        and (hit.out.storageLevel.useMemory or hit.out.storageLevel.useDisk)
+        and docs.sameSemantics(hit.src)
+    ):
+        return hit.out
+    out = persist_tracked(
+        docs.select("doc_id", "source", tokens("text").alias("w")).select(
+            "doc_id",
+            "source",
+            F.size("w").cast("long").alias("n_tok"),
+            classifier_logit_micro().alias("lm"),
+        )
+    )
+    _CLF_MEMO[key] = _ClfMemoEntry(src=docs, out=out)
+    return out
+
+
+from ..cache import register_memo_clearer as _reg_clf_clear  # noqa: E402
+
+_reg_clf_clear(_CLF_MEMO.clear)
 
 
 def q201_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1314,9 +1446,7 @@ def q201_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bigger model rides along as a broadcast map instead of a CASE; the
     plan shape is unchanged."""
     docs = spread(load(spark, sf_dir, "documents"))
-    d = docs.select(
-        "doc_id", "source", tokens("text").alias("w")
-    ).select("doc_id", "source", classifier_logit_micro().alias("lm"))
+    d = clf_scored_docs(docs)
     return (
         d.groupBy("source")
         .agg(
@@ -1335,12 +1465,17 @@ def clf_scored_cte_sql(src: str) -> str:
     """duckdb CTE body computing (doc_id, source, w, lm) — the per-doc
     classifier micro-logit — from a pre-tokenized table ``src`` holding
     (doc_id, source, w). Shared by the q201 oracle and the composed
-    pipeline (q89b) oracle so both spell the identical model."""
+    pipeline (q89b) oracle so both spell the identical model.
+
+    Hash-once spelling (round-11, mirroring the Spark side): the bucket
+    hash is computed once per gram in a list_transform and the weight CASE
+    dispatches on the precomputed element — the bench protocol stays
+    symmetric (both engines pay one md5 per gram, not one per CASE arm)."""
     h = f"CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % {_CLF_DIM}"
     arms = " ".join(
         f"WHEN {b} THEN {w}" for b, w in sorted(_clf_bucket_weights().items())
     )
-    case = f"CASE ({h}) {arms} ELSE 0 END"
+    case = "CASE b " + arms + " ELSE 0 END"
     grams = (
         "flatten([w, list_transform(range(1, len(w)),"
         " i -> w[i] || ' ' || w[i + 1])])"
@@ -1349,7 +1484,8 @@ def clf_scored_cte_sql(src: str) -> str:
 g_{src} AS (SELECT doc_id, source, w, {grams} AS grams FROM {src}),
 dotp_{src} AS (
   SELECT doc_id, source, w, len(grams) AS n_grams,
-         COALESCE(CAST(list_sum(list_transform(grams, g -> {case})) AS BIGINT), 0)
+         COALESCE(CAST(list_sum(list_transform(
+             list_transform(grams, g -> {h}), b -> {case})) AS BIGINT), 0)
            AS dot
   FROM g_{src}),
 scored_{src} AS (
@@ -2391,11 +2527,7 @@ def q214_selection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ranking import scalable_ntile
 
     docs = spread(load(spark, sf_dir, "documents"))
-    d = docs.select("doc_id", tokens("text").alias("w")).select(
-        "doc_id",
-        F.size("w").cast("long").alias("n_tok"),
-        classifier_logit_micro().alias("lm"),
-    )
+    d = clf_scored_docs(docs).select("doc_id", "n_tok", "lm")
     dec = scalable_ntile(d, [col("lm").desc(), col("doc_id").asc()], 10, "decile")
     per = dec.groupBy("decile").agg(
         F.count("*").alias("n_docs"),
@@ -3470,9 +3602,7 @@ def q230_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — partial aggs absorb the corpus; the result is bin-bounded
     regardless of corpus size."""
     docs = spread(load(spark, sf_dir, "documents"))
-    d = docs.select("doc_id", tokens("text").alias("w")).select(
-        "doc_id", classifier_logit_micro().alias("lm")
-    )
+    d = clf_scored_docs(docs).select("doc_id", "lm")
     pm = F.least(
         lit(999),
         F.greatest(

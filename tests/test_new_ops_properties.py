@@ -1382,3 +1382,122 @@ def test_incremental_ivf_ingest_matches_numpy(spark, sf_dir):
     assert got == expect
     assert sum(v[0] for v in got.values()) == int(st_mask.sum())
     assert sum(v[1] for v in got.values()) == int((~st_mask).sum())
+
+
+def test_clf_scored_memo_shared_and_liveness_guarded(spark, sf_dir):
+    """The q201-family shared scoring stage (round-11): a second caller
+    must reuse the SAME persisted DataFrame; release_cached must flush the
+    memo; an out-of-band spark.catalog.clearCache() must force a rebuild
+    (the suffix-memo liveness contract) — and results stay identical
+    throughout."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.operators.text import clf_scored_docs
+
+    release_cached()
+    docs = spread(load(spark, sf_dir, "documents"))
+    first = clf_scored_docs(docs)
+    before = sorted(tuple(r) for r in first.collect())
+    assert clf_scored_docs(docs) is first  # memo hit, same persisted stage
+    spark.catalog.clearCache()
+    rebuilt = clf_scored_docs(docs)
+    assert rebuilt is not first  # dropped blocks must not serve
+    after = sorted(tuple(r) for r in rebuilt.collect())
+    release_cached()
+    assert clf_scored_docs(docs) is not rebuilt  # flush clears the memo
+    release_cached()
+    assert after == before
+
+
+def test_clf_consumers_share_one_scoring_stage(spark, sf_dir):
+    """q201 -> q230 -> q214 in one session: after the first call the memo
+    holds the scored stage, and each later consumer's plan reuses the
+    SAME cached table (InMemoryTableScan over one materialization), not a
+    re-tokenize."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.text import (
+        _CLF_MEMO,
+        q201_classifier_score,
+        q214_selection_curve,
+        q230_calibration_ece,
+    )
+
+    release_cached()
+    q201_classifier_score(spark, sf_dir).collect()
+    assert len(_CLF_MEMO) == 1
+    stage = next(iter(_CLF_MEMO.values())).out
+    assert stage.storageLevel.useMemory or stage.storageLevel.useDisk
+    for fn in (q230_calibration_ece, q214_selection_curve):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+    assert len(_CLF_MEMO) == 1  # no second stage was built
+    release_cached()
+    assert len(_CLF_MEMO) == 0
+
+
+def test_jaccard_heavy_table_broadcast_guard_raises(spark):
+    """jaccard_pairs on a boilerplate-saturated corpus must fail with the
+    actionable size-guard error, not a broadcast/driver OOM (round-11
+    ADVICE). A tiny cap forces the guard on a corpus where every doc is
+    mostly one shared heavy shingle set."""
+    import pytest as _pytest
+
+    from eventstream_spark.operators import dedup
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [(i, f"{boiler} u{i} v{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = dedup._HV_BROADCAST_CAP
+    dedup._HV_BROADCAST_CAP = 64  # bytes — force the guard
+    try:
+        with _pytest.raises(ValueError, match="boilerplate-saturated"):
+            dedup.jaccard_pairs(docs, 0.5, df_cap=2).collect()
+    finally:
+        dedup._HV_BROADCAST_CAP = old
+
+
+def test_bm25_grow_path_equals_base_plan(spark, sf_dir):
+    """q158's corpus-scale plan (windowed postings enrichment + scored-
+    volume partitioning) must produce byte-identical rows to the bench-
+    scale broadcast-stats plan — forced here by zeroing the pre-gate and
+    shrinking rows-per-task so `grow` triggers at sf0.001."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators import text
+
+    release_cached()
+    base = sorted(
+        tuple(r) for r in text.q158_bm25_topk(spark, sf_dir).collect()
+    )
+    release_cached()
+    old_gate, old_rpt = text._BM25_EST_TOK_GATE, text._BM25_SCORED_ROWS_PER_TASK
+    text._BM25_EST_TOK_GATE = 0
+    text._BM25_SCORED_ROWS_PER_TASK = 1_000
+    try:
+        grown = sorted(
+            tuple(r) for r in text.q158_bm25_topk(spark, sf_dir).collect()
+        )
+    finally:
+        text._BM25_EST_TOK_GATE = old_gate
+        text._BM25_SCORED_ROWS_PER_TASK = old_rpt
+        release_cached()
+    assert grown == base
+
+
+def test_ivf_trained_grown_recall_shape_and_bounds(spark, sf_dir):
+    """q242: 2 variants x 3 pinned queries; hits in [0, 5] with
+    recall = hits/5; the trained variant's centroids come from real Lloyd
+    rounds (the exact values are pinned by the differential oracle at two
+    SFs — this guards the structural contract)."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.similarity import (
+        q242_ivf_trained_grown_recall,
+    )
+
+    rows = q242_ivf_trained_grown_recall(spark, sf_dir).collect()
+    release_cached()
+    assert [(r.variant, r.q_id) for r in rows] == [
+        (v, q) for v in ("seeded", "trained") for q in (100, 101, 102)
+    ]
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-9
