@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import col, lit
 
@@ -1176,9 +1177,12 @@ _SFX_DEPTH = 16  # bounded suffix depth (tokens) == the cap on reported length
 # >1 GB with JVM sort overhead). Round-9 A/B at the 100× smoke, same box,
 # back-to-back (SCALING.md): 2M rows/task (32 parts — the floor, i.e. the
 # round-8 plan) q219+q220 = 477.5 s; 250k (99 parts) = 344.3 s; 100k
-# (248 parts) = 336.3 s. 250k adopted — the knee; finer splits trade task
-# overhead for nothing outside noise.
-_SFX_ROWS_PER_TASK = 250_000
+# (248 parts) = 336.3 s. Round-11 re-A/B (scripts/ab_sfx_residual.py,
+# SFX_AB_RESIDUAL.json) crossed rows-per-task with the persist level and
+# found the interaction the round-9 single-knob sweep missed: with the
+# wide suffix table cached DISK_ONLY (see suffix_repeat_lengths), 100k
+# beats 250k by another ~10-16% wall with spill −60% — 100k adopted.
+_SFX_ROWS_PER_TASK = 100_000
 
 
 def _sfx_partitions(docs: DataFrame) -> int:
@@ -1268,10 +1272,25 @@ def suffix_repeat_lengths(
     suf = toks.select(
         "doc_id", "source", F.posexplode(keys).alias("i0", "key")
     ).select("doc_id", "source", (col("i0") + 1).alias("pos"), "key")
+    # DISK_ONLY for the wide range-sorted stage (round-11, measured in
+    # scripts/ab_sfx_residual.py at the 100x smoke): this table is
+    # string-keyed (~130 B/row), read exactly twice (edge collect + the
+    # window pass), and a MEMORY_AND_DISK copy of it competed with the
+    # window sort's execution memory in the unified pool — the memo-cold
+    # 1.9 GiB sort spill was cache pressure, not the plan. Serialized +
+    # compressed on local disk: q219 163 -> 124 s, q220 152 -> 138 s,
+    # spill -70/-85% (with the 100k rows-per-task knob above). A
+    # distinct-key variant (sort |distinct keys| with a positions join
+    # back — duplicated keys get rep_len = own length by the identical-
+    # twin-neighbor argument) was built and MEASURED: zero spill at 100x
+    # but equal-or-worse scaled wall and 2x base cost (three corpus
+    # exchanges vs one) — the wall is wide-row MATERIALIZATION, not the
+    # sort; rejected, artifact SFX_DISTINCT_TRIAGE.json.
     rp = persist_tracked(
         suf.repartitionByRange(n_parts, "key", "doc_id", "pos").withColumn(
             "_pid", F.spark_partition_id()
-        )
+        ),
+        level=StorageLevel.DISK_ONLY,
     )
     edges = sorted(
         (r["_pid"], r["fst"]["key"], r["lst"]["key"])
