@@ -1297,6 +1297,119 @@ FROM perq
 """
 
 
+# --- q243: hybrid retrieval (BM25 + vector, reciprocal-rank fusion) -----------
+
+_RRF_K = 60  # the standard RRF constant (Cormack et al. SIGIR'09)
+
+
+def q243_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack, Clarke &
+    Buettcher SIGIR'09) of the BM25 lexical channel (q158's rankings) and
+    the exact-cosine vector channel (q51's broadcast-query shape) over the
+    shared query panel — q158's doc_id % 211 == 0 panel restricted to
+    documents that HAVE embeddings (doc_id ≡ vec_id in the fixtures, the
+    q44 convention). This is the retrieval stack a RAG pipeline actually
+    serves: neither channel alone, but rank fusion of both, with per-hit
+    channel provenance (in_lex / in_vec) for the fusion audit.
+
+    Determinism: channel ranks are exact integers (q158's integer-micro
+    BM25 ranks; q51's IEEE-fixed cosine ranks); each RRF contribution
+    quantizes as ROUND(1e6 / (60 + rank)) — no value in range ties at
+    .5 — so the fused score is an exact integer sum and the final
+    ordering (rrf_micro DESC, doc_id) is tie-stable cross-engine.
+
+    Scale: both channels are top-5-bounded per query BEFORE fusion, so
+    the fusion full-outer join moves ≤ 10 rows per query regardless of
+    corpus size; total cost = the two channels' own (q158: corpus-linear
+    postings; q51: one broadcast-query corpus scan). Oracle-gated, not
+    headlined — the lexical channel re-runs q158 end to end (the
+    q162/q173 double-count convention)."""
+    from .similarity import topk_per_query
+
+    lex = q158_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", col("rnk").alias("lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    ids = emb.select(col("vec_id").alias("query_id"))
+    lex = lex.join(F.broadcast(ids), "query_id", "semi")
+    vec = topk_per_query(emb, col("vec_id") % 211 == 0, k=5).select(
+        col("q_id").alias("query_id"),
+        col("neighbor_id").alias("doc_id"),
+        col("rank").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full")
+
+    def contrib(rank_col):
+        return (
+            F.when(
+                rank_col.isNotNull(),
+                F.round(lit(1e6) / (lit(_RRF_K) + rank_col)).cast("long"),
+            ).otherwise(lit(0))
+        )
+
+    w = Window.partitionBy("query_id").orderBy(col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.select(
+            "query_id",
+            "doc_id",
+            (contrib(col("lex_rank")) + contrib(col("vec_rank"))).alias(
+                "rrf_micro"
+            ),
+            col("lex_rank").isNotNull().cast("int").alias("in_lex"),
+            col("vec_rank").isNotNull().cast("int").alias("in_vec"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+_HYBRID_RRF_SQL = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank
+  FROM rk WHERE rn <= 5
+    AND query_id IN (SELECT vec_id FROM embeddings)),
+ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+vq AS (SELECT vec_id AS q_id, v AS qv FROM ve WHERE vec_id % 211 = 0),
+vcand AS (
+  SELECT q.q_id, ve.vec_id,
+         list_reduce(list_transform(range(1, 1 + len(ve.v)),
+                                    i -> ve.v[i] * q.qv[i]), (x, y) -> x + y)
+         / sqrt(list_reduce(list_transform(range(1, 1 + len(ve.v)),
+                                           i -> ve.v[i] * ve.v[i]), (x, y) -> x + y)
+                * list_reduce(list_transform(range(1, 1 + len(q.qv)),
+                                             i -> q.qv[i] * q.qv[i]), (x, y) -> x + y))
+           AS cos_raw
+  FROM ve, vq q WHERE ve.vec_id <> q.q_id),
+vtop AS (
+  SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS vec_rank
+  FROM (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos_raw DESC, vec_id) AS rank FROM vcand) t
+  WHERE rank <= 5),
+rrf_f AS (
+  SELECT query_id, doc_id, lex_rank, vec_rank
+  FROM lex FULL JOIN vtop USING (query_id, doc_id)),
+rrf_scored AS (
+  SELECT query_id, doc_id,
+         (CASE WHEN lex_rank IS NOT NULL
+               THEN CAST(ROUND(1e6 / (60 + lex_rank)) AS BIGINT) ELSE 0 END
+        + CASE WHEN vec_rank IS NOT NULL
+               THEN CAST(ROUND(1e6 / (60 + vec_rank)) AS BIGINT) ELSE 0 END)
+           AS rrf_micro,
+         CASE WHEN lex_rank IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+         CASE WHEN vec_rank IS NOT NULL THEN 1 ELSE 0 END AS in_vec
+  FROM rrf_f)
+SELECT query_id, doc_id, rrf_micro,
+       CAST(in_lex AS INTEGER) AS in_lex, CAST(in_vec AS INTEGER) AS in_vec,
+       CAST(rn AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rrf_micro DESC, doc_id) AS rn FROM rrf_scored) t
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
 # --- q201: literal-weight quality classifier ---------------------------------
 
 _CLF_DIM = 4096  # hashed n-gram feature space (hashing trick)
@@ -3674,6 +3787,7 @@ ORACLES = {
     "q204_temperature_mix": _TEMPERATURE_MIX_SQL,
     "q158_bm25_topk": _BM25_SQL,
     "q173_ir_eval": _IR_EVAL_SQL,
+    "q243_hybrid_rrf": _HYBRID_RRF_SQL,
     "q162_bpe_encode": _bpe_encode_sql(),
     "q148_adaptive_quality_filter": f"""
 WITH scored AS (
@@ -3947,6 +4061,7 @@ QUERIES = {
     "q204_temperature_mix": q204_temperature_mix,
     "q158_bm25_topk": q158_bm25_topk,
     "q173_ir_eval": q173_ir_eval,
+    "q243_hybrid_rrf": q243_hybrid_rrf,
     "q117_doc_chunking": q117_doc_chunking,
     "q24_lang_stats": q24_lang_stats,
     "q30_lang_id": q30_lang_id,

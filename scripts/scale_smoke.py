@@ -334,6 +334,13 @@ SCALE_QUERIES = [
     # q240 trained-PQ recall: two GEMM encode passes + one dim*K-bounded
     # training groupBy + broadcast-LUT ADC rankings.
     "q240_pq_trained_recall",
+    # q242 trained-grown-IVF recall: 2 integer-milli Lloyd rounds (GEMM
+    # assignment + sqrt(N)*dim-bounded mean groupBy each) + 3 GEMM
+    # assignment passes + the q51-shape exact side.
+    "q242_ivf_trained_grown_recall",
+    # q243 hybrid RRF: both channels top-5-bounded before fusion; cost =
+    # q158's postings + q51's broadcast-query scan.
+    "q243_hybrid_rrf",
     # q241 exact-span decontamination: benchmark window set broadcasts;
     # corpus windows explode map-side and never shuffle — one source
     # rollup exchange.

@@ -1501,3 +1501,46 @@ def test_ivf_trained_grown_recall_shape_and_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= 5
         assert abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-9
+
+
+def test_hybrid_rrf_fuses_both_channels(spark, sf_dir):
+    """q243: every fused row comes from at least one channel; RRF scores
+    match the channel-rank replay; both channels' #1 hits survive into
+    the fused candidate pool for every panel query."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.text import (
+        _RRF_K,
+        q158_bm25_topk,
+        q243_hybrid_rrf,
+    )
+    from eventstream_spark.operators.similarity import topk_per_query
+    from eventstream_spark.catalog import load
+    from pyspark.sql.functions import col
+
+    rows = q243_hybrid_rrf(spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    vec = {
+        (r.q_id, r.neighbor_id): r.rank
+        for r in topk_per_query(emb, col("vec_id") % 211 == 0, k=5).collect()
+    }
+    emb_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    lex = {
+        (r.query_id, r.doc_id): r.rnk
+        for r in q158_bm25_topk(spark, sf_dir).collect()
+        if r.query_id in emb_ids
+    }
+    release_cached()
+    assert rows
+    for r in rows:
+        assert r.in_lex + r.in_vec >= 1
+        expect = 0
+        if (r.query_id, r.doc_id) in lex:
+            expect += round(1e6 / (_RRF_K + lex[(r.query_id, r.doc_id)]))
+        if (r.query_id, r.doc_id) in vec:
+            expect += round(1e6 / (_RRF_K + vec[(r.query_id, r.doc_id)]))
+        assert r.rrf_micro == expect
+        assert r.in_lex == int((r.query_id, r.doc_id) in lex)
+        assert r.in_vec == int((r.query_id, r.doc_id) in vec)
+    assert {r.query_id for r in rows} == {q for q, _ in vec} | {
+        q for q, _ in lex
+    }
