@@ -1321,10 +1321,12 @@ def q243_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both channels are top-5-bounded per query BEFORE fusion, so
     the fusion full-outer join moves ≤ 10 rows per query regardless of
     corpus size; total cost = the two channels' own (q158: corpus-linear
-    postings; q51: one broadcast-query corpus scan). Oracle-gated, not
-    headlined — the lexical channel re-runs q158 end to end (the
-    q162/q173 double-count convention)."""
-    from .similarity import topk_per_query
+    postings; the vector side rides q51b's GEMM path — one BLAS matmul
+    per Arrow batch with per-partition top-k, shuffling ≤ parts·|q|·k
+    rows, measured 4× over the per-pair fold at the 100× smoke).
+    Oracle-gated, not headlined — the lexical channel re-runs q158 end
+    to end (the q162/q173 double-count convention)."""
+    from .similarity import matmul_topk_per_query
 
     lex = q158_bm25_topk(spark, sf_dir).select(
         "query_id", "doc_id", col("rnk").alias("lex_rank")
@@ -1332,7 +1334,7 @@ def q243_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     ids = emb.select(col("vec_id").alias("query_id"))
     lex = lex.join(F.broadcast(ids), "query_id", "semi")
-    vec = topk_per_query(emb, col("vec_id") % 211 == 0, k=5).select(
+    vec = matmul_topk_per_query(emb, col("vec_id") % 211 == 0, k=5).select(
         col("q_id").alias("query_id"),
         col("neighbor_id").alias("doc_id"),
         col("rank").alias("vec_rank"),

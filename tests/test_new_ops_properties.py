@@ -1513,7 +1513,7 @@ def test_hybrid_rrf_fuses_both_channels(spark, sf_dir):
         q158_bm25_topk,
         q243_hybrid_rrf,
     )
-    from eventstream_spark.operators.similarity import topk_per_query
+    from eventstream_spark.operators.similarity import matmul_topk_per_query as topk_per_query
     from eventstream_spark.catalog import load
     from pyspark.sql.functions import col
 
