@@ -1183,7 +1183,102 @@ def q239_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q244_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q241's exact-span benchmark decontamination executed AT INGEST —
+    the gate a training pipeline runs on every landing batch BEFORE the
+    crawl reaches the corpus (contaminated docs poison evals silently;
+    you want the alarm at the boundary, not at audit time). The
+    benchmark window set is frozen BATCH-side from the slice at rest
+    (doc_id % 50 == 0 — benchmarks are static and benchmark-sized by
+    definition, the q241 broadcast contract; here it ships as a hash-set
+    closure). Each corpus micro-batch builds its _DECON_N-token windows
+    with the SAME Spark-side expression q241 uses (span_positions — the
+    tokenization never re-implements engine-side), counts per-doc hits
+    against the frozen set in one Arrow-batched Pandas UDF (a doc is
+    atomic within its arrival file, so per-doc any-hit is MAP-SIDE —
+    no per-doc streaming state), and folds into per-source additive
+    counters: n_docs, n_windows, n_contam, hit_windows. State is
+    |sources| rows of four scalars, bounded forever; additivity makes
+    the drained state exactly q241's batch rollup under any
+    micro-batching or replay split, so q241's duckdb oracle applies
+    VERBATIM (the q225/q231/q239 convention)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .dedup import _DECON_N, span_positions
+
+    d = _documents_chunks_dir(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pos = span_positions("text", _DECON_N)
+    # Frozen benchmark windows from the landing dir at rest (a stream
+    # cannot be collected at plan build — the q132/q239 dim convention).
+    # Distinct window strings, built by the SAME expression the stream
+    # side uses; the collect is benchmark-bounded by contract.
+    bench = {
+        r.s
+        for r in spark.read.schema(schema)
+        .parquet(d)
+        .where(col("doc_id") % 50 == 0)
+        .select(F.explode(F.array_distinct(pos)).alias("s"))
+        .distinct()
+        .collect()
+    }
+
+    from pyspark.sql.functions import pandas_udf
+
+    # No type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf cannot resolve 'pd.Series' from its namespace —
+    # the explicit returnType form is the hint-free spelling.
+    def _hw(ws):
+        return ws.map(lambda arr: sum(1 for w in arr if w in bench))
+
+    hit_windows = pandas_udf(_hw, returnType="long")
+
+    sdocs = file_stream(spark, d, schema, max_files_per_trigger=1)
+    # Spread each one-file micro-batch to cluster width before the
+    # window build + set probe (the q231 ingest-gate convention: arrival
+    # files are unsplittable units; the per-source sums are additive, so
+    # the exchange never changes the answer).
+    n_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        sdocs.where(col("doc_id") % 50 != 0)
+        .repartition(n_sp)
+        .select("source", pos.alias("ws"))
+        .select(
+            "source",
+            F.size("ws").cast("long").alias("nw"),
+            hit_windows(col("ws")).alias("hw"),
+        )
+    )
+    ps = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nw").alias("n_windows"),
+        F.sum((col("hw") > 0).cast("long")).alias("n_contam"),
+        F.sum("hw").alias("hit_windows"),
+    )
+    drained = _run_to_table(ps, spark)
+    return drained.select(
+        "source",
+        "n_docs",
+        col("n_windows").cast("long").alias("n_windows"),
+        "n_contam",
+        col("hit_windows").cast("long").alias("hit_windows"),
+        F.round(lit(1000.0) * col("n_contam") / col("n_docs"), 3).alias(
+            "pct_docs_m"
+        ),
+    ).orderBy("source")
+
+
 from .analytics import ORACLES as _A_ORACLES
+from .dedup import ORACLES as _DEDUP_ORACLES
 from .similarity import ORACLES as _SIM_ORACLES
 from .sketch import ORACLES as _SKETCH_ORACLES
 from .text import ORACLES as _TEXT_ORACLES
@@ -1209,6 +1304,9 @@ ORACLES = {
     # Streaming IVF ingest must land on q237's batch maintenance view
     # exactly (per-cell delta counters are additive integers).
     "q239_stream_ivf_ingest": _SIM_ORACLES["q237_incremental_ivf_ingest"],
+    # Streaming decontamination must land on q241's batch rollup exactly
+    # (per-source window/contamination counters are additive integers).
+    "q244_stream_decontam": _DEDUP_ORACLES["q241_exact_span_decontam"],
     "q145_stream_topk": f"""
 WITH r AS (
   SELECT event_type, event_id, value,
@@ -1293,4 +1391,5 @@ QUERIES = {
     "q225_stream_doremi": q225_stream_doremi,
     "q231_stream_quality_gate": q231_stream_quality_gate,
     "q239_stream_ivf_ingest": q239_stream_ivf_ingest,
+    "q244_stream_decontam": q244_stream_decontam,
 }

@@ -368,6 +368,9 @@ GRAPH_QUERIES = [
 # (streaming_queries.LAST_RUN_INFO). State stays bounded by construction:
 # these aggregate into per-source / per-bucket grids, never per-row state.
 STREAM_QUERIES = [
+    # q244 streaming decontamination: frozen benchmark window set in a
+    # UDF closure, per-doc hits map-side, |sources|x4 additive state.
+    "q244_stream_decontam",
     "q128_stream_scrub",
     "q132_stream_vector_ingest",
     "q135_stream_incremental_dedup",

@@ -1544,3 +1544,23 @@ def test_hybrid_rrf_fuses_both_channels(spark, sf_dir):
     assert {r.query_id for r in rows} == {q for q, _ in vec} | {
         q for q, _ in lex
     }
+
+
+def test_stream_decontam_equals_batch_and_bounded_state(spark, sf_dir):
+    """q244: the drained streaming decontamination gate equals q241's
+    batch rollup row-for-row, the drain is genuinely multi-batch, and
+    peak state is exactly |sources| rows (four additive counters each)."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.dedup import q241_exact_span_decontam
+    from eventstream_spark.operators.streaming_queries import (
+        LAST_RUN_INFO,
+        q244_stream_decontam,
+    )
+
+    got = [tuple(r) for r in q244_stream_decontam(spark, sf_dir).collect()]
+    info = dict(LAST_RUN_INFO)
+    expect = [tuple(r) for r in q241_exact_span_decontam(spark, sf_dir).collect()]
+    release_cached()
+    assert got == expect
+    assert info["n_batches"] >= 2
+    assert info["state_rows_peak"] == len(expect)
