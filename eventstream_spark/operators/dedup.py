@@ -217,7 +217,12 @@ def jaccard_pairs(
     # check the failure mode is a broadcast/driver OOM mid-join rather
     # than an actionable error. The stats aggregate is one pass over the
     # (already persisted, needed-anyway) hv table; 8 bytes/hash + struct
-    # overhead is the executor-side estimate of the built relation.
+    # overhead is the executor-side estimate of the built relation. The
+    # check is EAGER at plan construction (building the plan runs a job
+    # that materializes the persisted shingle tables) — accepted
+    # deliberately: every caller of jaccard_pairs executes the result,
+    # the materialization is work the first action pays anyway, and
+    # failing before the broadcast is the entire point of the guard.
     hv_stats = hv.agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum("nh"), lit(0)).alias("cells"),
@@ -1184,6 +1189,13 @@ _SFX_DEPTH = 16  # bounded suffix depth (tokens) == the cap on reported length
 # beats 250k by another ~10-16% wall with spill −60% — 100k adopted.
 _SFX_ROWS_PER_TASK = 100_000
 
+# Persist level for the wide range-sorted suffix stage — a module constant
+# (not a hard-coded call-site arg) so scripts/ab_sfx_residual.py can cross
+# it with rows-per-task reproducibly (round-11 ADVICE: the explicit
+# DISK_ONLY argument silently overrode the script's persist_tracked
+# monkeypatch, making the recorded base variant unreachable).
+_SFX_PERSIST_LEVEL = StorageLevel.DISK_ONLY
+
 
 def _sfx_partitions(docs: DataFrame) -> int:
     """Range-partition count for the suffix sort, scaled to the corpus: at
@@ -1290,7 +1302,7 @@ def suffix_repeat_lengths(
         suf.repartitionByRange(n_parts, "key", "doc_id", "pos").withColumn(
             "_pid", F.spark_partition_id()
         ),
-        level=StorageLevel.DISK_ONLY,
+        level=_SFX_PERSIST_LEVEL,
     )
     edges = sorted(
         (r["_pid"], r["fst"]["key"], r["lst"]["key"])

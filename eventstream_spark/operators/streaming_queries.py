@@ -951,6 +951,12 @@ FROM d CROSS JOIN sv CROSS JOIN ev ORDER BY d.decile
 """
 
 
+_DOREMI_BCAST_VOCAB_CAP = 2_000_000  # terms: ~2M × (term + two longs +
+# dict overhead) ≈ low hundreds of MB per executor — the broadcast budget
+# class. A monitor whose proxy LM exceeds this keeps the stream-static
+# join path (correct at any vocab, just slower per batch).
+
+
 def q225_stream_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi domain-mix monitoring AT INGEST — the streaming twin of
     q221: the two Laplace-smoothed unigram LM tables train OFFLINE from
@@ -977,7 +983,22 @@ def q225_stream_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns a zero-count term, milli-quantized like every other term).
     On the replayed fixtures no OOV occurs, so equality with q221's
     batch oracle holds verbatim; on live landing data the monitor keeps
-    the batch definition instead of silently dropping unseen tokens."""
+    the batch definition instead of silently dropping unseen tokens.
+
+    Throughput (round-11 VERDICT ask #5 — this was the slowest streaming
+    row at 10.7k rows/s): each micro-batch now (a) spreads its one
+    arrival file to cluster width (the q231 ingest-gate convention —
+    without it the whole batch scores on one core), and (b) scores
+    per-DOC map-side against the LM shipped as a broadcast dict (the
+    q244 convention), so nothing token-exploded ever crosses an
+    exchange and the one streaming aggregate folds |sources| rows of
+    pre-summed longs. The broadcast rides the proxy-LM contract (a
+    DoReMi monitor's LM is a trained model artifact, not corpus-sized)
+    but is still vocab-GATED: above _DOREMI_BCAST_VOCAB_CAP terms the
+    plan falls back to the original stream-static left join — slower,
+    never a driver OOM (the q158 panel-guard convention). Both paths
+    compute identical integer sums (dict get == left join + coalesce),
+    so the oracle is path-independent."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from ..catalog import load
@@ -1016,16 +1037,56 @@ def q225_stream_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sdocs = file_stream(spark, d, schema, max_files_per_trigger=1)
-    stok = sdocs.select("source", F.explode(tokens("text")).alias("term"))
-    ps = (
-        stok.join(ll, "term", "left")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_tok"),
-            F.sum(F.coalesce(col("lf"), lit(lf_floor))).alias("sf"),
-            F.sum(F.coalesce(col("lr"), lit(lr_floor))).alias("sr"),
+    n_sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if int(trow["v"]) <= _DOREMI_BCAST_VOCAB_CAP:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        lm_map = {r["term"]: (r["lf"], r["lr"]) for r in ll.collect()}
+        lm_bc = spark.sparkContext.broadcast(lm_map)
+
+        def _score(ws):
+            lm = lm_bc.value
+            out = {"n_tok": [], "sf": [], "sr": []}
+            for arr in ws:
+                sf = sr = 0
+                for t in arr:
+                    e = lm.get(t)
+                    if e is None:
+                        sf += lf_floor
+                        sr += lr_floor
+                    else:
+                        sf += e[0]
+                        sr += e[1]
+                out["n_tok"].append(len(arr))
+                out["sf"].append(sf)
+                out["sr"].append(sr)
+            return pd.DataFrame(out)
+
+        score = pandas_udf(_score, returnType="n_tok long, sf long, sr long")
+        scored = (
+            sdocs.repartition(n_sp)
+            .select("source", tokens("text").alias("w"))
+            .select("source", score(col("w")).alias("s"))
         )
-    )
+        ps = scored.groupBy("source").agg(
+            F.sum("s.n_tok").alias("n_tok"),
+            F.sum("s.sf").alias("sf"),
+            F.sum("s.sr").alias("sr"),
+        )
+    else:
+        stok = sdocs.repartition(n_sp).select(
+            "source", F.explode(tokens("text")).alias("term")
+        )
+        ps = (
+            stok.join(ll, "term", "left")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_tok"),
+                F.sum(F.coalesce(col("lf"), lit(lf_floor))).alias("sf"),
+                F.sum(F.coalesce(col("lr"), lit(lr_floor))).alias("sr"),
+            )
+        )
     drained = _run_to_table(ps, spark)
     return _doremi_finish(drained.select("source", "n_tok", "sf", "sr"))
 
@@ -1234,11 +1295,18 @@ def q244_stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import pandas_udf
 
+    # Broadcast, not a closure capture (round-11 ADVICE): a plain set in
+    # the UDF closure re-serializes with every task of every micro-batch;
+    # broadcast ships the frozen window set once per executor — the same
+    # contract q241's batch side gets from its broadcast join.
+    bench_bc = spark.sparkContext.broadcast(bench)
+
     # No type hints: `from __future__ import annotations` stringifies
     # them and pandas_udf cannot resolve 'pd.Series' from its namespace —
     # the explicit returnType form is the hint-free spelling.
     def _hw(ws):
-        return ws.map(lambda arr: sum(1 for w in arr if w in bench))
+        b = bench_bc.value
+        return ws.map(lambda arr: sum(1 for w in arr if w in b))
 
     hit_windows = pandas_udf(_hw, returnType="long")
 

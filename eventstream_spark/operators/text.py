@@ -771,8 +771,9 @@ def q173_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     to integer micro-units before any sum (ranks ≤ 5, so each term is ONE
     float op on an integer); the final means divide exact integer sums.
 
-    Scale: rides q158's plan (broadcast query terms, WindowGroupLimit
-    top-k) plus two dimension joins on doc_id and one rollup."""
+    Scale: reads the memoized bm25_rankings stage (shared with q158/q243
+    — broadcast-guarded query terms, WindowGroupLimit top-k) plus two
+    dimension joins on doc_id and one rollup."""
     top = q158_bm25_topk(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     sq = docs.select(
@@ -1109,8 +1110,35 @@ _BM25_SCORED_ROWS_PER_TASK = 2_000_000  # (query, doc, term) score rows per
 # partial-aggregate task — 24-byte unsafe rows, so a task's hash map stays
 # well inside executor memory
 
+_BM25_QTERMS_BROADCAST_CAP = 256 << 20  # 256 MiB: ceiling on the estimated
+# built size of the query-term broadcast relation. The panel is CORPUS-
+# PROPORTIONAL by the fixture contract (postings/211), so at some corpus
+# scale forcing the broadcast hint becomes a driver OOM mid-join rather
+# than a slow query (round-11 VERDICT ask #2, the jaccard_pairs guard
+# convention). Unlike jaccard's heavy table — where overflow means the
+# OUTPUT is quadratic and the operator is the wrong tool — an oversized
+# query panel is a legitimate workload, so overflow falls back to a
+# shuffle join on `term` instead of raising: the grow-path postings are
+# already hash-partitioned by term, so only the (panel-sized) qterms side
+# pays the exchange.
 
-def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+class _Bm25MemoEntry(NamedTuple):
+    src: DataFrame  # the docs plan the rankings were built from (sameSemantics)
+    out: DataFrame  # the persisted (query_id, doc_id, bm25, rnk) top-5 table
+
+
+# Shared BM25 rankings stage (the clf_scored_docs convention, applied per
+# round-11 VERDICT ask #1): q158, q173 and q243 all stand on one top-5-
+# per-query ranking table; in a session computing several, the later
+# callers reuse the first's persisted stage instead of re-paying the
+# tokenize + postings + quadratic query fan-out. The persisted table is
+# bounded at 5 rows/query regardless of corpus size. Flushed with the
+# persisted working set by cache.release_cached().
+_BM25_MEMO: dict[int, _Bm25MemoEntry] = {}
+
+
+def bm25_rankings(docs: DataFrame) -> DataFrame:
     """Full-text retrieval: BM25 top-5 per query (k1=1.2, b=0.75) with the
     query side drawn from the corpus (doc_id % 211 == 0). Ranking, not the
     q35 corpus aggregate — the Okapi scoring a search layer runs over an
@@ -1145,8 +1173,21 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort. At bench scale the original shape is kept bit-for-bit:
     AQE broadcast-joins the two small stat aggregates onto the scored
     stream (measured faster there — the windows' two postings exchanges
-    only pay off once the scored stream dwarfs them)."""
-    docs = spread(load(spark, sf_dir, "documents"))
+    only pay off once the scored stream dwarfs them).
+
+    Memo validity mirrors clf_scored_docs: a hit must still hold live
+    persisted blocks AND pass sameSemantics against the stored source
+    plan (semanticHash is 32 bits; a collision must miss, never serve
+    another corpus's rankings)."""
+    key = docs.semanticHash()
+    hit = _BM25_MEMO.get(key)
+    if (
+        hit is not None
+        and (hit.out.storageLevel.useMemory or hit.out.storageLevel.useDisk)
+        and docs.sameSemantics(hit.src)
+    ):
+        return hit.out
+    spark = docs.sparkSession
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     base_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -1165,6 +1206,8 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     )
     n_parts = base_parts
+    panel_bcast = True  # below the n_chars gate the panel is ≤ ~est_tok/211
+    # rows by construction — physically bounded, always broadcastable
     if est_tok > _BM25_EST_TOK_GATE:
         st = tf.agg(
             F.count("*").alias("m"),
@@ -1176,6 +1219,13 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_parts = max(
             base_parts, -(-scored_est // _BM25_SCORED_ROWS_PER_TASK)
         )
+        # Panel guard (round-11 VERDICT ask #2): ~48 B/row (8 B id + avg
+        # term bytes + unsafe-row/relation overhead — the jaccard guard's
+        # estimate convention) against the broadcast cap. Overflow drops
+        # the HINT only: AQE still broadcast-joins if runtime stats say
+        # it fits; otherwise the join shuffles on `term`, riding the
+        # grow-path postings' existing term partitioning.
+        panel_bcast = (int(st["m"]) // 211 + 1) * 48 <= _BM25_QTERMS_BROADCAST_CAP
     grow = n_parts > base_parts
     consts = docs.agg(F.count("*").alias("n_docs")).crossJoin(
         tf.agg(F.sum("tf").alias("total_len"))
@@ -1210,7 +1260,7 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("df", F.count("*").over(Window.partitionBy("term")))
         )
         scored = (
-            F.broadcast(qterms)
+            (F.broadcast(qterms) if panel_bcast else qterms)
             .join(post, "term")
             .crossJoin(F.broadcast(consts))
             .select("query_id", "doc_id", s_micro.alias("s_micro"))
@@ -1219,7 +1269,7 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         stats = tf.groupBy("term").agg(F.count("*").alias("df"))
         scored = (
-            F.broadcast(qterms)
+            (F.broadcast(qterms) if panel_bcast else qterms)
             .join(tf, "term")
             .join(stats, "term")
             .join(dlen, "doc_id")
@@ -1230,10 +1280,28 @@ def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("s_micro") / lit(1e6)).alias("bm25")
     )
     w = Window.partitionBy("query_id").orderBy(col("bm25").desc(), "doc_id")
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(col("rnk") <= 5)
-        .orderBy("query_id", "rnk")
+    out = persist_tracked(
+        agg.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+            col("rnk") <= 5
+        )
+    )
+    _BM25_MEMO[key] = _Bm25MemoEntry(src=docs, out=out)
+    return out
+
+
+from ..cache import register_memo_clearer as _reg_bm25_clear  # noqa: E402
+
+_reg_bm25_clear(_BM25_MEMO.clear)
+
+
+def q158_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bm25_rankings stage over the landing dir, presentation-ordered.
+    See :func:`bm25_rankings` for semantics, determinism and the scale
+    plan; q173 (IR eval) and q243 (hybrid RRF) read the same memoized
+    stage, so a session computing any two of the three pays the corpus
+    pass once."""
+    return bm25_rankings(spread(load(spark, sf_dir, "documents"))).orderBy(
+        "query_id", "rnk"
     )
 
 
@@ -1313,10 +1381,18 @@ def q243_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel provenance (in_lex / in_vec) for the fusion audit.
 
     Determinism: channel ranks are exact integers (q158's integer-micro
-    BM25 ranks; q51's IEEE-fixed cosine ranks); each RRF contribution
-    quantizes as ROUND(1e6 / (60 + rank)) — no value in range ties at
-    .5 — so the fused score is an exact integer sum and the final
-    ordering (rrf_micro DESC, doc_id) is tie-stable cross-engine.
+    BM25 ranks; the vector channel RE-RANKS its top-5 on the PUBLISHED
+    4-decimal cosine, tie-break doc_id, in both engines — round-11
+    ADVICE: the raw BLAS accumulation can differ from the oracle's
+    sequential fold by ~1 ulp, and an un-rounded rank would feed that
+    flip straight into rrf_micro; quantized, both engines rank the same
+    values and break the ties they create identically. The residual —
+    which 5 survive the channel's own cut — is raw-ordered in both
+    engines, exactly q51b's documented pinned-on-fixtures exposure);
+    each RRF contribution quantizes as ROUND(1e6 / (60 + rank)) — no
+    value in range ties at .5 — so the fused score is an exact integer
+    sum and the final ordering (rrf_micro DESC, doc_id) is tie-stable
+    cross-engine.
 
     Scale: both channels are top-5-bounded per query BEFORE fusion, so
     the fusion full-outer join moves ≤ 10 rows per query regardless of
@@ -1324,8 +1400,11 @@ def q243_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings; the vector side rides q51b's GEMM path — one BLAS matmul
     per Arrow batch with per-partition top-k, shuffling ≤ parts·|q|·k
     rows, measured 4× over the per-pair fold at the 100× smoke).
-    Oracle-gated, not headlined — the lexical channel re-runs q158 end
-    to end (the q162/q173 double-count convention)."""
+    Oracle-gated, not headlined. The lexical channel reads the MEMOIZED
+    bm25_rankings stage (round-11 VERDICT ask #1): in a session that has
+    already computed q158 or q173 the corpus pass is not re-paid; memo-
+    cold, this query still owns the full channel cost (the q162/q173
+    double-count convention)."""
     from .similarity import matmul_topk_per_query
 
     lex = q158_bm25_topk(spark, sf_dir).select(
@@ -1334,10 +1413,16 @@ def q243_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     ids = emb.select(col("vec_id").alias("query_id"))
     lex = lex.join(F.broadcast(ids), "query_id", "semi")
-    vec = matmul_topk_per_query(emb, col("vec_id") % 211 == 0, k=5).select(
-        col("q_id").alias("query_id"),
-        col("neighbor_id").alias("doc_id"),
-        col("rank").alias("vec_rank"),
+    wv = Window.partitionBy("query_id").orderBy(col("cos").desc(), "doc_id")
+    vec = (
+        matmul_topk_per_query(emb, col("vec_id") % 211 == 0, k=5)
+        .select(
+            col("q_id").alias("query_id"),
+            col("neighbor_id").alias("doc_id"),
+            "cos",  # the 4-decimal published cosine, not the raw rank
+        )
+        .withColumn("vec_rank", F.row_number().over(wv).cast("long"))
+        .drop("cos")
     )
     fused = lex.join(vec, ["query_id", "doc_id"], "full")
 
@@ -1386,9 +1471,15 @@ vcand AS (
            AS cos_raw
   FROM ve, vq q WHERE ve.vec_id <> q.q_id),
 vtop AS (
-  SELECT q_id AS query_id, vec_id AS doc_id, CAST(rank AS BIGINT) AS vec_rank
-  FROM (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
-          ORDER BY cos_raw DESC, vec_id) AS rank FROM vcand) t
+  -- outer rank re-ranks the raw top-5 on the PUBLISHED 4-decimal cosine
+  -- (tie-break vec_id) — mirrors the Spark side exactly, so a ~1-ulp
+  -- BLAS-vs-fold accumulation difference cannot flip the fused rank
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_q DESC, doc_id) AS BIGINT) AS vec_rank
+  FROM (SELECT q_id AS query_id, vec_id AS doc_id, ROUND(cos_raw, 4) AS cos_q,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_raw DESC, vec_id) AS rank FROM vcand) t
   WHERE rank <= 5),
 rrf_f AS (
   SELECT query_id, doc_id, lex_rank, vec_rank

@@ -5,8 +5,11 @@ the shared-session pair is fixed (SUFFIX_AB.json). This isolates WHERE
 the standalone spill comes from and whether it is plan-inherent or a
 box-memory artifact:
 
-- ``base``      — the shipped plan (MEMORY_AND_DISK persist of the wide
-                  range-sorted suffix table, 250k rows/task).
+- ``base``      — the PRE-round-11 plan (MEMORY_AND_DISK persist of the
+                  wide range-sorted suffix table, 250k rows/task); the
+                  shipped plan is now ``disk+fine`` — the level/rows knobs
+                  are read from dedup module constants so every variant
+                  stays reachable (round-11 ADVICE).
 - ``disk``      — same plan, DISK_ONLY persist for the suffix stage: the
                   wide string-keyed cache stops competing with the window
                   sort's execution memory in the unified pool (serialized
@@ -25,7 +28,6 @@ findings belong in SCALING.md.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -35,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark import StorageLevel
 
-from eventstream_spark.cache import persist_tracked, release_cached
+from eventstream_spark.cache import release_cached
 from eventstream_spark.operators import all_queries, dedup
 from eventstream_spark.session import get_spark
 from scale_smoke import build  # noqa: E402
@@ -62,16 +64,19 @@ def main() -> None:
     spark = get_spark(app_name="ab-sfx-residual")
     scaled = build(spark, n)
     queries = all_queries()
-    disk_persist = functools.partial(persist_tracked, level=StorageLevel.DISK_ONLY)
+    # Override the suffix stage's persist level via the module constant
+    # (round-11 ADVICE: the shipped call site passes the level explicitly,
+    # so monkeypatching persist_tracked's default no longer reaches it —
+    # _SFX_PERSIST_LEVEL is the one knob the plan actually reads).
     variants = {
-        "base": (persist_tracked, 250_000),
-        "disk": (disk_persist, 250_000),
-        "fine": (persist_tracked, 100_000),
-        "disk+fine": (disk_persist, 100_000),
+        "base": (StorageLevel.MEMORY_AND_DISK, 250_000),
+        "disk": (StorageLevel.DISK_ONLY, 250_000),
+        "fine": (StorageLevel.MEMORY_AND_DISK, 100_000),
+        "disk+fine": (StorageLevel.DISK_ONLY, 100_000),
     }
     out = {}
-    for vname, (persist_fn, rpt) in variants.items():
-        dedup.persist_tracked, old_p = persist_fn, dedup.persist_tracked
+    for vname, (level, rpt) in variants.items():
+        dedup._SFX_PERSIST_LEVEL, old_p = level, dedup._SFX_PERSIST_LEVEL
         dedup._SFX_ROWS_PER_TASK, old_r = rpt, dedup._SFX_ROWS_PER_TASK
         try:
             # warm plan compile once per variant (untimed, base fixtures)
@@ -84,7 +89,7 @@ def main() -> None:
                 "q220": _timed(queries, "q220_substring_removal", spark, scaled),
             }
         finally:
-            dedup.persist_tracked = old_p
+            dedup._SFX_PERSIST_LEVEL = old_p
             dedup._SFX_ROWS_PER_TASK = old_r
     print(json.dumps({"metric": "sfx_residual_ab", "scale": n, "variants": out}))
 

@@ -341,6 +341,10 @@ SCALE_QUERIES = [
     # q243 hybrid RRF: both channels top-5-bounded before fusion; cost =
     # q158's postings + q51's broadcast-query scan.
     "q243_hybrid_rrf",
+    # q245 image near-dup: dHash via real PNG encode+decode+resample in
+    # mapInPandas (Arrow-batched), then the 4x16-bit band join — the
+    # candidate join is bucket-bounded, never all-pairs.
+    "q245_image_phash_neardup",
     # q241 exact-span decontamination: benchmark window set broadcasts;
     # corpus windows explode map-side and never shuffle — one source
     # rollup exchange.

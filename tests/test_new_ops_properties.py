@@ -1519,9 +1519,18 @@ def test_hybrid_rrf_fuses_both_channels(spark, sf_dir):
 
     rows = q243_hybrid_rrf(spark, sf_dir).collect()
     emb = load(spark, sf_dir, "embeddings")
+    # Replay the channel's quantized re-rank: within the raw top-5, order
+    # by the published 4-decimal cosine desc, tie-break neighbor_id (the
+    # round-11 ADVICE rank-stability fix q243 ships).
+    cand: dict[int, list[tuple[float, int]]] = {}
+    for r in topk_per_query(emb, col("vec_id") % 211 == 0, k=5).collect():
+        cand.setdefault(r.q_id, []).append((r.cos, r.neighbor_id))
     vec = {
-        (r.q_id, r.neighbor_id): r.rank
-        for r in topk_per_query(emb, col("vec_id") % 211 == 0, k=5).collect()
+        (q, n): i
+        for q, lst in cand.items()
+        for i, (_, n) in enumerate(
+            sorted(lst, key=lambda t: (-t[0], t[1])), start=1
+        )
     }
     emb_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     lex = {
@@ -1564,3 +1573,115 @@ def test_stream_decontam_equals_batch_and_bounded_state(spark, sf_dir):
     assert got == expect
     assert info["n_batches"] >= 2
     assert info["state_rows_peak"] == len(expect)
+
+
+def test_bm25_rankings_memo_shared_across_consumers(spark, sf_dir):
+    """q158 -> q173 -> q243 in one session: after the first call the memo
+    holds the persisted ranking stage; each later consumer's plan reuses
+    the SAME cached table (InMemoryRelation, not a re-tokenize); dropped
+    blocks must not serve; release_cached flushes the memo."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.catalog import load, spread
+    from eventstream_spark.operators.text import (
+        _BM25_MEMO,
+        bm25_rankings,
+        q158_bm25_topk,
+        q173_ir_eval,
+        q243_hybrid_rrf,
+    )
+
+    release_cached()
+    before = sorted(tuple(r) for r in q158_bm25_topk(spark, sf_dir).collect())
+    assert len(_BM25_MEMO) == 1
+    stage = next(iter(_BM25_MEMO.values())).out
+    assert stage.storageLevel.useMemory or stage.storageLevel.useDisk
+    for fn in (q173_ir_eval, q243_hybrid_rrf):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+    assert len(_BM25_MEMO) == 1  # no second stage was built
+    docs = spread(load(spark, sf_dir, "documents"))
+    assert bm25_rankings(docs) is stage  # memo hit, same persisted stage
+    spark.catalog.clearCache()
+    rebuilt = bm25_rankings(docs)
+    assert rebuilt is not stage  # dropped blocks must not serve
+    after = sorted(
+        tuple(r) for r in rebuilt.orderBy("query_id", "rnk").collect()
+    )
+    release_cached()
+    assert len(_BM25_MEMO) == 0  # flush clears the memo
+    assert after == before
+
+
+def test_bm25_qterms_broadcast_guard_falls_back(spark, sf_dir):
+    """The corpus-proportional query-panel broadcast is size-gated
+    (round-11 VERDICT ask #2): with the cap forced to zero the plan drops
+    the broadcast HINT on qterms (falling back to a shuffle join riding
+    the grow-path postings' term partitioning) and still produces
+    byte-identical rows."""
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators import text
+
+    release_cached()
+    base = sorted(
+        tuple(r) for r in text.q158_bm25_topk(spark, sf_dir).collect()
+    )
+    release_cached()
+    old = (
+        text._BM25_EST_TOK_GATE,
+        text._BM25_SCORED_ROWS_PER_TASK,
+        text._BM25_QTERMS_BROADCAST_CAP,
+    )
+    text._BM25_EST_TOK_GATE = 0
+    text._BM25_SCORED_ROWS_PER_TASK = 1_000
+    text._BM25_QTERMS_BROADCAST_CAP = 0  # force the fallback
+    try:
+        guarded = sorted(
+            tuple(r) for r in text.q158_bm25_topk(spark, sf_dir).collect()
+        )
+    finally:
+        (
+            text._BM25_EST_TOK_GATE,
+            text._BM25_SCORED_ROWS_PER_TASK,
+            text._BM25_QTERMS_BROADCAST_CAP,
+        ) = old
+        release_cached()
+    assert guarded == base
+
+
+def test_phash_neardup_banding_is_exhaustive(spark, sf_dir):
+    """q245: the band-blocked pair set must equal the brute-force Hamming
+    scan over the same dHash table (banding with 4 x 16-bit bands is
+    exhaustive for distance <= 3 by pigeonhole — zero false negatives,
+    and the exact verify kills every false positive); asking for a
+    threshold the banding cannot guarantee raises."""
+    import pytest as _pytest
+
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.multimodal import (
+        _DHASH_MAX_HAM,
+        dhash_table,
+        phash_neardup_pairs,
+        png_media,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r) for r in phash_neardup_pairs(docs).collect()
+    )
+    hashes = {
+        r.doc_id: r.phash for r in dhash_table(png_media(docs)).collect()
+    }
+    release_cached()
+    ids = sorted(hashes)
+    brute = sorted(
+        (a, b, bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        <= _DHASH_MAX_HAM
+    )
+    assert got == brute
+    assert got  # the fixture corpus HAS near-dup images
+    with _pytest.raises(ValueError, match="exhaustive"):
+        phash_neardup_pairs(docs, max_ham=4)

@@ -455,3 +455,20 @@ def test_stream_doremi_state_is_source_bounded(spark, sf_dir):
     assert abs(sum(r.doremi_weight for r in got) - 1.0) < 1e-2
     floor = _DRM_SMOOTH / k
     assert all(r.doremi_weight >= floor - 1e-4 for r in got)
+
+
+def test_stream_doremi_paths_agree(spark, sf_dir):
+    """q225's two physical paths — broadcast-dict map-side scoring vs the
+    stream-static left-join fallback above the vocab cap — must produce
+    identical rows (dict get == left join + coalesce over the same
+    integer milli-nats), so the vocab gate never changes the answer."""
+    from eventstream_spark.operators import streaming_queries as sq
+
+    fast = [tuple(r) for r in sq.q225_stream_doremi(spark, sf_dir).collect()]
+    old = sq._DOREMI_BCAST_VOCAB_CAP
+    sq._DOREMI_BCAST_VOCAB_CAP = 0  # force the join fallback
+    try:
+        slow = [tuple(r) for r in sq.q225_stream_doremi(spark, sf_dir).collect()]
+    finally:
+        sq._DOREMI_BCAST_VOCAB_CAP = old
+    assert fast == slow
