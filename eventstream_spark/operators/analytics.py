@@ -1095,12 +1095,22 @@ def q168_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (the r6 form ran 1×/7×/30× explodes through three
     distinct-aggs and two joins). Days are integer epoch-days end to end.
 
-    Scale: the explode multiplies the deduped (day, user) table by 30 —
-    rows, not state; shuffle 1 hash-partitions on (day, user) with
-    map-side MIN combine, shuffle 2 rolls up the user-day table on day.
-    The alternative (day-spine range join) makes every day a broadcast
-    probe; this form is the one that stays shuffle-bounded when the
-    activity table is 100 TB."""
+    Scale (round-12 replan; the round-6 form put the 30x exploded
+    contribution table through a (day, user) MIN aggregation, and the
+    100x triage read 9.7 GB of partial-agg sort spill on the default 32
+    partitions — growing the exchange killed the spill but paid the
+    30x rows as raw shuffle): the MIN is computable WITHOUT any
+    exchange of exploded rows, because min(t - d0) over active days
+    d0 <= t is t minus the LATEST active day <= t. One lead() window
+    per user over the deduped activity table bounds each active day's
+    target range at the next active day, so the explode emits every
+    (day, user) row EXACTLY ONCE with its final mk — no (day, user)
+    aggregation at all. The 30x volume now exists only inside the
+    pipelined explode -> per-day rollup, whose partial agg compresses
+    each task to |days| rows map-side. Exchanges: the dedup, one
+    user_id window exchange over the DEDUPED table (1x rows), and the
+    |days|-bounded rollup. Nothing 30x-sized ever crosses a shuffle —
+    the shape that holds when the activity table is 100 TB."""
     ev = load(spark, sf_dir, "events")
     ud = persist_tracked(
         ev.select(
@@ -1109,15 +1119,19 @@ def q168_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
     )
     spine = ud.select("day").distinct()
-    contrib = ud.select(
-        "user_id",
-        col("day").alias("d0"),
-        F.explode(F.sequence(col("day"), col("day") + lit(29))).alias("day"),
+    wu = Window.partitionBy("user_id").orderBy("day")
+    hi = F.least(
+        col("day") + lit(29),
+        F.coalesce(F.lead("day").over(wu) - lit(1), col("day") + lit(29)),
     )
     per_user_day = (
-        contrib.select("day", "user_id", (col("day") - col("d0")).alias("k"))
-        .groupBy("day", "user_id")
-        .agg(F.min("k").alias("mk"))
+        ud.withColumn("hi", hi)
+        .select(
+            "user_id",
+            col("day").alias("d0"),
+            F.explode(F.sequence(col("day"), col("hi"))).alias("day"),
+        )
+        .select("day", "user_id", (col("day") - col("d0")).alias("mk"))
     )
     return (
         per_user_day.join(spine, "day")
