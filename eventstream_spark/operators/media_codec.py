@@ -179,6 +179,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
         return w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
 
 
+def wav_samples(payload: bytes) -> bytes:
+    """Raw PCM sample bytes via a REAL stdlib decode (RIFF chunk walk +
+    frame extraction) — the audio sibling of decode_png's pixel path."""
+    if not is_wav(payload):
+        raise MediaFormatError("not a WAV payload")
+    with wave.open(io.BytesIO(payload)) as w:
+        return w.readframes(w.getnframes())
+
+
 def encode_wav(
     frames: bytes, n_channels: int = 1, sample_width: int = 2, frame_rate: int = 16000
 ) -> bytes:

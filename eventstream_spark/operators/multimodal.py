@@ -355,15 +355,26 @@ def phash_neardup_pairs(
     from ..catalog import spread
 
     ph = persist_tracked(dhash_table(png_media(spread(docs))))
+    _fp_saturation_guard(ph, "phash", "phash_neardup_pairs")
+    return _hamming_band_pairs(ph, "phash", max_ham)
+
+
+def _hamming_band_pairs(ph: DataFrame, hash_col: str, max_ham: int) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_ham) from a (doc_id, <hash_col>)
+    table: 4 × 16-bit band bucketing (q43/q44's LSH machinery) generates
+    candidates — exhaustive for max_ham < 4 by pigeonhole — and one
+    JVM-side xor + bit_count verifies exactly. Shared by the image
+    (q245) and audio (q246) perceptual near-dup rungs."""
+    hc = col(hash_col)
     bands = ph.select(
         "doc_id",
-        "phash",
+        hc.alias("h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(col("phash"), 16 * b)
+                        F.shiftrightunsigned(hc, 16 * b)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("key"),
                     )
@@ -371,12 +382,12 @@ def phash_neardup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "phash", "bk.band", "bk.key")
+    ).select("doc_id", "h", "bk.band", "bk.key")
     left = bands.select(
-        "band", "key", col("doc_id").alias("doc_a"), col("phash").alias("ha")
+        "band", "key", col("doc_id").alias("doc_a"), col("h").alias("ha")
     )
     right = bands.select(
-        "band", "key", col("doc_id").alias("doc_b"), col("phash").alias("hb")
+        "band", "key", col("doc_id").alias("doc_b"), col("h").alias("hb")
     )
     ham = F.bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
     return (
@@ -399,6 +410,178 @@ def q245_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, which is exactly what gates the banded plan."""
     docs = load(spark, sf_dir, "documents")
     return phash_neardup_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# --- q246: audio fingerprint near-dup (energy-delta signature) ---------------
+
+_AFP_FRAME = 10  # PCM samples per energy frame
+_AFP_FRAMES = 64  # frames fingerprinted -> 63 delta bits (no sign bit, so
+# both engines' BIGINT arithmetic stays in the positive range)
+_AFP_MAX_HAM = 3
+
+
+def wav_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the REAL audio rungs: each document's UTF-8
+    bytes become a genuine mono 8-bit-PCM WAV (stdlib ``wave`` writer) —
+    deterministic, so downstream decode results stay expressible as byte
+    arithmetic on ``text`` for the duckdb oracles (the q60b convention)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codec import encode_wav
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "audio",
+                    "payload": [
+                        encode_wav(
+                            t.encode("utf-8"),
+                            n_channels=1,
+                            sample_width=1,
+                            frame_rate=8000,
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def audio_fingerprint_table(media: DataFrame) -> DataFrame:
+    """(doc_id, afp): 63-bit energy-delta audio fingerprint over REAL
+    decoded PCM — ``media_codec.wav_samples`` (stdlib RIFF walk + frame
+    extraction) yields the raw 8-bit samples, which are zero-padded to
+    ``_AFP_FRAMES`` frames of ``_AFP_FRAME`` samples; frame energy is the
+    unsigned sample sum and bit k is set iff energy[k] > energy[k+1] —
+    the Haitsma-Kalker-style band-energy delta signature collapsed to one
+    energy band (a full implementation swaps the frame-energy fold for a
+    filterbank; the Spark shape — Arrow-batched decode, integer
+    signature, banded candidate join — is identical)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codec import wav_samples
+
+        need = _AFP_FRAME * _AFP_FRAMES
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = wav_samples(bytes(payload))
+                s = (s + bytes(need))[:need]
+                en = [
+                    sum(s[j * _AFP_FRAME : (j + 1) * _AFP_FRAME])
+                    for j in range(_AFP_FRAMES)
+                ]
+                acc = 0
+                for k in range(_AFP_FRAMES - 1):
+                    if en[k] > en[k + 1]:
+                        acc |= 1 << k
+                ids.append(doc_id)
+                fps.append(acc)
+            yield pd.DataFrame({"doc_id": ids, "afp": fps})
+
+    return media.mapInPandas(batches, schema="doc_id long, afp long")
+
+
+_FP_BUCKET_CAP = 10_000  # docs per band bucket: above this the corpus is
+# fingerprint-SATURATED (a bucket of b near-identical signatures yields
+# ~b²/2 true pairs — quadratic OUTPUT, not a plan problem) and a pair
+# list is the wrong tool. The jaccard_pairs heavy-table convention: fail
+# with an actionable error BEFORE the join, never melt inside it.
+# Measured trigger: the 100× replicated smoke corpus, whose token-suffix
+# disjointness (built for shingle spaces) does NOT decorrelate coarse
+# byte-level energy envelopes — every doc there has ~100 cross-replica
+# fingerprint twins.
+
+
+def _fp_saturation_guard(fp: DataFrame, hash_col: str, what: str) -> None:
+    """One pass over the (persisted, needed-anyway) fingerprint table: if
+    any 16-bit band bucket holds more than _FP_BUCKET_CAP signatures, the
+    candidate join's OUTPUT is quadratic by construction — raise the
+    actionable error instead of running it."""
+    hc = col(hash_col)
+    worst = (
+        fp.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(hc, 16 * b)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("key"),
+                        )
+                        for b in range(_DHASH_BANDS)
+                    ]
+                )
+            ).alias("bk")
+        )
+        .groupBy("bk.band", "bk.key")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .head()["mx"]
+    )
+    if worst and int(worst) > _FP_BUCKET_CAP:
+        raise ValueError(
+            f"{what}: fingerprint-saturated corpus (a band bucket holds "
+            f"{worst} signatures; cap {_FP_BUCKET_CAP}). The near-dup pair "
+            f"OUTPUT is quadratic here and a pair list is the wrong tool: "
+            f"run exact dedup (q40) first, or cluster (q55-class) instead "
+            f"of pairing."
+        )
+
+
+def afp_neardup_pairs(docs: DataFrame, max_ham: int = _AFP_MAX_HAM) -> DataFrame:
+    """Audio near-duplicate pairs by energy-delta fingerprint — the audio
+    sibling of :func:`phash_neardup_pairs`, sharing its 4 × 16-bit
+    Hamming band candidate machinery and exact verify (63-bit signatures
+    leave the top band at 15 bits; the pigeonhole guarantee for
+    max_ham ≤ 3 is unchanged). Saturation-guarded: a corpus where one
+    band bucket exceeds _FP_BUCKET_CAP signatures fails loud BEFORE the
+    quadratic join (coarse energy envelopes saturate much earlier than
+    pixel dHashes — near-identical tracks are common in crawled audio)."""
+    if max_ham >= _DHASH_BANDS:
+        raise ValueError(
+            f"banding is exhaustive only for max_ham < {_DHASH_BANDS}; "
+            f"got {max_ham} — add bands or use a multi-probe variant"
+        )
+    from ..cache import persist_tracked
+    from ..catalog import spread
+
+    fp = persist_tracked(audio_fingerprint_table(wav_media(spread(docs))))
+    _fp_saturation_guard(fp, "afp", "afp_neardup_pairs")
+    return _hamming_band_pairs(fp, "afp", max_ham)
+
+
+def q246_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup over the fixture corpus rendered as real
+    WAVs: pairs whose 63-bit energy-delta fingerprints sit within Hamming
+    distance 3. Oracle recomputes the identical fingerprint by byte
+    arithmetic on ``text`` (8-bit PCM samples ARE the text bytes — the
+    q60b convention) and verifies pairs exhaustively."""
+    docs = load(spark, sf_dir, "documents")
+    return afp_neardup_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+_AFP_NEARDUP_SQL = f"""
+WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+en AS (SELECT doc_id,
+  list_transform(range(0, {_AFP_FRAMES}), j ->
+    list_sum(list_transform(range(1, {_AFP_FRAME + 1}), i ->
+      CASE WHEN j*{_AFP_FRAME} + i - 1 < n
+           THEN ord(substr(text, j*{_AFP_FRAME} + i, 1)) ELSE 0 END)))
+  AS e FROM d),
+fp AS (SELECT doc_id,
+  list_sum(list_transform(range(1, {_AFP_FRAMES}), k ->
+    CASE WHEN e[k] > e[k+1] THEN (CAST(1 AS BIGINT) << (k - 1))
+         ELSE CAST(0 AS BIGINT) END)) AS afp FROM en)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {_AFP_MAX_HAM}
+ORDER BY doc_a, doc_b
+"""
 
 
 def _dhash_pixel_sql(r: int, c: int) -> str:
@@ -440,6 +623,7 @@ ORDER BY doc_a, doc_b
 
 
 ORACLES = {
+    "q246_audio_fp_neardup": _AFP_NEARDUP_SQL,
     "q245_image_phash_neardup": _PHASH_NEARDUP_SQL.replace("{dh}", _dhash_sql()),
     "q60b_png_decode": f"""
 SELECT doc_id,
@@ -481,4 +665,5 @@ QUERIES = {
     "q60b_png_decode": q60b_png_decode,
     "q61_frame_sample": q61_frame_sample,
     "q245_image_phash_neardup": q245_image_phash_neardup,
+    "q246_audio_fp_neardup": q246_audio_fp_neardup,
 }

@@ -345,6 +345,13 @@ SCALE_QUERIES = [
     # mapInPandas (Arrow-batched), then the 4x16-bit band join — the
     # candidate join is bucket-bounded, never all-pairs.
     "q245_image_phash_neardup",
+    # q246 audio near-dup is deliberately NOT smoked here: this corpus's
+    # replica disjointness (token '·<rep>' suffixes) decorrelates shingle
+    # and pixel spaces but NOT coarse byte-level energy envelopes — every
+    # doc has ~N cross-replica fingerprint twins, so the pair OUTPUT is
+    # quadratic by construction (artificial saturation, not scale). The
+    # operator's _fp_saturation_guard fails loud on exactly this corpus
+    # (test-pinned); its plan shape is q245's, whose smoke row stands.
     # q241 exact-span decontamination: benchmark window set broadcasts;
     # corpus windows explode map-side and never shuffle — one source
     # rollup exchange.

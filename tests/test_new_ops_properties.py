@@ -1685,3 +1685,66 @@ def test_phash_neardup_banding_is_exhaustive(spark, sf_dir):
     assert got  # the fixture corpus HAS near-dup images
     with _pytest.raises(ValueError, match="exhaustive"):
         phash_neardup_pairs(docs, max_ham=4)
+
+
+def test_audio_fp_neardup_banding_is_exhaustive(spark, sf_dir):
+    """q246: banded pairs must equal the brute-force Hamming scan over
+    the same 63-bit fingerprint table (the q245 guarantee on the audio
+    rung — signatures stay in the positive long range, so no unsigned
+    masking is even needed), and the fingerprint really derives from
+    decoded PCM (every hash < 2^63)."""
+    import pytest as _pytest
+
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.catalog import load
+    from eventstream_spark.operators.multimodal import (
+        _AFP_MAX_HAM,
+        afp_neardup_pairs,
+        audio_fingerprint_table,
+        wav_media,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    got = sorted(tuple(r) for r in afp_neardup_pairs(docs).collect())
+    fps = {
+        r.doc_id: r.afp
+        for r in audio_fingerprint_table(wav_media(docs)).collect()
+    }
+    release_cached()
+    assert all(0 <= h < 1 << 63 for h in fps.values())
+    ids = sorted(fps)
+    brute = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= _AFP_MAX_HAM
+    )
+    assert got == brute
+    assert got
+    with _pytest.raises(ValueError, match="exhaustive"):
+        afp_neardup_pairs(docs, max_ham=4)
+
+
+def test_fp_saturation_guard_raises_on_twin_corpus(spark):
+    """A corpus of near-identical payloads must fail the fingerprint
+    near-dup operators with the actionable saturation error BEFORE the
+    quadratic candidate join (the jaccard heavy-table convention) — the
+    100x replicated smoke corpus is exactly this shape for the audio
+    rung, so the failure mode is load-bearing."""
+    import pytest as _pytest
+
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators import multimodal as mm
+
+    rows = [(i, "the same audio track rendered again " * 8) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = mm._FP_BUCKET_CAP
+    mm._FP_BUCKET_CAP = 50
+    try:
+        with _pytest.raises(ValueError, match="saturated"):
+            mm.afp_neardup_pairs(docs).collect()
+        with _pytest.raises(ValueError, match="saturated"):
+            mm.phash_neardup_pairs(docs).collect()
+    finally:
+        mm._FP_BUCKET_CAP = old
+        release_cached()
