@@ -483,9 +483,19 @@ def cooccurrence_edges(ev: DataFrame) -> DataFrame:
     ``_TRI_MIN_COOC`` times. Blocking join on the (event_type, hour) key —
     never all-pairs over users. Shared by q133 (triangles) and q139
     (PageRank)."""
-    occ = ev.select(
-        "user_id", "event_type", F.date_trunc("hour", col("ts")).alias("h")
-    ).distinct()
+    from ..cache import persist_tracked
+
+    # Persist the distinct occurrence table: the self-join's two legs are
+    # planned as independent subtrees (the build side goes through a
+    # BroadcastExchange, so Spark's exchange reuse cannot deduplicate
+    # them) and without the persist each leg pays its own full scan +
+    # two-phase distinct over the event log (measured at sf0.1: the
+    # second distinct pass is ~0.8 s of the 3.2 s stage).
+    occ = persist_tracked(
+        ev.select(
+            "user_id", "event_type", F.date_trunc("hour", col("ts")).alias("h")
+        ).distinct()
+    )
     a = occ.alias("a")
     b = occ.alias("b")
     return (

