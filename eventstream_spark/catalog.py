@@ -113,7 +113,7 @@ def fix_nanos_ts(df: DataFrame, col_name: str = "ts") -> DataFrame:
     return df
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, per_core_bytes: int | None = None) -> DataFrame:
     """Fan a narrow scan out to the session's parallelism before CPU-dense
     per-row work (regex tokenization, shingle hashing, vector folds,
     Pandas-UDF stages).
@@ -139,11 +139,37 @@ def spread(df: DataFrame) -> DataFrame:
     # file per core is the break-even point past which the source's own
     # splits provide the parallelism.
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
+        n_files = len(files)
     except Exception:  # non-file source (memory, stream): leave it alone
         return df
     if n_files >= target:
         return df
+    if per_core_bytes:
+        # Bytes-aware fan-out for per-row work that is CHEAP per byte
+        # (vectorized numpy/GEMM inside mapInPandas): below ~per_core_bytes
+        # of input per core, the round-robin exchange + N-task schedule
+        # costs more than the compute it parallelizes (measured at sf0.1:
+        # the 780 KB embedding Gram pass is 0.086 s on the raw scan vs
+        # 0.63 s spread to 32). Fan out in proportion to input bytes,
+        # capped at the session parallelism — at cluster scale the
+        # file-count guard above makes the whole function a no-op, and at
+        # smoke scale (≥ cores·per_core_bytes of input) this is exactly
+        # the old full fan-out, so the knob only trims the tiny-input end.
+        # CPU-dense-per-byte work (regex tokenization, shingle hashing,
+        # interpreted HOF lambda chains) must NOT pass it: 584 KB of sf0.1
+        # documents is 3 s of single-core shingle hashing.
+        try:
+            total = sum(
+                os.path.getsize(f[len("file:") :] if f.startswith("file:") else f)
+                for f in files
+            )
+        except OSError:  # non-local path: keep the conservative fan-out
+            return df.repartition(target)
+        want = max(1, min(target, -(-total // per_core_bytes)))
+        if want <= n_files:
+            return df
+        return df.repartition(want)
     return df.repartition(target)
 
 

@@ -43,6 +43,12 @@ from ..functions import (
 
 _N_PLANES = 6  # 2^6 = 64 buckets
 
+# Fan-out budget for the vectorized-GEMM mapInPandas passes: below this
+# many input bytes per core the spread exchange costs more than the
+# numpy it parallelizes (see catalog.spread). HOF-lambda passes stay on
+# the full fan-out — interpreted per-row work is CPU-dense per byte.
+_GEMM_SPREAD_BYTES = 256 << 10
+
 
 def _h48_py(s: str) -> int:
     """Python twin of functions.hash48 (md5 first 12 hex chars)."""
@@ -873,8 +879,14 @@ def _ivfpq_grown_index(spark: SparkSession, sf_dir: str):
     emb = load(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
     dsub = dim // _PQ_M
-    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
-    n = e.count()
+    e = spread(emb, _GEMM_SPREAD_BYTES).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    # Setup probes run against the PLAIN scan, not the spread fan-out: each
+    # is a driver-side bounded collect whose dominant cost on a small input
+    # is the round-robin exchange + 32-task schedule the spread inserts
+    # (measured ~0.2 s vs ~0.07 s per job at sf0.1); the fan-out only pays
+    # off for the per-row GEMM/HOF passes below. Row sets are identical.
+    ep = emb.select("vec_id", as_double_array(col("embedding")).alias("v"))
+    n = emb.count()
     n_cells = auto_cells(n)
     n_probe = auto_probe(n_cells)
 
@@ -883,7 +895,7 @@ def _ivfpq_grown_index(spark: SparkSession, sf_dir: str):
 
     seeds = sorted(
         (int(r.vec_id), list(r.v))
-        for r in e.orderBy("vec_id").limit(n_cells).collect()
+        for r in ep.orderBy("vec_id").limit(n_cells).collect()
     )
     cell_ids, C, c_sq = _seed_matrix(seeds, quantize=True)
 
@@ -927,7 +939,7 @@ def _ivfpq_grown_index(spark: SparkSession, sf_dir: str):
     # bounded collects (the prefix-offset scalar class).
     qrows = sorted(
         (int(r.vec_id), list(r.v))
-        for r in e.where(col("vec_id").isin(100, 101, 102)).collect()
+        for r in ep.where(col("vec_id").isin(100, 101, 102)).collect()
     )
     qt_rows = []
     for q_id, qv in qrows:
@@ -1562,7 +1574,7 @@ def q242_ivf_trained_grown_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     double-count convention)."""
     emb = load(spark, sf_dir, "embeddings")
     e = persist_tracked(
-        spread(emb).select(
+        spread(emb, _GEMM_SPREAD_BYTES).select(
             "vec_id",
             F.transform(
                 as_double_array(col("embedding")),
@@ -1723,7 +1735,7 @@ def matmul_topk_per_query(emb: DataFrame, query_pred, k: int = 5) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = spread(emb).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
+    e = spread(emb, _GEMM_SPREAD_BYTES).select(col("vec_id"), as_double_array(col("embedding")).alias("v"))
     qrows = sorted(e.where(query_pred).collect(), key=lambda r: r.vec_id)
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qmat = np.array([list(r.v) for r in qrows], dtype=np.float64)
@@ -1777,31 +1789,17 @@ def q51b_matmul_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VECTOR column, and q186 (INT8 quant audit) with second-moment structure.
 
 
-def q212_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle (i ≤ j) of the d×d Gram and covariance of the
-    embedding corpus, exact: elements quantize to milli-units via the
-    knife-proof FLOOR(x·1000 + 0.5), per-batch partials are int64 numpy
-    matmuls (X'X — exact integer, partial-order-proof), and the final
-    covariance is FLOOR(Sij/n − (Si/n)·(Sj/n) + 0.5): the centered term
-    is computed in float64 with the IDENTICAL operation tree in the
-    duckdb oracle (int64→double conversions are exact below 2^53, and
-    IEEE-754 ops are deterministic, so the engines stay bit-identical).
-    The earlier integer spelling n·Sij − Si·Sj overflows int64 near
-    n ≈ 3e6 rows — Spark (ANSI off) would wrap silently while duckdb
-    errors, the q206 cross-engine divergence class — so the scale path
-    must not use it.
-
-    Scale: the corpus pass is mapInPandas emitting d(d+1)/2 + d + 1
-    partial rows PER ARROW BATCH (the q51b GEMM pattern — one BLAS-class
-    int64 matmul per batch instead of n·d² expression evaluations); ONE
-    (i, j) shuffle reduces batch partials; everything after is
-    d²-dimension math with broadcast joins. Dim derives from the data
-    per batch — no fixture literal (the q186 bug class)."""
+def _gram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated Gram partials (i, j, p): upper-triangle int64 Gram sums
+    (i ≥ 0, j ≥ 0), per-column sums (j = −1), and the row count
+    (i = j = −1) — one corpus mapInPandas GEMM pass + one (i, j) reduce.
+    Shared by q212's distributed plan and the d²-bounded driver collect
+    (`_cov_matrix`)."""
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings")
-    e = spread(emb).select(as_double_array(col("embedding")).alias("v"))
+    e = spread(emb, _GEMM_SPREAD_BYTES).select(as_double_array(col("embedding")).alias("v"))
 
     def gram_parts(batches):
         for pdf in batches:
@@ -1824,11 +1822,68 @@ def q212_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    agg = persist_tracked(
+    return (
         e.mapInPandas(gram_parts, schema="i int, j int, p long")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("p"))
     )
+
+
+def _cov_matrix(spark: SparkSession, sf_dir: str):
+    """(d, C): q212's exact integer covariance as a dense symmetric numpy
+    int64 matrix, via ONE collect of `_gram_agg` (d(d+1)/2 + d + 1 rows —
+    the documented d²-bounded driver/BLAS handoff). Collecting the raw
+    sums instead of the finished q212 output skips q212's persist +
+    two broadcast joins + crossJoin (3-4 driver jobs per caller, measured
+    ~0.4 s at sf0.1); the covariance FLOOR(p/n − (si/n)(sj/n) + 0.5) is
+    then computed with the IDENTICAL float64 op tree (int64→double exact
+    below 2^53, elementwise IEEE ops deterministic), so the matrix is
+    bit-identical to collecting q212's cov_m2 column."""
+    import numpy as np
+
+    rows = _gram_agg(spark, sf_dir).collect()
+    n = next(int(r.p) for r in rows if r.i == -1)
+    d = max(r.j for r in rows) + 1
+    S = np.zeros(d, dtype=np.int64)
+    G = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            S[r.i] = r.p
+        else:
+            G[r.i, r.j] = r.p
+    fn = float(n)
+    a = S / fn  # si/n, one division per column — the q212 op order
+    C = np.floor(G.astype(np.float64) / fn - np.outer(a, a) + 0.5).astype(
+        np.int64
+    )
+    iu = np.triu_indices(d, 1)
+    C[(iu[1], iu[0])] = C[iu]  # mirror the computed upper triangle
+    return d, C
+
+
+def q212_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle (i ≤ j) of the d×d Gram and covariance of the
+    embedding corpus, exact: elements quantize to milli-units via the
+    knife-proof FLOOR(x·1000 + 0.5), per-batch partials are int64 numpy
+    matmuls (X'X — exact integer, partial-order-proof), and the final
+    covariance is FLOOR(Sij/n − (Si/n)·(Sj/n) + 0.5): the centered term
+    is computed in float64 with the IDENTICAL operation tree in the
+    duckdb oracle (int64→double conversions are exact below 2^53, and
+    IEEE-754 ops are deterministic, so the engines stay bit-identical).
+    The earlier integer spelling n·Sij − Si·Sj overflows int64 near
+    n ≈ 3e6 rows — Spark (ANSI off) would wrap silently while duckdb
+    errors, the q206 cross-engine divergence class — so the scale path
+    must not use it.
+
+    Scale: the corpus pass is mapInPandas emitting d(d+1)/2 + d + 1
+    partial rows PER ARROW BATCH (the q51b GEMM pattern — one BLAS-class
+    int64 matmul per batch instead of n·d² expression evaluations); ONE
+    (i, j) shuffle reduces batch partials; everything after is
+    d²-dimension math with broadcast joins. Dim derives from the data
+    per batch — no fixture literal (the q186 bug class)."""
+    agg = persist_tracked(_gram_agg(spark, sf_dir))
     nrow = agg.where(col("i") == -1).select(col("p").alias("n"))
     s_i = agg.where((col("j") == -1) & (col("i") >= 0)).select(
         col("i").alias("k"), col("p").alias("s")
@@ -1916,12 +1971,7 @@ def q218_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integers."""
     import numpy as np
 
-    cov_rows = q212_embedding_gram(spark, sf_dir).select("i", "j", "cov_m2").collect()
-    d = max(r.j for r in cov_rows) + 1
-    C = np.zeros((d, d), dtype=np.int64)
-    for r in cov_rows:
-        C[r.i, r.j] = r.cov_m2
-        C[r.j, r.i] = r.cov_m2
+    d, C = _cov_matrix(spark, sf_dir)
     v = np.full(d, 1_000_000, dtype=np.int64)
     m = 0
     for _ in range(_PCA_ITERS):
@@ -1999,12 +2049,7 @@ def _pca_topk_components(spark: SparkSession, sf_dir: str):
     degenerate (rank < K) covariance."""
     import numpy as np
 
-    cov_rows = q212_embedding_gram(spark, sf_dir).select("i", "j", "cov_m2").collect()
-    d = max(r.j for r in cov_rows) + 1
-    C = np.zeros((d, d), dtype=np.int64)
-    for r in cov_rows:
-        C[r.i, r.j] = r.cov_m2
-        C[r.j, r.i] = r.cov_m2
+    d, C = _cov_matrix(spark, sf_dir)
     comps = []
     for _ in range(_PCA_K):
         v = np.full(d, 1_000_000, dtype=np.int64)
@@ -2043,7 +2088,7 @@ def _pca_reduce(spark: SparkSession, sf_dir: str):
     sq = np.array([np.sqrt(float(c[1])) for c in comps])
 
     emb = load(spark, sf_dir, "embeddings")
-    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    e = spread(emb, _GEMM_SPREAD_BYTES).select("vec_id", as_double_array(col("embedding")).alias("v"))
 
     def project(batches):
         for pdf in batches:
@@ -3025,7 +3070,7 @@ def q229_cluster_balanced_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota rule makes output size Σ ceil(sqrt(n_c)) ≈ N^(3/4) — the
     selected sample grows sublinearly, which is the operator's point."""
     emb = load(spark, sf_dir, "embeddings")
-    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    e = spread(emb, _GEMM_SPREAD_BYTES).select("vec_id", as_double_array(col("embedding")).alias("v"))
     n = e.count()
     n_cells = auto_cells(n)
     seeds = sorted(
@@ -3129,7 +3174,7 @@ def q237_incremental_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cell-key groupBy; centroids are a √N×dim broadcast. The delta
     never joins the standing ROWS — only their per-cell aggregates."""
     emb = load(spark, sf_dir, "embeddings")
-    e = spread(emb).select("vec_id", as_double_array(col("embedding")).alias("v"))
+    e = spread(emb, _GEMM_SPREAD_BYTES).select("vec_id", as_double_array(col("embedding")).alias("v"))
     standing = e.where(col("vec_id") % 10 != 0)
     n = standing.count()
     n_cells = auto_cells(n)

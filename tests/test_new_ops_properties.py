@@ -1748,3 +1748,53 @@ def test_fp_saturation_guard_raises_on_twin_corpus(spark):
     finally:
         mm._FP_BUCKET_CAP = old
         release_cached()
+
+
+def test_cov_matrix_bit_identical_to_q212(spark):
+    """_cov_matrix (the d²-bounded driver-side covariance the PCA family
+    collects) must be BIT-identical to collecting q212's distributed
+    cov_m2 column — same float64 op tree, so any drift is a bug in the
+    round-12 refactor, not fold noise."""
+    import numpy as np
+
+    from eventstream_spark.cache import release_cached
+    from eventstream_spark.operators.similarity import (
+        _cov_matrix,
+        q212_embedding_gram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d, C = _cov_matrix(spark, sf)
+    rows = q212_embedding_gram(spark, sf).select("i", "j", "cov_m2").collect()
+    release_cached()
+    ref = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        ref[r.i, r.j] = r.cov_m2
+        ref[r.j, r.i] = r.cov_m2
+    assert d == max(r.j for r in rows) + 1
+    assert np.array_equal(C, ref)
+
+
+def test_spread_bytes_aware_fanout(spark):
+    """spread(df, per_core_bytes): a tiny single-file input fans out to
+    ~bytes/per_core_bytes partitions instead of the full session
+    parallelism; with per_core_bytes=None behavior is unchanged (full
+    fan-out); a huge per-core budget leaves the scan untouched."""
+    from eventstream_spark.catalog import load, spread
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    full = spread(emb)
+    assert full.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    import os
+
+    sz = sum(
+        os.path.getsize(f[len("file:") :]) for f in emb.inputFiles()
+    )
+    small = spread(emb, per_core_bytes=sz)  # → exactly 1 partition wanted
+    n_small = small.rdd.getNumPartitions()
+    assert 1 <= n_small < spark.sparkContext.defaultParallelism
+    untouched = spread(emb, per_core_bytes=1 << 40)
+    assert untouched.rdd.getNumPartitions() == emb.rdd.getNumPartitions()
+    # row sets identical under every policy
+    base = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    assert sorted(r.vec_id for r in small.select("vec_id").collect()) == base
