@@ -512,7 +512,25 @@ def cooccurrence_edges(ev: DataFrame) -> DataFrame:
     )
 
 
-def orient_edges_by_degree(edges: DataFrame, broadcast_degrees: bool = True) -> DataFrame:
+def vertex_degrees(edges: DataFrame) -> DataFrame:
+    """(x, d): degree of every endpoint of an undirected (u, v) edge list.
+    Vertex-class output — the distinct keys ARE the vertex set, so callers
+    that also need vertices/counts read this one table instead of running
+    a separate union + distinct over the edge list (measured 0.6 s at
+    sf0.1 for q133's former verts pass)."""
+    return (
+        edges.select(col("u").alias("x"))
+        .unionAll(edges.select(col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+def orient_edges_by_degree(
+    edges: DataFrame,
+    broadcast_degrees: bool = True,
+    deg: DataFrame | None = None,
+) -> DataFrame:
     """Orient each undirected edge (u, v) from its lower-(degree, id)
     endpoint to its higher one: columns (a, b, db) with
     (deg(a), a) < (deg(b), b) lexicographically, db = deg(b). The
@@ -535,12 +553,14 @@ def orient_edges_by_degree(edges: DataFrame, broadcast_degrees: bool = True) -> 
     vertices), pass ``broadcast_degrees=False`` to fall back to shuffle
     joins — the arboricity bound on the wedge join is unaffected either
     way."""
-    deg = (
-        edges.select(col("u").alias("x"))
-        .unionAll(edges.select(col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("d"))
-    )
+    if deg is None:
+        from ..cache import persist_tracked
+
+        # The two broadcast legs below are independent subtrees — exchange
+        # reuse cannot deduplicate a BroadcastExchange build — so without
+        # a persist the degree aggregation runs TWICE (measured: the
+        # orientation pass was 1.4 s of q133's 4 s at sf0.1).
+        deg = persist_tracked(vertex_degrees(edges))
     du = deg.select(col("x").alias("u"), col("d").alias("du"))
     dv = deg.select(col("x").alias("v"), col("d").alias("dv"))
     if broadcast_degrees:
@@ -554,7 +574,7 @@ def orient_edges_by_degree(edges: DataFrame, broadcast_degrees: bool = True) -> 
     )
 
 
-def triangle_count_df(edges: DataFrame) -> DataFrame:
+def triangle_count_df(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Exact triangle count over an undirected edge list (u < v, distinct)
     via the degree-ordered wedge join: orient edges by (degree, id)
     (``orient_edges_by_degree``), form wedges a→b, a→c with
@@ -569,7 +589,7 @@ def triangle_count_df(edges: DataFrame) -> DataFrame:
     redo the degree aggregation + annotation joins."""
     from ..cache import persist_tracked
 
-    o = persist_tracked(orient_edges_by_degree(edges))
+    o = persist_tracked(orient_edges_by_degree(edges, deg=deg))
     o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
     wedges = o1.join(
         o2,
@@ -605,11 +625,14 @@ def q133_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     edges = persist_tracked(cooccurrence_edges(ev))
-    verts = edges.select(col("u").alias("x")).union(edges.select("v")).distinct()
+    # The degree table's keys ARE the vertex set: one persisted aggregation
+    # serves n_vertices AND both orientation broadcast legs (formerly a
+    # separate union+distinct pass plus two independent degree subtrees).
+    deg = persist_tracked(vertex_degrees(edges))
     return (
-        verts.agg(F.count("*").alias("n_vertices"))
+        deg.agg(F.count("*").alias("n_vertices"))
         .crossJoin(edges.agg(F.count("*").alias("n_edges")))
-        .crossJoin(triangle_count_df(edges))
+        .crossJoin(triangle_count_df(edges, deg=deg))
     )
 
 
@@ -693,10 +716,14 @@ def q139_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # degree rides ON the edge list (one groupBy + join, done ONCE) so each
     # iteration pays a single rank join instead of rank + degree joins
-    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+    # The degree table's keys ARE the vertex set (the symmetrized list has
+    # every vertex as a source), so verts is a projection of the persisted
+    # deg — the former edges_deg.distinct() pass and its separate persist
+    # are gone.
+    deg = persist_tracked(edges.groupBy("s").agg(F.count("*").alias("deg")))
     edges_deg = persist_tracked(edges.join(deg, "s"))
-    verts = persist_tracked(edges_deg.select(col("s").alias("x")).distinct())
-    n = verts.count()  # scalar graph size (drives the integer base rank)
+    verts = deg.select(col("s").alias("x"))
+    n = deg.count()  # scalar graph size (drives the integer base rank)
     if n == 0:
         return spark.createDataFrame([], "user_id long, rank_e12 long")
     ranks = verts.select("x", lit(_PR_MASS // n).alias("r"))

@@ -558,6 +558,12 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, source, n_tok, doc_logp)."""
     tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+    # NOTE (round 12): a persist-tf-and-derive-vocab form (one tokenize
+    # pass + second-level Σc aggregation) was built and interleave-A/B'd:
+    # 1.35 s vs 0.97 s min at sf0.1 — the materialization barrier costs
+    # more than the second pipelined tokenize pass, and at corpus scale
+    # persisting tf is itself a corpus-sized write. Rejected; the two
+    # independent subtrees stay.
     tf = tok.groupBy("doc_id", "source", "term").agg(F.count("*").alias("c"))
     vocab = tok.groupBy("term").agg(F.count("*").alias("tc"))
     total = vocab.agg(F.sum("tc").cast("double").alias("total"))
