@@ -2936,8 +2936,13 @@ def _two_lm_tables(counts: DataFrame):
     Shared by q221 (domain-level DoReMi) and q224 (doc-level RHO).
     Milli (not micro) so downstream per-GROUP integer sums Σ c·ll hold
     int64 to ~6e14 tokens (the q212 ADVICE overflow class)."""
-    vocab = counts.groupBy("term").agg(
-        F.sum("c").alias("tc"), F.sum("cref").alias("tr")
+    # Persisted: the totals aggregate and the ll projection are planned as
+    # independent subtrees (the totals ride a BroadcastExchange), so
+    # without it the vocab groupBy runs twice per LM-table consumer.
+    vocab = persist_tracked(
+        counts.groupBy("term").agg(
+            F.sum("c").alias("tc"), F.sum("cref").alias("tr")
+        )
     )
     tot = vocab.agg(
         F.count("*").alias("v"),
@@ -3002,6 +3007,13 @@ def _doremi_finish(ps: DataFrame) -> DataFrame:
     twin q225 (whose drained state is the SAME integer sums, additive
     under any micro-batching). t_full re-derives as Σ n_tok: every token
     joins the union-vocab LM table, so it equals the corpus total."""
+    from ..cache import persist_tracked
+
+    # ps is |sources| rows but COMPUTING it is the corpus scoring join;
+    # the totals/normalizer broadcast legs below are independent subtrees,
+    # so an unpersisted ps re-ran that join per leg (q221 launched 45
+    # Spark jobs per run at sf0.1 — the AQE stages of four re-evaluations).
+    ps = persist_tracked(ps)
     tot = ps.agg(F.sum("n_tok").alias("t_full"))
     d = ps.crossJoin(F.broadcast(tot)).select(
         "source",
