@@ -299,21 +299,29 @@ def q165_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sketch is one groupBy((row, cell)) over map-side-combined
     integer partials — shuffle bounded by depth×width, not vocabulary; the
     estimate join broadcasts the 768-row sketch."""
+    from ..cache import persist_tracked
+
     docs = spread(load(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(tokens("text")).alias("term"))
-    tf = tok.groupBy("term").agg(F.count("*").alias("exact"))
+    # Persisted: the sketch build and cms_finish's top-K/probe legs are
+    # independent subtrees — unpersisted, the plan carried FOUR copies of
+    # the tokenize+groupBy (four parquet scans in the formatted plan).
+    tf = persist_tracked(tok.groupBy("term").agg(F.count("*").alias("exact")))
 
-    arms = [
-        tf.select(
-            lit(d).alias("d"),
-            cms_cell(d).alias("cell"),
-            col("exact").alias("c"),
-        )
-        for d in range(_CMS_DEPTH)
-    ]
-    u = arms[0]
-    for a in arms[1:]:
-        u = u.unionByName(a)
+    # One evaluation of tf for all hash rows: explode the per-row (d, cell)
+    # structs instead of unioning _CMS_DEPTH projections of the same
+    # subtree — identical rows, one subtree.
+    u = tf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(lit(d).alias("d"), cms_cell(d).alias("cell"))
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+        col("exact").alias("c"),
+    ).select(col("p.d").alias("d"), col("p.cell").alias("cell"), "c")
     cms = u.groupBy("d", "cell").agg(F.sum("c").alias("counter"))
     return cms_finish(cms, tf)
 
