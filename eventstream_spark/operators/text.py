@@ -2936,13 +2936,16 @@ def _two_lm_tables(counts: DataFrame):
     Shared by q221 (domain-level DoReMi) and q224 (doc-level RHO).
     Milli (not micro) so downstream per-GROUP integer sums Σ c·ll hold
     int64 to ~6e14 tokens (the q212 ADVICE overflow class)."""
-    # Persisted: the totals aggregate and the ll projection are planned as
-    # independent subtrees (the totals ride a BroadcastExchange), so
-    # without it the vocab groupBy runs twice per LM-table consumer.
-    vocab = persist_tracked(
-        counts.groupBy("term").agg(
-            F.sum("c").alias("tc"), F.sum("cref").alias("tr")
-        )
+    # NOT persisted (round 12, measured): the totals aggregate and the ll
+    # projection are independent subtrees, so vocab computes twice — but a
+    # persisted copy is VOCABULARY-sized, and at the 100× smoke (disjoint
+    # per-replica vocabularies) materializing it under the unified pool
+    # took q221 from 4.4 s to 17.3 s scaled — the q219 cache-pressure
+    # class. The duplicate groupBy is map-side-combined and cheap; the
+    # K-row ps persist in _doremi_finish is where the real re-computation
+    # was.
+    vocab = counts.groupBy("term").agg(
+        F.sum("c").alias("tc"), F.sum("cref").alias("tr")
     )
     tot = vocab.agg(
         F.count("*").alias("v"),
