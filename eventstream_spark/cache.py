@@ -52,7 +52,10 @@ def release_cached() -> int:
     while _PERSISTED:
         handle = _PERSISTED.pop()
         try:
-            handle.unpersist()
+            # blocking: the default async unpersist lets block eviction
+            # bleed into whatever runs next — in the bench that is the
+            # NEXT query's timed region (round 12, measurement hygiene).
+            handle.unpersist(blocking=True)
             n += 1
         except Exception:
             pass  # session already stopped — nothing to free
