@@ -137,17 +137,35 @@ def q180_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the join-backs). The corpus text is scanned once and only
     two small columns survive the scan (column pruning).
     100 TB caveat: per-cell products cxy·n must fit int64 — beyond ~3·10⁹
-    rows swap the micro-nat quantization to DECIMAL(38,0)."""
-    cells = persist_tracked(
+    rows swap the micro-nat quantization to DECIMAL(38,0).
+
+    Round-12 replan: the marginals (cx, cy), the grand total n, and the
+    cell count all derive from the bounded cell table, so they compute as
+    window sums in ONE pass instead of three groupBy legs + four
+    broadcast crossJoins (the original launched ~30 driver jobs — AQE
+    materialized every broadcast subtree separately). Entropy terms sum
+    over ONE representative row per marginal (row_number = 1), so every
+    integer micro-nat term — per cell and per marginal — is the same
+    expression over the same operands as before and the distributed sums
+    stay partial-order-proof; results are bit-identical."""
+    cells = (
         load(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count("*").alias("cxy"))
     )
-    n = cells.agg(
-        F.sum("cxy").alias("n"), F.count("*").alias("n_cells")
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "cxy",
+        F.sum("cxy").over(Window.partitionBy("lang")).alias("cx"),
+        F.sum("cxy").over(Window.partitionBy("source")).alias("cy"),
+        F.sum("cxy").over(w_all).alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("source"))
+        .alias("rl"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("lang"))
+        .alias("rs"),
     )
-    cl = cells.groupBy("lang").agg(F.sum("cxy").alias("cx"))
-    cs = cells.groupBy("source").agg(F.sum("cxy").alias("cy"))
 
     mi_term = F.round(
         (col("cxy").cast("double") / col("n"))
@@ -156,29 +174,22 @@ def q180_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * lit(1e6)
     ).cast("long")
-    mi = (
-        cells.join(cl, "lang")
-        .join(cs, "source")
-        .crossJoin(F.broadcast(n))
-        .agg(F.sum(mi_term).alias("mi_micro"))
-    )
 
-    def _entropy(marg: DataFrame, cnt: str) -> DataFrame:
-        term = F.round(
+    def _h_term(cnt: str) -> F.Column:
+        return F.round(
             -(col(cnt).cast("double") / col("n"))
             * F.log(col(cnt).cast("double") / col("n"))
             * lit(1e6)
         ).cast("long")
-        return marg.crossJoin(F.broadcast(n.select("n"))).agg(
-            F.sum(term).alias(f"h_{cnt}")
-        )
 
-    hl = _entropy(cl, "cx")
-    hs = _entropy(cs, "cy")
     return (
-        n.crossJoin(F.broadcast(mi))
-        .crossJoin(F.broadcast(hl))
-        .crossJoin(F.broadcast(hs))
+        t.agg(
+            F.sum("cxy").alias("n"),
+            F.count(lit(1)).alias("n_cells"),
+            F.sum(mi_term).alias("mi_micro"),
+            F.sum(F.when(col("rl") == 1, _h_term("cx"))).alias("h_cx"),
+            F.sum(F.when(col("rs") == 1, _h_term("cy"))).alias("h_cy"),
+        )
         .select(
             col("n").alias("n_docs"),
             "n_cells",

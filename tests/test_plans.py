@@ -561,3 +561,15 @@ def test_q217_ivfpq_query_side_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p
+
+
+def test_q180_mutual_info_single_pass_no_joins(spark, sf_dir):
+    """q180 (round-12 replan): marginals/entropies fold into ONE window
+    pass over the bounded cell table — the plan must contain no join of
+    any kind (the old form ran 2 joins + 4 broadcast crossJoins = ~30
+    driver jobs) and must scan documents exactly once."""
+    from eventstream_spark.operators.stats import q180_mutual_info
+
+    p = _plan(q180_mutual_info(spark, sf_dir))
+    assert "Join" not in p  # no BroadcastHashJoin/SortMergeJoin/NestedLoop
+    assert p.count("FileScan parquet") == 1
