@@ -558,14 +558,19 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, source, n_tok, doc_logp)."""
     tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
-    # NOTE (round 12): a persist-tf-and-derive-vocab form (one tokenize
-    # pass + second-level Σc aggregation) was built and interleave-A/B'd:
-    # 1.35 s vs 0.97 s min at sf0.1 — the materialization barrier costs
-    # more than the second pipelined tokenize pass, and at corpus scale
-    # persisting tf is itself a corpus-sized write. Rejected; the two
-    # independent subtrees stay.
+    # ONE tokenize pass (round 12): vocab derives from the UN-persisted tf
+    # plan (tc = Σc per term — the identical integer), so the tf exchange
+    # subtree appears on both legs and ReuseExchange/AQE stage reuse
+    # materializes the tokenize + partial-agg + shuffle write ONCE (plan-
+    # verified: the vocab leg reads a ReusedExchange of the tf shuffle).
+    # The term exchange's volume is unchanged (per-task partials either
+    # way). Interleaved A/B at sf0.1 (scripts/ab_unigram_reuse.py): 1.56 →
+    # 1.33 s median / 1.33 → 1.23 min; at corpus scale this is one fewer
+    # full corpus pass. Distinct from the REJECTED persist-tf form (1.35
+    # vs 0.97 s min — a materialization barrier + corpus-sized write);
+    # reuse here happens inside the single job with no storage.
     tf = tok.groupBy("doc_id", "source", "term").agg(F.count("*").alias("c"))
-    vocab = tok.groupBy("term").agg(F.count("*").alias("tc"))
+    vocab = tf.groupBy("term").agg(F.sum("c").alias("tc"))
     total = vocab.agg(F.sum("tc").cast("double").alias("total"))
     ll = vocab.crossJoin(F.broadcast(total)).select(
         "term",
