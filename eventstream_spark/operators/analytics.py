@@ -703,7 +703,23 @@ def q139_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices so no mass-redistribution term. At a trillion edges the same
     plan holds with the edge list bucketed by src so the rank join
     co-locates; more iterations = a driver loop over the same two-shuffle
-    step (the q54b iterative pattern)."""
+    step (the q54b iterative pattern).
+
+    Round-13 replan (guide §2.4 — remove joins the algebra doesn't need;
+    the former shape carried FOUR join legs for two iterations):
+
+    - the symmetrized edge list makes every vertex both a source and a
+      destination, so the per-iteration ``verts LEFT JOIN summed`` was an
+      identity: keys(summed) == the vertex set exactly, and the
+      ``coalesce(sc, 0)`` never saw a NULL. The rank frontier is now a
+      pure PROJECTION of the contribution aggregate — the two left-outer
+      joins (and their verts-side sorts/broadcasts) are gone, provably
+      row-identical.
+    - iteration 1's rank join was a join against a CONSTANT frontier
+      (r0 = M div n for every vertex), so its contributions read straight
+      off the persisted edges_deg (r0 div deg) — no join at all. Only
+      iteration 2+ pays the one rank join the sparse matvec actually
+      requires."""
     from ..cache import persist_tracked
 
     ev = load(spark, sf_dir, "events")
@@ -715,28 +731,41 @@ def q139_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(col("v").alias("s"), col("u").alias("d"))
     )
     # degree rides ON the edge list (one groupBy + join, done ONCE) so each
-    # iteration pays a single rank join instead of rank + degree joins
-    # The degree table's keys ARE the vertex set (the symmetrized list has
-    # every vertex as a source), so verts is a projection of the persisted
-    # deg — the former edges_deg.distinct() pass and its separate persist
-    # are gone.
+    # iteration pays at most a single rank join instead of rank + degree
+    # joins. The degree table's keys ARE the vertex set (the symmetrized
+    # list has every vertex as a source), which is also what proves the
+    # frontier projection below covers every vertex.
     deg = persist_tracked(edges.groupBy("s").agg(F.count("*").alias("deg")))
     edges_deg = persist_tracked(edges.join(deg, "s"))
-    verts = deg.select(col("s").alias("x"))
     n = deg.count()  # scalar graph size (drives the integer base rank)
     if n == 0:
         return spark.createDataFrame([], "user_id long, rank_e12 long")
-    ranks = verts.select("x", lit(_PR_MASS // n).alias("r"))
     base = (3 * _PR_MASS) // (20 * n)
-    for _ in range(2):
-        contrib = edges_deg.join(ranks, edges_deg.s == ranks.x).select(
-            col("d"), F.expr("r div deg").alias("c")
+
+    def next_ranks(summed: DataFrame) -> DataFrame:
+        # every vertex receives contributions (symmetric graph), so the
+        # new frontier is a projection — no verts join, no coalesce
+        return summed.select(
+            col("d").alias("x"),
+            (lit(base) + F.expr("(17 * sc) div 20")).alias("r"),
         )
-        summed = contrib.groupBy("d").agg(F.sum("c").alias("sc"))
-        ranks = verts.join(summed, verts.x == summed.d, "left").select(
-            "x",
-            (lit(base) + F.expr("(17 * coalesce(sc, 0)) div 20")).alias("r"),
+
+    # iteration 1: the initial frontier is uniform (r0 = M div n), so the
+    # contributions are a map-side expression over edges_deg — zero joins
+    ranks = next_ranks(
+        edges_deg.select(
+            col("d"), F.expr(f"{_PR_MASS // n} div deg").alias("c")
         )
+        .groupBy("d")
+        .agg(F.sum("c").alias("sc"))
+    )
+    # iteration 2: the one rank join the sparse matvec requires
+    ranks = next_ranks(
+        edges_deg.join(ranks, edges_deg.s == ranks.x)
+        .select(col("d"), F.expr("r div deg").alias("c"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("sc"))
+    )
     return ranks.select(
         col("x").alias("user_id"), col("r").alias("rank_e12")
     ).orderBy(col("rank_e12").desc(), "user_id")

@@ -1836,11 +1836,24 @@ def train_hashed_logreg(
             + ",".join(f"{weights.get(b, 0)}L" for b in range(_TRAIN_DIM + 1))
             + ")"
         )
-        z = F.aggregate(
-            col("f"),
-            lit(0).cast("long"),
-            lambda acc, s: acc + F.element_at(warr, s["bucket"] + 1) * s["cnt"],
-        )
+        if epoch == 0:
+            # w = 0 for every bucket, so the margin fold is identically
+            # zero: Σ 0·cnt = 0 for every document — skip the array fold
+            # (and the 4097-literal it would carry) on the init epoch.
+            # Round-13 note: a full multi-epoch in-plan fusion (weights as
+            # a one-row broadcast state chained through the epochs) was
+            # built and MEASURED 3.5× WORSE (11.3 s / 109 jobs vs 3.24 s /
+            # 17 jobs at sf0.1): exchange reuse cannot deduplicate the
+            # nested broadcast state subtrees, so each epoch's pass re-ran
+            # once per downstream reference — exponential in epochs. The
+            # driver loop with one job per epoch IS the efficient form.
+            z = lit(0).cast("long")
+        else:
+            z = F.aggregate(
+                col("f"),
+                lit(0).cast("long"),
+                lambda acc, s: acc + F.element_at(warr, s["bucket"] + 1) * s["cnt"],
+            )
         d = tfa.select("f", z.alias("z"), F.expr("cast(doc_id % 4 = 0 as long)").alias("y"))
         # per-doc scalars (computed once per document, before the explode),
         # then the feature fan-out straight into the bucket aggregation
