@@ -1298,6 +1298,16 @@ def suffix_repeat_lengths(
     # but equal-or-worse scaled wall and 2x base cost (three corpus
     # exchanges vs one) — the wall is wide-row MATERIALIZATION, not the
     # sort; rejected, artifact SFX_DISTINCT_TRIAGE.json.
+    # Round-13 A/B, measured and REJECTED: moving the neighbor lag/lead
+    # window INSIDE this persisted stage (so consumers are pure
+    # projections) is a wash at sf0.1 (7.21 → 7.20 s combined) but much
+    # worse at the 100× smoke — q219 139 → 175 s, q220 129 → 183 s —
+    # because the cache then carries THREE ~130 B suffix keys per row
+    # (key + both neighbors) and the DISK_ONLY materialization is the
+    # adjudicated wall; the columnar codec does not recover the 3×. The
+    # narrow unsorted cache below stays; the window runs in the consumer
+    # pass (its 1:1 hashpartitioning(_pid) exchange is the price of
+    # partition-aligned windows over a cached range partitioning).
     rp = persist_tracked(
         suf.repartitionByRange(n_parts, "key", "doc_id", "pos").withColumn(
             "_pid", F.spark_partition_id()
@@ -1338,16 +1348,33 @@ def suffix_repeat_lengths(
             F.when(fp == 0, m).otherwise(fp - 1)
         )
 
+    # Round-13 (plan evidence plans/r13/q219_*_before.txt): the LCP
+    # expression references each neighbor key ~8 times, and Spark does
+    # NOT dedupe identical window expressions — the former inline
+    # lag/lead spelling planned SIXTEEN window function instances
+    # (_we0.._we15), i.e. 16 ~130-byte key copies per row through the
+    # window buffers. Aliasing the two neighbors once and letting the
+    # LCP projection reference the attributes plans exactly one lag and
+    # one lead (after-plan: 2 windowspecdefinitions).
     w = Window.partitionBy("_pid").orderBy("key", "doc_id", "pos")
-    pk = F.coalesce(F.lag("key").over(w), pid_case(prev_last))
-    nk = F.coalesce(F.lead("key").over(w), pid_case(next_first))
+    nbr = rp.select(
+        "doc_id",
+        "source",
+        "pos",
+        "key",
+        "_pid",
+        F.lag("key").over(w).alias("_lk"),
+        F.lead("key").over(w).alias("_nk"),
+    )
+    pk = F.coalesce(col("_lk"), pid_case(prev_last))
+    nk = F.coalesce(col("_nk"), pid_case(next_first))
     # Persist the rep_len RESULT, not just the sorted suffix table: it is
     # the narrow (4 scalar columns — no suffix-key strings) end of the
     # stage, so the second caller skips the window + LCP pass too, not
     # only the range exchange (A/B: q220 at the 100x smoke 193 s unshared
     # -> re-measured with this persist in SCALING.md).
     out = persist_tracked(
-        rp.select(
+        nbr.select(
             "doc_id",
             "source",
             "pos",

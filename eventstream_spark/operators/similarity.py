@@ -804,7 +804,7 @@ def q217b_ivfpq_ann_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     K·dim/sqrt(N)·dim bounded collects; candidates stay cell-bounded.
     Cell ids ARE seed vec_ids (the oracle's labeling); ADC displays as
     milli²-descaled ROUND(adc/1e6, 4), same integer both engines."""
-    assigned, enc, qt = _ivfpq_grown_index(spark, sf_dir)
+    assigned, enc, qt, _ = _ivfpq_grown_index(spark, sf_dir)
     return _ivfpq_adc_topk(enc, qt)
 
 
@@ -868,11 +868,14 @@ def _gemm_assign(
 
 
 def _ivfpq_grown_index(spark: SparkSession, sf_dir: str):
-    """(assigned, enc, qt) — the grown-geometry quantized IVF-PQ index
-    build shared by q217b (ADC ranking) and q222 (recall audit):
-    assigned(vec_id, cell, rv), enc(vec_id, cell, c0..cM), and the
-    query-side LUT table qt(q_id, cell, lut0..lutM). See q217b's
-    docstring for the design."""
+    """(assigned, enc, qt, qrows) — the grown-geometry quantized IVF-PQ
+    index build shared by q217b (ADC ranking) and q222 (recall audit):
+    assigned(vec_id, cell, rv), enc(vec_id, cell, c0..cM), the query-side
+    LUT table qt(q_id, cell, lut0..lutM), and qrows — the collected
+    [(q_id, raw vector)] query panel, so consumers that need the query
+    vectors again (q222's exact side) build a local relation instead of
+    paying another corpus scan + filter (round 13, guide §1.2). See
+    q217b's docstring for the design."""
     import numpy as np
     import pandas as pd
 
@@ -958,7 +961,7 @@ def _ivfpq_grown_index(spark: SparkSession, sf_dir: str):
         f"lut{m} array<long>" for m in range(_PQ_M)
     )
     qt = spark.createDataFrame(qt_rows, qt_schema)
-    return assigned, enc, qt
+    return assigned, enc, qt, qrows
 
 
 def _ivfpq_adc_topk(enc: DataFrame, qt: DataFrame, k: int = 5) -> DataFrame:
@@ -999,8 +1002,16 @@ def q222_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a |queries|-row broadcast against one corpus scan with a
     |queries|-partition window (the q51 small-query-set shape); the
     audit joins are ≤ 5·|queries| rows a side against the (vec_id, cell)
-    assignment and the n_probe·|queries| probe pairs."""
-    assigned, enc, qt = _ivfpq_grown_index(spark, sf_dir)
+    assignment and the n_probe·|queries| probe pairs. The query panel
+    itself is a LOCAL relation built from the index's already-collected
+    query vectors (round 13, guide §1.2: the former shape re-scanned +
+    filtered the corpus twice more for vectors the build had already
+    pulled to the driver) — milli-quantized with the same
+    FLOOR(x·1000+0.5) float64 op the column expression applies, so the
+    rows are identical."""
+    import numpy as np
+
+    assigned, enc, qt, qrows = _ivfpq_grown_index(spark, sf_dir)
     approx = _ivfpq_adc_topk(enc, qt).select("q_id", "neighbor_id")
     emb = load(spark, sf_dir, "embeddings")
     e = spread(emb).select(
@@ -1010,8 +1021,12 @@ def q222_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x * 1000 + lit(0.5)).cast("long"),
         ).alias("xm"),
     )
-    q = e.where(col("vec_id").isin(100, 101, 102)).select(
-        col("vec_id").alias("q_id"), col("xm").alias("qm")
+    q = spark.createDataFrame(
+        [
+            (q_id, [int(v) for v in np.floor(np.asarray(qv, dtype=np.float64) * 1000.0 + 0.5)])
+            for q_id, qv in qrows
+        ],
+        "q_id long, qm array<bigint>",
     )
     w = Window.partitionBy("q_id").orderBy(col("d"), col("neighbor_id"))
     exact = persist_tracked(

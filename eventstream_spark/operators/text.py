@@ -1203,12 +1203,22 @@ def bm25_rankings(docs: DataFrame) -> DataFrame:
     base_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # Round 13 (guide §1.2): the free n_chars pre-gate probe also carries
+    # the doc count in the SAME job, so n_docs becomes a plan literal —
+    # the former consts leg paid its own parquet scan + a broadcast
+    # nested-loop input for a number this probe already walks past.
     if "n_chars" in docs.columns:
-        est_tok = int(docs.agg(F.sum("n_chars")).head()[0] or 0) // 6
+        st0 = docs.agg(
+            F.count("*").alias("nd"), F.sum("n_chars").alias("nc")
+        ).head()
+        est_tok = int(st0["nc"] or 0) // 6
     else:
-        est_tok = int(
-            docs.agg(F.sum(F.size(tokens("text")))).head()[0] or 0
-        )
+        st0 = docs.agg(
+            F.count("*").alias("nd"),
+            F.sum(F.size(tokens("text"))).alias("nc"),
+        ).head()
+        est_tok = int(st0["nc"] or 0)
+    n_docs = int(st0["nd"])
     # ONE tokenize pass: tf persists and dl/df/total_len all derive from
     # it (dl = Σ tf per doc, total_len = Σ tf — identical values, three
     # fewer corpus scans; at 100 TB this is "materialize the postings
@@ -1238,9 +1248,6 @@ def bm25_rankings(docs: DataFrame) -> DataFrame:
         # grow-path postings' existing term partitioning.
         panel_bcast = (int(st["m"]) // 211 + 1) * 48 <= _BM25_QTERMS_BROADCAST_CAP
     grow = n_parts > base_parts
-    consts = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        tf.agg(F.sum("tf").alias("total_len"))
-    )
     qterms = tf.where(col("doc_id") % 211 == 0).select(
         col("doc_id").alias("query_id"), "term"
     )
@@ -1270,6 +1277,9 @@ def bm25_rankings(docs: DataFrame) -> DataFrame:
             .repartition(n_parts, "term")
             .withColumn("df", F.count("*").over(Window.partitionBy("term")))
         )
+        consts = tf.agg(F.sum("tf").alias("total_len")).withColumn(
+            "n_docs", lit(n_docs).cast("long")
+        )
         scored = (
             (F.broadcast(qterms) if panel_bcast else qterms)
             .join(post, "term")
@@ -1279,6 +1289,12 @@ def bm25_rankings(docs: DataFrame) -> DataFrame:
     else:
         dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+        # total_len = Σ tf = Σ dl — summing the dlen aggregate instead of
+        # re-scanning the tf cache lets exchange reuse serve this leg from
+        # dlen's existing shuffle (one fewer cache pass; identical integer)
+        consts = dlen.agg(F.sum("dl").alias("total_len")).withColumn(
+            "n_docs", lit(n_docs).cast("long")
+        )
         scored = (
             (F.broadcast(qterms) if panel_bcast else qterms)
             .join(tf, "term")
