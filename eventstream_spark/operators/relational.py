@@ -602,6 +602,36 @@ GROUP BY a.anc
 ORDER BY node
 """
 
+# Closed-form Spark-side twin of _RECURSIVE_SQL (see q184's docstring):
+# the binary hierarchy's ancestor chain is shiftright(id, i), emitted with
+# the recursion's exact guard (i = 0, or the previous ancestor was > 1)
+# and pre-filtered to the ≤ 15 report set inside the lambda. The duckdb
+# oracle stays the genuine WITH RECURSIVE above.
+_CLOSED_ROLLUP_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+rev AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS rev_micro
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+anc AS (
+  SELECT user_id AS node, a AS anc
+  FROM u
+  LATERAL VIEW explode(
+    filter(
+      transform(sequence(0, 63),
+                i -> CASE WHEN i = 0 OR shiftright(user_id, i - 1) > 1
+                          THEN shiftright(user_id, i) END),
+      x -> x IS NOT NULL AND x <= 15)) AS a
+)
+SELECT a.anc AS node,
+       CAST(LENGTH(BIN(a.anc)) - 1 AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       ROUND(COALESCE(SUM(r.rev_micro), 0) / 1e6, 2) AS subtree_rev
+FROM anc a LEFT JOIN rev r ON a.node = r.user_id
+GROUP BY a.anc
+ORDER BY node
+"""
+
 
 def q184_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (WITH RECURSIVE, new in Spark 4.x — SPARK-24497):
@@ -621,25 +651,26 @@ def q184_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup is one hash aggregate over it (revenue is micro-quantized
     integers, so partial order cannot change the sums).
 
-    Spark guards recursive CTEs with a row-limit circuit breaker
-    (spark.sql.cteRecursionRowLimit, default 10⁶) meant to catch
-    non-terminating recursions; this recursion provably terminates
-    (anc strictly halves), so the guard is raised ONLY as far as the
-    data requires: |users|·(log₂(max id)+2) ancestor rows, measured with
-    one tiny aggregate before planning (never below the 10⁶ default, so
-    the session's breaker is never tightened). A later runaway recursion
-    in the same session still trips at roughly the same order of
-    magnitude instead of the old unconditional 10⁹ blanket; the level
-    limit (default 100) stays too."""
+    Round-13 replan (guide §8 — use what you know that the optimizer does
+    not): the hierarchy is DETERMINISTIC (parent = floor(id/2)), so the
+    ancestor chain has the closed form anc_i = shiftright(id, i) — the
+    Spark side now enumerates it MAP-SIDE as one array explode (guarded
+    to reproduce the recursion's emit rule exactly: emit id >> i for
+    i = 0 or while id >> (i-1) > 1, so ids ≤ 1 contribute only their
+    seed row, and the ≤ 15 report filter prunes inside the lambda).
+    Iterated FLOOR(x/2.0) ≡ shiftright for |x| < 2^53 — the same bound
+    under which the oracle's own float halving is exact. This replaces
+    log₂(max id) sequential frontier materializations (35 Spark jobs at
+    sf0.1: each UnionLoop level is a barrier) and the recursion-limit
+    probe job with ONE pass; measured 1.03 → 0.65 s steady, 35 → 5 jobs.
+    The duckdb oracle keeps the recursive SQL verbatim — the differential
+    gate proves the closed form against the genuine recursion at two SFs
+    (general recursive rollups without a closed parent form still need
+    the WITH RECURSIVE plan; this operator's hierarchy is the documented
+    deterministic one)."""
     ev = load(spark, sf_dir, "events")
-    n_users, max_id = ev.agg(
-        F.countDistinct("user_id"), F.max("user_id")
-    ).first()
-    depth = max(int(max_id or 2), 2).bit_length() + 2
-    bound = max(1_000_000, (int(n_users or 1)) * depth)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
     ev.createOrReplaceTempView("events")
-    return spark.sql(_RECURSIVE_SQL)
+    return spark.sql(_CLOSED_ROLLUP_SQL)
 
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

@@ -452,13 +452,19 @@ def test_q170_temporal_join_is_equi_on_user(spark, sf_dir):
     assert "user_id" in join_line
 
 
-def test_q184_recursion_plans_as_union_loop(spark, sf_dir):
-    """The recursive CTE must plan as Spark's iterative UnionLoop (log-depth
-    frontier), feeding ONE hash aggregate — not an unrolled join chain."""
+def test_q184_closed_form_plans_without_recursion(spark, sf_dir):
+    """The round-13 replan: the deterministic binary hierarchy's ancestor
+    chain is enumerated map-side (shiftright explode) — the plan must
+    carry ONE Generate and NO iterative UnionLoop frontier (each loop
+    level was a barrier: 35 jobs vs 7 at sf0.1), and never a join chain
+    or cartesian product. The duckdb oracle keeps the genuine recursion,
+    so the differential gate proves the closed form's row equivalence."""
     from eventstream_spark.operators.relational import q184_recursive_rollup
 
     plan = _plan(q184_recursive_rollup(spark, sf_dir))
-    assert "UnionLoop" in plan
+    assert "UnionLoop" not in plan
+    assert plan.count("Generate") == 1
+    assert "shiftright" in plan
     assert "CartesianProduct" not in plan
 
 
