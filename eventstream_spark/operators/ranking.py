@@ -33,17 +33,37 @@ def _ranked_with_total(
     count collect (<= shuffle-partitions rows) also yields the total for
     free.
 
-    Cost: one range exchange (same as any global sort) + a per-partition
-    window + the tiny collect. At 100 TB this is the plan a sort already
-    pays; the single-task form is the one that cannot run. The
+    Cost: one range exchange + one in-partition sort (same as any global
+    sort) + the tiny collect. At 100 TB this is the plan a sort already
+    pays; the single-task form is the one that cannot run. The SORTED
     range-partitioned intermediate persists (memory-and-disk) because the
     count collect below materializes it anyway — without the persist every
     downstream consumer would re-pay the exchange AND the range-boundary
-    sampling job."""
+    sampling job.
+
+    The rank itself is a pure PROJECTION over the sorted cache: within a
+    sorted partition the physical position IS the in-partition rank, and
+    ``monotonically_increasing_id``'s low 33 bits are exactly that
+    position (its spec: partition index in the upper bits, the record
+    number within the partition in the lower 33). The former spelling
+    (``row_number() OVER (PARTITION BY _pid ORDER BY ...)``) re-sorted in
+    every consumer AND paid a 1:1 ``hashpartitioning(_pid)`` exchange per
+    consumer, because Spark cannot see that a range partitioning already
+    clusters ``_pid`` (q159 paid that exchange three times, r13 plans).
+    Correctness does not depend on partition RENUMBERING between the cache
+    and the consumer: the offset lookup uses the STORED ``_pid`` column
+    (assigned at persist build), and the low-33-bit position is per
+    physical partition, which a narrow consumer plan preserves 1:1 from
+    the cache scan. mono_id is flagged nondeterministic, which also stops
+    Catalyst pushing consumer filters below the rank projection — rows
+    keep their full-table rank. Recomputation (cache miss) is safe because
+    the order is TOTAL: the re-sorted partition reproduces the same
+    physical order. Pinned against the single-task window form in
+    tests/test_ranking.py."""
     rp = persist_tracked(
-        df.repartitionByRange(*order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
     )
     counts = sorted(
         (r["_pid"], r["cnt"])
@@ -54,13 +74,11 @@ def _ranked_with_total(
     for pid, cnt in counts:
         offsets[pid] = acc
         acc += cnt
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
     off = F.coalesce(
         *[F.when(col("_pid") == p, lit(o)) for p, o in offsets.items()], lit(0)
     )
-    ranked = rp.withColumn(out_col, (F.row_number().over(w) + off).cast("long")).drop(
-        "_pid"
-    )
+    pos = F.monotonically_increasing_id().bitwiseAND(lit((1 << 33) - 1))
+    ranked = rp.withColumn(out_col, (pos + off + 1).cast("long")).drop("_pid")
     return ranked, acc
 
 
